@@ -1,0 +1,19 @@
+from .analyzer import (
+    ENGLISH_STOP_WORDS,
+    MAX_TOKEN_LENGTH,
+    TOKEN_RE_PYTHON,
+    TOKEN_RE_SQL,
+    StandardAnalyzer,
+    analyze_series,
+    tokenize_series,
+)
+
+__all__ = [
+    "ENGLISH_STOP_WORDS",
+    "MAX_TOKEN_LENGTH",
+    "TOKEN_RE_PYTHON",
+    "TOKEN_RE_SQL",
+    "StandardAnalyzer",
+    "analyze_series",
+    "tokenize_series",
+]

@@ -1,0 +1,161 @@
+"""Query AST — the logical plan of the search engine.
+
+Mirrors the reference's Query class hierarchy (src/Lucene.Net/Search/*.cs)
+as plain dataclasses; the physical translation to DataFrame compositions
+lives in :mod:`lucenenet_spark.query.engine`.
+
+Reference parity:
+- TermQuery        -> TermQuery.cs
+- BooleanQuery     -> BooleanQuery.cs:152-173 (minimumShouldMatch), Occur
+- PhraseQuery      -> PhraseQuery.cs:67 (slop=0 exact phrase v0)
+- PrefixQuery      -> PrefixQuery.cs:37
+- WildcardQuery    -> WildcardQuery.cs:46
+- RegexpQuery      -> RegexpQuery.cs:52
+- FuzzyQuery       -> FuzzyQuery.cs:56-63 (maxEdits<=2)
+- TermRangeQuery   -> TermRangeQuery.cs:45
+- MatchAllDocsQuery-> MatchAllDocsQuery.cs:33
+- ConstantScoreQuery -> ConstantScoreQuery.cs:37
+- DisjunctionMaxQuery -> DisjunctionMaxQuery.cs:59
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class Query:
+    """Marker base class."""
+
+
+class Occur(Enum):
+    MUST = "MUST"
+    SHOULD = "SHOULD"
+    MUST_NOT = "MUST_NOT"
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: Query
+    occur: Occur
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[BooleanClause, ...]
+    minimum_should_match: int = 0
+    boost: float = 1.0
+
+    @staticmethod
+    def build(
+        must: list[Query] | None = None,
+        should: list[Query] | None = None,
+        must_not: list[Query] | None = None,
+        minimum_should_match: int = 0,
+    ) -> "BooleanQuery":
+        clauses: list[BooleanClause] = []
+        for q in must or []:
+            clauses.append(BooleanClause(q, Occur.MUST))
+        for q in should or []:
+            clauses.append(BooleanClause(q, Occur.SHOULD))
+        for q in must_not or []:
+            clauses.append(BooleanClause(q, Occur.MUST_NOT))
+        return BooleanQuery(tuple(clauses), minimum_should_match)
+
+    def parts(self) -> tuple[list[Query], list[Query], list[Query]]:
+        must = [c.query for c in self.clauses if c.occur is Occur.MUST]
+        should = [c.query for c in self.clauses if c.occur is Occur.SHOULD]
+        must_not = [c.query for c in self.clauses if c.occur is Occur.MUST_NOT]
+        return must, should, must_not
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # '*' any run, '?' single char
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    disjuncts: tuple[Query, ...]
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
+def rewrite(q: Query) -> Query:
+    """Logical rewrites, mirroring the reference's fixed-point rewrite loop
+    (IndexSearcher.cs:650-657). v0 rules:
+
+    - 1-clause BooleanQuery unwrap (BooleanQuery.cs:535-560): a BooleanQuery
+      with a single MUST/SHOULD clause and no minShouldMatch constraint
+      rewrites to its inner query.
+    - recursion into nested boolean clauses.
+    """
+    if isinstance(q, BooleanQuery):
+        clauses = tuple(BooleanClause(rewrite(c.query), c.occur) for c in q.clauses)
+        q = BooleanQuery(clauses, q.minimum_should_match, q.boost)
+        scoring = [c for c in q.clauses if c.occur is not Occur.MUST_NOT]
+        if (
+            len(q.clauses) == 1
+            and len(scoring) == 1
+            and q.minimum_should_match <= 1
+        ):
+            return scoring[0].query
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(rewrite(q.query), q.boost)
+    if isinstance(q, DisjunctionMaxQuery):
+        return DisjunctionMaxQuery(tuple(rewrite(d) for d in q.disjuncts), q.tie_breaker, q.boost)
+    return q

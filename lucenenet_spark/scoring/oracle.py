@@ -1,0 +1,262 @@
+"""Pure-Python/numpy reference search engine — the golden oracle.
+
+A slow, obviously-correct, single-process implementation of the full index +
+query semantics. Every distributed result is asserted equal to this oracle in
+tests, mirroring how the reference pins exact float scores in
+TestSimilarityBase.CorrectnessTestCore
+(src/Lucene.Net.Tests/Search/Similarities/TestSimilarityBase.cs:578-585).
+
+Scoring contract (SURVEY.md §4.4):
+- per-term scores are float32-exact replicas of BM25Similarity;
+- multi-term scores accumulate in float64 and cast to float32 once, matching
+  DisjunctionSumScorer (DisjunctionSumScorer.cs:82-85 sums double, casts).
+  The reference's ConjunctionScorer sums float32 in cost order
+  (ConjunctionScorer.cs:120-128) — we deliberately use the disjunction
+  convention for ALL boolean shapes so the semantics are order-independent
+  and therefore implementable as a distributed hash aggregation;
+- tie-break: score desc, then docid asc (HitQueue.cs:77-87).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from ..analysis import StandardAnalyzer
+from ..query.ast import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    rewrite,
+)
+from .bm25 import BM25, CollectionStats
+from .smallfloat import doclen_to_norm_byte
+
+
+def levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class OracleIndex:
+    """In-memory inverted index over (docid, text) pairs."""
+
+    def __init__(
+        self,
+        docs: list[tuple[int, str]],
+        analyzer: StandardAnalyzer | None = None,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ):
+        self.analyzer = analyzer or StandardAnalyzer()
+        self.bm25 = BM25(k1, b)
+        # postings: term -> {docid: (freq, positions)}
+        self.postings: dict[str, dict[int, tuple[int, list[int]]]] = defaultdict(dict)
+        self.doclen: dict[int, int] = {}
+        self.docids: list[int] = []
+        for docid, text in docs:
+            toks, poss = self.analyzer.analyze(text)
+            self.docids.append(docid)
+            self.doclen[docid] = len(toks)
+            pos_by_term: dict[str, list[int]] = defaultdict(list)
+            for t, p in zip(toks, poss):
+                pos_by_term[t].append(p)
+            for t, plist in pos_by_term.items():
+                self.postings[t][docid] = (len(plist), plist)
+        self.stats = CollectionStats(
+            maxdoc=len(self.docids), sum_ttf=sum(self.doclen.values())
+        )
+        self.norm_byte = {
+            d: int(doclen_to_norm_byte(l)[0]) for d, l in self.doclen.items()
+        }
+        self._cache = self.bm25.norm_cache(self.stats.avgdl)
+
+    # ---- per-term scoring -------------------------------------------------
+    def term_scores(self, term: str, boost: float = 1.0) -> dict[int, np.float32]:
+        plist = self.postings.get(term, {})
+        if not plist:
+            return {}
+        idf = self.bm25.idf(len(plist), self.stats.maxdoc)[0]
+        out: dict[int, np.float32] = {}
+        for docid, (freq, _pos) in plist.items():
+            s = self.bm25.score(
+                np.array([freq]), np.array([self.norm_byte[docid]]), idf, self._cache
+            )[0]
+            out[docid] = np.float32(np.float32(boost) * s)
+        return out
+
+    # ---- query evaluation -> {docid: float64 accumulated score} ----------
+    def _eval(self, q: Query) -> dict[int, float]:
+        if isinstance(q, TermQuery):
+            return {d: float(s) for d, s in self.term_scores(q.term, q.boost).items()}
+        if isinstance(q, MatchAllDocsQuery):
+            return {d: float(np.float32(q.boost)) for d in self.docids}
+        if isinstance(q, ConstantScoreQuery):
+            return {d: float(np.float32(q.boost)) for d in self._eval(q.query)}
+        if isinstance(q, PhraseQuery):
+            return self._eval_phrase(q)
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)):
+            return self._eval_multiterm(q)
+        if isinstance(q, DisjunctionMaxQuery):
+            per = [self._eval(d) for d in q.disjuncts]
+            docs: set[int] = set().union(*[p.keys() for p in per]) if per else set()
+            out = {}
+            for d in docs:
+                ss = [p[d] for p in per if d in p]
+                out[d] = max(ss) + q.tie_breaker * (sum(ss) - max(ss))
+            return out
+        if isinstance(q, BooleanQuery):
+            return self._eval_boolean(q)
+        raise TypeError(f"unsupported query: {q!r}")
+
+    def _expand(self, q: Query) -> list[str]:
+        """MultiTermQuery rewrite: scan the term dictionary
+        (MultiTermQuery.cs:65,95 — expansion to a term disjunction)."""
+        terms = sorted(self.postings.keys())
+        if isinstance(q, PrefixQuery):
+            return [t for t in terms if t.startswith(q.prefix)]
+        if isinstance(q, WildcardQuery):
+            rx = re.compile(fnmatch.translate(q.pattern))
+            return [t for t in terms if rx.match(t)]
+        if isinstance(q, RegexpQuery):
+            rx = re.compile(q.pattern)
+            return [t for t in terms if rx.fullmatch(t)]
+        if isinstance(q, FuzzyQuery):
+            pl = q.prefix_length
+            return [
+                t
+                for t in terms
+                if t.startswith(q.term[:pl])
+                and abs(len(t) - len(q.term)) <= q.max_edits
+                and levenshtein(t, q.term) <= q.max_edits
+            ]
+        if isinstance(q, TermRangeQuery):
+            out = []
+            for t in terms:
+                if q.lower is not None and (t < q.lower or (t == q.lower and not q.include_lower)):
+                    continue
+                if q.upper is not None and (t > q.upper or (t == q.upper and not q.include_upper)):
+                    continue
+                out.append(t)
+            return out
+        raise TypeError(q)
+
+    def _eval_multiterm(self, q: Query) -> dict[int, float]:
+        # CONSTANT_SCORE_AUTO default: constant score 1*boost per matching doc
+        # (MultiTermQuery.cs:95 ConstantScoreAutoRewrite).
+        boost = float(np.float32(getattr(q, "boost", 1.0)))
+        docs: set[int] = set()
+        for t in self._expand(q):
+            docs.update(self.postings[t].keys())
+        return {d: boost for d in docs}
+
+    def _eval_phrase(self, q: PhraseQuery) -> dict[int, float]:
+        """Exact/sloppy phrase. Scored like a term with freq = number of
+        phrase occurrences (ExactPhraseScorer.cs:26-99); idf = sum of the
+        constituent term idfs (PhraseWeight sums TermStatistics idfs,
+        BM25Similarity.cs:208-216 IdfExplain over term array)."""
+        per_term = [self.postings.get(t, {}) for t in q.terms]
+        if any(not p for p in per_term):
+            return {}
+        idf = np.float32(
+            sum(
+                float(self.bm25.idf(len(p), self.stats.maxdoc)[0])
+                for p in per_term
+            )
+        )
+        common = set(per_term[0].keys())
+        for p in per_term[1:]:
+            common &= p.keys()
+        out: dict[int, float] = {}
+        for d in sorted(common):
+            base = np.asarray(per_term[0][d][1])
+            if q.slop == 0:
+                match = np.ones(len(base), dtype=bool)
+                for i, p in enumerate(per_term[1:], 1):
+                    match &= np.isin(base + i, np.asarray(p[d][1]))
+                freq = int(match.sum())
+            else:
+                freq = self._sloppy_freq(d, per_term, q.slop)
+            if freq > 0:
+                s = self.bm25.score(
+                    np.array([freq]), np.array([self.norm_byte[d]]), idf, self._cache
+                )[0]
+                out[d] = float(np.float32(np.float32(q.boost) * s))
+        return out
+
+    def _sloppy_freq(self, d: int, per_term, slop: int) -> int:
+        # count windows where all terms appear with relative displacement <= slop
+        positions = [np.asarray(p[d][1]) for p in per_term]
+        count = 0
+        for p0 in positions[0]:
+            ok = True
+            for i, pos in enumerate(positions[1:], 1):
+                if not np.any(np.abs(pos - i - p0) <= slop):
+                    ok = False
+                    break
+            if ok:
+                count += 1
+        return count
+
+    def _eval_boolean(self, q: BooleanQuery) -> dict[int, float]:
+        must, should, must_not = q.parts()
+        must_evals = [self._eval(m) for m in must]
+        should_evals = [self._eval(s) for s in should]
+        excluded: set[int] = set()
+        for mn in must_not:
+            excluded.update(self._eval(mn).keys())
+
+        if must_evals:
+            docs = set(must_evals[0].keys())
+            for m in must_evals[1:]:
+                docs &= m.keys()
+        elif should_evals:
+            docs = set().union(*[s.keys() for s in should_evals])
+        else:
+            docs = set()
+        docs -= excluded
+
+        msm = q.minimum_should_match
+        out: dict[int, float] = {}
+        for d in docs:
+            n_should = sum(1 for s in should_evals if d in s)
+            if should_evals and msm > 0 and n_should < msm:
+                continue
+            # pure-SHOULD query with no matching clause can't happen (union);
+            # MUST+SHOULD: optional adds if aligned (ReqOptSumScorer.cs:73-90)
+            total = sum(m[d] for m in must_evals) + sum(
+                s[d] for s in should_evals if d in s
+            )
+            out[d] = total
+        return out
+
+    # ---- top-k ------------------------------------------------------------
+    def search(self, q: Query, k: int = 10) -> list[tuple[int, np.float32]]:
+        """Top-k (docid, float32 score), tie-break score desc then docid asc."""
+        scores = self._eval(rewrite(q))
+        items = [(d, np.float32(s)) for d, s in scores.items()]
+        items.sort(key=lambda x: (-float(x[1]), x[0]))
+        return items[:k]
+
+    def count(self, q: Query) -> int:
+        """TotalHitCountCollector analogue."""
+        return len(self._eval(rewrite(q)))

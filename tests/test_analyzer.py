@@ -1,0 +1,52 @@
+import pandas as pd
+
+from lucenenet_spark.analysis import ENGLISH_STOP_WORDS, StandardAnalyzer, analyze_series
+
+
+def test_stopword_set_is_the_reference_33():
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert {"the", "of", "and", "a", "with", "will", "was"} <= ENGLISH_STOP_WORDS
+    assert "heart" not in ENGLISH_STOP_WORDS
+
+
+def test_tokenize_basic():
+    a = StandardAnalyzer()
+    assert a.tokenize("Tiger, tiger burning bright") == ["tiger", "tiger", "burning", "bright"]
+    # digits kept, punctuation splits, underscore splits (not a token char)
+    assert a.tokenize("foo_bar 42x  a-b") == ["foo", "bar", "42x", "a", "b"]
+    assert a.tokenize("") == []
+    assert a.tokenize(None if False else "   ") == []
+
+
+def test_max_token_length_cap():
+    a = StandardAnalyzer()
+    long_tok = "x" * 256
+    ok_tok = "y" * 255
+    assert a.tokenize(f"{long_tok} {ok_tok}") == [ok_tok]
+
+
+def test_analyze_positions_preserve_gaps():
+    a = StandardAnalyzer()
+    toks, poss = a.analyze("the quick fox of the forest")
+    # pre-stop positions: the(0) quick(1) fox(2) of(3) the(4) forest(5)
+    assert toks == ["quick", "fox", "forest"]
+    assert poss == [1, 2, 5]
+
+
+def test_apostrophe_splits():
+    # "water'd" -> water, d (our tokenizer splits on apostrophe; the
+    # reference's UAX#29 does the same for non-possessive cases)
+    a = StandardAnalyzer()
+    assert a.tokenize("water'd heaven") == ["water", "d", "heaven"]
+
+
+def test_analyze_series_vectorized():
+    toks, poss, lens = analyze_series(pd.Series(["the tiger", None, "of to and", "heart beat"]))
+    assert list(toks) == [["tiger"], [], [], ["heart", "beat"]]
+    assert list(lens) == [1, 0, 0, 2]
+    assert list(poss) == [[1], [], [], [0, 1]]
+
+
+def test_unicode_tokens():
+    a = StandardAnalyzer()
+    assert a.tokenize("Köln Zürich 北京 data") == ["köln", "zürich", "北京", "data"]
