@@ -1,0 +1,471 @@
+"""Distributed inverted-index build — the IndexWriter of the engine.
+
+Spark-first re-expression of the reference's indexing path (SURVEY.md §3.1):
+
+=====================================  =========================================
+Reference (C#, threads + codec files)  Here (Spark, partitions + Parquet tables)
+=====================================  =========================================
+IndexWriter.AddDocument routing to a   ``repartition(P, url)`` — each of the P
+DocumentsWriterPerThread               partitions is a "DWPT"
+(IndexWriter.cs:1621)
+DWPT in-RAM inversion + 16MB flush     ``mapInPandas(_build_partials)`` with a
+(DocumentsWriterPerThread.cs:274,509)  numpy lexsort inversion kernel, flushing
+                                       a sub-segment every ``flush_docs`` docs
+FreqProxTermsWriter byte-slice         partial posting rows
+postings (FreqProxTermsWriterPerField  ``(term, pid, seg, docids[], freqs[],
+.cs:155-251)                           norm_bytes[], positions[][])``
+SegmentMerger k-way merge with docID   ONE shuffle: ``groupBy(term, bucket)``
+rebasing (SegmentMerger.cs:89-148)     + ``applyInPandas(_merge_partials)``.
+                                       No merge-sort and no docID rebasing are
+                                       needed: docids are assigned as
+                                       partition-offset + local rank, so each
+                                       pid owns a contiguous docid range and
+                                       concatenating runs in (pid, seg) order
+                                       IS the merged sorted list
+TieredMergePolicy tiers / salting      ``bucket = pid // bucket_width`` bounds
+(TieredMergePolicy.cs:308-440)         any single merge task to bucket_width
+                                       partitions' postings — stopword skew
+                                       never lands on one task
+Lucene41PostingsWriter 128-int blocks  block rows with docid deltas, freqs,
++ skip entries + norms                 norm bytes, first/last docid (the skip
+(Lucene41PostingsWriter.cs:302-358)    entry) and block-max metadata; Parquet
+                                       min/max footer stats on ``term`` replace
+                                       the BlockTree/FST seek index
+Two-phase segments_N commit            per-stage Parquet write + _COMMIT.json
+(IndexWriter.cs:3868)                  marker; resume skips committed stages
+
+Scale notes (the 100 TB contract):
+- exactly TWO wide shuffles touch the full corpus: the initial
+  ``repartition(P, url)`` of the pages and the ``groupBy(term, bucket)`` of
+  the partial postings. Everything else is metadata-sized.
+- partial postings are pre-aggregated per (term, partition) before the
+  shuffle — the map-side-combine that keeps a stopword's shuffle volume at
+  one row per partition instead of one row per document.
+- norm bytes are denormalized into the posting blocks, so query-time scoring
+  never joins the (10^12-row) docmap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis import StandardAnalyzer
+from ..scoring.bm25 import BM25
+from ..scoring.smallfloat import doclen_to_norm_byte_fast
+from .config import IndexConfig
+from .storage import IndexStorage
+
+PARTIALS_SCHEMA = (
+    "row_type string, pid int, seg int, "
+    "docid long, url string, doclen int, norm_byte int, text_bytes long, "
+    "term string, docids array<long>, freqs array<int>, "
+    "norm_bytes array<int>, positions array<array<int>>"
+)
+
+POSTINGS_SCHEMA = (
+    "term string, bucket int, block_id long, first_docid long, last_docid long, "
+    "entry_count int, docid_deltas array<long>, freqs array<int>, "
+    "norm_bytes array<int>, positions array<array<int>>, "
+    "block_max_tf int, block_ttf long, block_max_ub float"
+)
+
+STAGES = ("docoffsets", "partials", "docmap", "stats", "postings", "termstats", "lineage")
+
+
+def partition_id_expr(num_partitions: int):
+    """The partition id ``repartition(P, url)`` will assign, computed WITHOUT
+    shuffling: Spark's hash partitioning is pmod(murmur3(url), P) and
+    ``F.hash`` is the same murmur3 — validated by test_build.py."""
+    return F.pmod(F.hash("url"), F.lit(num_partitions))
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        spark: SparkSession,
+        storage: IndexStorage,
+        config: IndexConfig | None = None,
+        analyzer: StandardAnalyzer | None = None,
+    ):
+        self.spark = spark
+        self.storage = storage
+        self.config = config or IndexConfig()
+        self.analyzer = analyzer or StandardAnalyzer(
+            max_token_length=self.config.max_token_length
+        )
+
+    # ------------------------------------------------------------------ #
+    def build(self, pages: DataFrame, overwrite: bool = False) -> dict:
+        """Run all stages; returns the summary dict. Stages whose commit
+        marker matches the config fingerprint are skipped (resume)."""
+        if overwrite:
+            self.storage.drop()
+        fp = self.config.fingerprint()
+        summary = {"fingerprint": fp, "stages": {}}
+
+        def run(stage: str, fn):
+            if self.storage.is_committed(stage, fp):
+                summary["stages"][stage] = {"skipped": True}
+                return
+            meta = fn()
+            summary["stages"][stage] = meta
+
+        run("docoffsets", lambda: self._stage_docoffsets(pages))
+        run("partials", lambda: self._stage_partials(pages))
+        run("docmap", self._stage_docmap)
+        run("stats", self._stage_stats)
+        run("postings", self._stage_postings)
+        run("termstats", self._stage_termstats)
+        run("lineage", self._stage_lineage)
+        return summary
+
+    # ------------------------------------------------------------------ #
+    def _stage_docoffsets(self, pages: DataFrame) -> dict:
+        """Per-partition doc counts -> docid base offsets (docBase analogue,
+        BaseCompositeReader.cs:79-99 ``starts[]``). Cheap: scans only the
+        ``url`` column (Parquet projection), no shuffle of the payload."""
+        P = self.config.num_partitions
+        counts = (
+            pages.select(partition_id_expr(P).alias("pid"))
+            .groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pdf = counts.toPandas().sort_values("pid")  # P rows — driver-safe
+        full = pd.DataFrame({"pid": range(P)}).merge(pdf, on="pid", how="left").fillna(0)
+        full["cnt"] = full["cnt"].astype("int64")
+        full["docid_base"] = full["cnt"].cumsum().shift(1, fill_value=0)
+        df = self.spark.createDataFrame(full[["pid", "cnt", "docid_base"]])
+        return self.storage.write_stage(
+            df, "docoffsets", self.config.fingerprint(),
+            meta={"maxdoc": int(full["cnt"].sum())},
+        )
+
+    def _offsets(self) -> dict[int, int]:
+        pdf = self.storage.read_stage(self.spark, "docoffsets").toPandas()
+        return dict(zip(pdf["pid"].astype(int), pdf["docid_base"].astype(int)))
+
+    # ------------------------------------------------------------------ #
+    def _stage_partials(self, pages: DataFrame) -> dict:
+        """The DWPT pass: one ``mapInPandas`` over hash-partitioned,
+        url-sorted pages emits BOTH doc rows (docmap) and partial posting
+        rows from a single tokenization — written once, partitioned by
+        row_type for pruned reads."""
+        cfg = self.config
+        analyzer = self.analyzer
+        offsets = self._offsets()
+
+        def build_partials(batches):
+            state_pid = None
+            next_docid = 0
+            seg = 0
+            seg_docid_base = 0
+            # per-seg accumulators (flat numpy-friendly lists)
+            acc_terms: list[np.ndarray] = []
+            acc_docs: list[np.ndarray] = []
+            acc_pos: list[np.ndarray] = []
+            acc_norm: list[np.ndarray] = []
+            docs_in_seg = 0
+
+            def flush_seg():
+                nonlocal seg, acc_terms, acc_docs, acc_pos, acc_norm, docs_in_seg, seg_docid_base
+                if docs_in_seg == 0:
+                    return None
+                t = np.concatenate(acc_terms) if acc_terms else np.array([], dtype=object)
+                d = np.concatenate(acc_docs) if acc_docs else np.array([], dtype=np.int64)
+                p = np.concatenate(acc_pos) if acc_pos else np.array([], dtype=np.int64)
+                nb = np.concatenate(acc_norm) if acc_norm else np.array([], dtype=np.int64)
+                out = _invert(t, d, p, nb, state_pid, seg, cfg.index_positions)
+                seg += 1
+                seg_docid_base = next_docid
+                acc_terms, acc_docs, acc_pos, acc_norm = [], [], [], []
+                docs_in_seg = 0
+                return out
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["pid"].iloc[0])
+                if state_pid is None:
+                    state_pid = pid
+                    next_docid = offsets[pid]
+                    seg_docid_base = next_docid
+                texts = pdf["text"]
+                analyzed = texts.fillna("").map(analyzer.analyze)
+                lens = np.fromiter((len(a.tokens) for a in analyzed), dtype=np.int64, count=len(analyzed))
+                docids = np.arange(next_docid, next_docid + len(pdf), dtype=np.int64)
+                norm_bytes = doclen_to_norm_byte_fast(lens).astype(np.int64)
+                next_docid += len(pdf)
+
+                # doc rows
+                yield pd.DataFrame(
+                    {
+                        "row_type": "d",
+                        "pid": pid,
+                        "seg": seg,
+                        "docid": docids,
+                        "url": pdf["url"].values,
+                        "doclen": lens.astype("int32"),
+                        "norm_byte": norm_bytes.astype("int32"),
+                        "text_bytes": texts.fillna("").str.encode("utf-8").str.len().astype("int64"),
+                        "term": None,
+                        "docids": None,
+                        "freqs": None,
+                        "norm_bytes": None,
+                        "positions": None,
+                    }
+                )
+
+                # accumulate inversion input (flat arrays, no per-token Python)
+                n_tok = int(lens.sum())
+                if n_tok:
+                    flat_terms = np.concatenate([np.asarray(a.tokens, dtype=object) for a in analyzed if a.tokens])
+                    flat_pos = np.concatenate([np.asarray(a.positions, dtype=np.int64) for a in analyzed if a.tokens])
+                    flat_docs = np.repeat(docids, lens)
+                    flat_norm = np.repeat(norm_bytes, lens)
+                    acc_terms.append(flat_terms)
+                    acc_docs.append(flat_docs)
+                    acc_pos.append(flat_pos)
+                    acc_norm.append(flat_norm)
+                docs_in_seg += len(pdf)
+                if docs_in_seg >= cfg.flush_docs:
+                    out = flush_seg()
+                    if out is not None:
+                        yield out
+            out = flush_seg()
+            if out is not None:
+                yield out
+
+        P = cfg.num_partitions
+        prepared = (
+            pages.select("url", "text")
+            .repartition(P, "url")
+            .sortWithinPartitions("url")
+            .withColumn("pid", F.spark_partition_id())
+        )
+        partials = prepared.mapInPandas(build_partials, schema=PARTIALS_SCHEMA)
+        return self.storage.write_stage(
+            partials, "partials", cfg.fingerprint(), partition_by=["row_type"]
+        )
+
+    # ------------------------------------------------------------------ #
+    def _stage_docmap(self) -> dict:
+        df = (
+            self.storage.read_stage(self.spark, "partials")
+            .filter(F.col("row_type") == "d")
+            .select("docid", "url", "doclen", "norm_byte", "text_bytes", "pid")
+        )
+        return self.storage.write_stage(
+            df, "docmap", self.config.fingerprint(),
+            range_partition_column="docid", sort_columns=["docid"],
+        )
+
+    def _stage_stats(self) -> dict:
+        dm = self.storage.read_stage(self.spark, "docmap")
+        row = dm.agg(
+            F.count(F.lit(1)).alias("maxdoc"), F.sum("doclen").alias("sum_ttf")
+        ).collect()[0]
+        maxdoc, sum_ttf = int(row["maxdoc"]), int(row["sum_ttf"] or 0)
+        avgdl = float(np.float32(sum_ttf / maxdoc)) if maxdoc and sum_ttf > 0 else 1.0
+        df = self.spark.createDataFrame(
+            [("text", maxdoc, sum_ttf, avgdl)], "field string, maxdoc long, sum_ttf long, avgdl float"
+        )
+        return self.storage.write_stage(
+            df, "stats", self.config.fingerprint(),
+            meta={"maxdoc": maxdoc, "sum_ttf": sum_ttf, "avgdl": avgdl},
+        )
+
+    # ------------------------------------------------------------------ #
+    def _stage_postings(self) -> dict:
+        cfg = self.config
+        stats = self.storage.read_stage(self.spark, "stats").collect()[0]
+        avgdl = np.float32(stats["avgdl"])
+        cache = BM25(cfg.k1, cfg.b).norm_cache(avgdl)
+        block_size = cfg.block_size
+
+        def merge_partials(key, pdf: pd.DataFrame):
+            term, bucket = key
+            pdf = pdf.sort_values(["pid", "seg"])
+            docids = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["docids"]])
+            freqs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["freqs"]])
+            norms = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["norm_bytes"]])
+            if cfg.index_positions:
+                positions: list = []
+                for plist in pdf["positions"]:
+                    positions.extend(plist)
+            n = len(docids)
+            # upper-bound factor tf/(tf + cache[norm]) per entry — multiplied
+            # by idf*(k1+1) at query time this is the exact block-max score
+            f32 = freqs.astype(np.float32)
+            ub = f32 / (f32 + cache[norms & 0xFF])
+            rows = []
+            for b0 in range(0, n, block_size):
+                b1 = min(b0 + block_size, n)
+                d = docids[b0:b1]
+                rows.append(
+                    {
+                        "term": term,
+                        "bucket": int(bucket),
+                        "block_id": b0 // block_size,
+                        "first_docid": int(d[0]),
+                        "last_docid": int(d[-1]),
+                        "entry_count": b1 - b0,
+                        "docid_deltas": np.diff(d, prepend=d[0]).astype(np.int64),
+                        "freqs": freqs[b0:b1].astype(np.int32),
+                        "norm_bytes": norms[b0:b1].astype(np.int32),
+                        "positions": positions[b0:b1] if cfg.index_positions else None,
+                        "block_max_tf": int(freqs[b0:b1].max()),
+                        "block_ttf": int(freqs[b0:b1].sum()),
+                        "block_max_ub": np.float32(ub[b0:b1].max()),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        partials = (
+            self.storage.read_stage(self.spark, "partials")
+            .filter(F.col("row_type") == "p")
+            .select("term", "pid", "seg", "docids", "freqs", "norm_bytes", "positions")
+            .withColumn("bucket", (F.col("pid") / F.lit(cfg.bucket_width)).cast("int"))
+        )
+        postings = partials.groupBy("term", "bucket").applyInPandas(
+            merge_partials, schema=POSTINGS_SCHEMA
+        )
+        return self.storage.write_stage(
+            postings, "postings", cfg.fingerprint(),
+            range_partition_column="term",
+            sort_columns=["term", "bucket", "block_id"],
+        )
+
+    # ------------------------------------------------------------------ #
+    def _stage_termstats(self) -> dict:
+        stats = self.storage.read_stage(self.spark, "stats").collect()[0]
+        maxdoc = int(stats["maxdoc"])
+        post = self.storage.read_stage(self.spark, "postings")
+        ts = (
+            post.groupBy("term")
+            .agg(
+                F.sum("entry_count").alias("df"),
+                F.sum("block_ttf").alias("ttf"),
+                F.max(F.col("block_max_ub")).alias("max_ub"),
+            )
+            # float32 idf exactly as BM25Similarity.cs:67-70: double math,
+            # one (float) cast — Spark's cast(double as float) is the same
+            # round-to-nearest conversion as the C# (float) cast
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(maxdoc)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ).cast("float"),
+            )
+        )
+        return self.storage.write_stage(
+            ts, "termstats", self.config.fingerprint(),
+            range_partition_column="term", sort_columns=["term"],
+        )
+
+    def _stage_lineage(self) -> dict:
+        """Per-partition audit counters (doc/byte/posting), the resume/
+        lineage contract: Σ over pids must equal the table totals
+        (CheckIndex analogue, asserted by checkindex.verify)."""
+        partials = self.storage.read_stage(self.spark, "partials")
+        docs = (
+            partials.filter(F.col("row_type") == "d")
+            .groupBy("pid")
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.sum("text_bytes").alias("byte_count"),
+                F.sum("doclen").alias("token_count"),
+            )
+        )
+        posts = (
+            partials.filter(F.col("row_type") == "p")
+            .groupBy("pid")
+            .agg(
+                F.sum(F.size("docids")).alias("posting_count"),
+                (F.max("seg") + 1).alias("seg_count"),
+            )
+        )
+        lineage = docs.join(posts, "pid", "left")
+        return self.storage.write_stage(lineage, "lineage", self.config.fingerprint())
+
+
+def _invert(
+    terms: np.ndarray,
+    docs: np.ndarray,
+    pos: np.ndarray,
+    norms: np.ndarray,
+    pid: int,
+    seg: int,
+    index_positions: bool,
+) -> pd.DataFrame:
+    """Vectorized in-partition inversion: flat (term, doc, pos, norm) arrays
+    -> one partial posting row per term. The numpy lexsort replaces the
+    reference's TermsHash byte-slice accumulation
+    (FreqProxTermsWriterPerField.cs:155-251)."""
+    codes, uniques = pd.factorize(terms, sort=True)
+    order = np.lexsort((pos, docs, codes))
+    t = codes[order]
+    d = docs[order]
+    p = pos[order]
+    nb = norms[order]
+
+    # boundaries of (term, doc) runs -> postings entries
+    entry_change = np.empty(len(t), dtype=bool)
+    entry_change[0] = True
+    np.not_equal(t[1:], t[:-1], out=entry_change[1:])
+    doc_change = np.empty(len(t), dtype=bool)
+    doc_change[0] = True
+    np.not_equal(d[1:], d[:-1], out=doc_change[1:])
+    is_entry = entry_change | doc_change
+    entry_starts = np.flatnonzero(is_entry)
+    entry_ends = np.append(entry_starts[1:], len(t))
+    entry_freqs = (entry_ends - entry_starts).astype(np.int64)
+    entry_docs = d[entry_starts]
+    entry_norms = nb[entry_starts]
+    entry_terms = t[entry_starts]
+
+    # boundaries of term runs over the entries
+    term_change = np.empty(len(entry_terms), dtype=bool)
+    term_change[0] = True
+    np.not_equal(entry_terms[1:], entry_terms[:-1], out=term_change[1:])
+    term_starts = np.flatnonzero(term_change)
+    term_ends = np.append(term_starts[1:], len(entry_terms))
+
+    rows = {
+        "row_type": "p",
+        "pid": pid,
+        "seg": seg,
+        "docid": None,
+        "url": None,
+        "doclen": None,
+        "norm_byte": None,
+        "text_bytes": None,
+        "term": uniques[entry_terms[term_starts]],
+        "docids": [entry_docs[s:e] for s, e in zip(term_starts, term_ends)],
+        "freqs": [entry_freqs[s:e].astype(np.int32) for s, e in zip(term_starts, term_ends)],
+        "norm_bytes": [entry_norms[s:e].astype(np.int32) for s, e in zip(term_starts, term_ends)],
+    }
+    if index_positions:
+        pos_splits = np.split(p, entry_starts[1:])
+        rows["positions"] = [
+            [ps.astype(np.int32) for ps in pos_splits[s:e]]
+            for s, e in zip(term_starts, term_ends)
+        ]
+    else:
+        rows["positions"] = None
+    return pd.DataFrame(rows)
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    config: IndexConfig | None = None,
+    overwrite: bool = False,
+) -> dict:
+    builder = IndexBuilder(spark, IndexStorage(out_dir), config)
+    return builder.build(pages, overwrite=overwrite)

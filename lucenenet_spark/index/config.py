@@ -1,0 +1,52 @@
+"""Index build configuration.
+
+The knobs mirror the reference's defaults where a counterpart exists
+(BASELINE.md table): postings block size 128
+(Lucene41PostingsFormat.cs:375), BM25 k1=1.2 b=0.75
+(BM25Similarity.cs:59-63). The knobs without a counterpart encode the
+Spark-first re-design:
+
+- ``num_partitions``: build parallelism P — the analogue of the number of
+  DocumentsWriterPerThread instances. docids are a pure function of
+  (url, P), so P is part of the index identity and recorded in the commit
+  metadata.
+- ``flush_docs``: per-partition sub-segment flush interval — the analogue of
+  the 16MB RAM buffer flush (IndexWriterConfig.cs:90): bounds builder UDF
+  memory on wide partitions by emitting partial postings every N docs.
+- ``bucket_width``: salt width for the merge shuffle — the analogue of
+  TieredMergePolicy's maxMergeAtOnce (TieredMergePolicy.cs:82-89): a hot
+  (stopword) term's partials are grouped per (term, pid//bucket_width)
+  instead of per term, so no single task ever materializes a full
+  stopword posting list. Because each input partition owns a CONTIGUOUS
+  docid range, buckets of consecutive pids also own contiguous ranges and
+  the global posting list is the bucket-ordered union of bucket-local
+  block rows — no second merge round needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    num_partitions: int = 32
+    block_size: int = 128
+    bucket_width: int = 4
+    flush_docs: int = 50_000
+    index_positions: bool = True
+    k1: float = 1.2
+    b: float = 0.75
+    max_token_length: int = 255
+
+    def fingerprint(self) -> str:
+        """Stable hash of the config — stamped into every stage's commit
+        marker so a resume never mixes artifacts from different configs."""
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+    def to_dict(self) -> dict:
+        return asdict(self)

@@ -1,0 +1,107 @@
+"""Index table storage with atomic per-stage commits and resume.
+
+Plays the role of Lucene's two-phase ``segments_N`` commit
+(IndexWriter.cs:3868,4092: write pending generation, fsync, publish) and of
+Iceberg snapshots in the production deployment: each build stage writes its
+Parquet output, then publishes a ``_COMMIT.json`` marker containing the
+config fingerprint and audit counters. A crash between write and publish
+leaves no marker -> the stage re-runs idempotently (same deterministic
+output); a published marker with a matching fingerprint -> the stage is
+skipped on resume (the ``IndexDeletionPolicy``/CheckIndex analogue of
+"last commit wins").
+
+On a real cluster this module is the only thing that changes: writes become
+``df.writeTo(table).createOrReplace()`` against an Iceberg catalog and the
+marker becomes the snapshot commit. The stage protocol (fingerprint check,
+skip-if-committed) is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+COMMIT_MARKER = "_COMMIT.json"
+
+
+@dataclass
+class IndexStorage:
+    root: str
+
+    def path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def is_committed(self, stage: str, fingerprint: str) -> bool:
+        marker = os.path.join(self.path(stage), COMMIT_MARKER)
+        if not os.path.exists(marker):
+            return False
+        try:
+            with open(marker) as f:
+                meta = json.load(f)
+            return meta.get("fingerprint") == fingerprint
+        except (json.JSONDecodeError, OSError):
+            return False
+
+    def commit_meta(self, stage: str) -> dict:
+        with open(os.path.join(self.path(stage), COMMIT_MARKER)) as f:
+            return json.load(f)
+
+    def write_stage(
+        self,
+        df: DataFrame,
+        stage: str,
+        fingerprint: str,
+        meta: dict | None = None,
+        sort_columns: list[str] | None = None,
+        range_partition_column: str | None = None,
+        num_files: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Write a stage table and publish its commit marker.
+
+        ``range_partition_column`` + ``sort_columns`` produce a globally
+        range-partitioned, within-file sorted layout — the analogue of the
+        BlockTree term dictionary's sorted blocks + FST index
+        (BlockTreeTermsWriter.cs:189,196): Parquet footer min/max stats on
+        the sort column then give seek-by-term via predicate pushdown.
+        """
+        out = self.path(stage)
+        tmp = out + ".__tmp__"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        w = df
+        if range_partition_column is not None:
+            if num_files:
+                w = w.repartitionByRange(num_files, range_partition_column)
+            else:
+                w = w.repartitionByRange(range_partition_column)
+        if sort_columns:
+            w = w.sortWithinPartitions(*sort_columns)
+        writer = w.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)  # atomic publish on POSIX
+        commit = {
+            "stage": stage,
+            "fingerprint": fingerprint,
+            "committed_at": time.time(),
+            **(meta or {}),
+        }
+        with open(os.path.join(out, COMMIT_MARKER), "w") as f:
+            json.dump(commit, f, indent=2)
+        return commit
+
+    def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(self.path(stage))
+
+    def drop(self) -> None:
+        if os.path.exists(self.root):
+            shutil.rmtree(self.root)

@@ -1,0 +1,445 @@
+"""Distributed query engine — the IndexSearcher of the engine.
+
+Physical translation of the Query AST to DataFrame compositions
+(SURVEY.md §2.3): every scorer in the reference becomes a join/groupBy shape
+over per-term scored DataFrames:
+
+- TermScorer (TermScorer.cs:63-69)        -> posting-block filter (Parquet
+  min/max seek on the term-sorted table) + vectorized decode/score kernel
+- ConjunctionScorer leapfrog (:69-117)    -> inner joins on docid
+- DisjunctionSumScorer (:26,50)           -> unionAll + groupBy(docid).sum
+- MinShouldMatchSumScorer (:38-107)       -> same union + count(clause) >= mm
+- ReqExclScorer (:29)                     -> left_anti join
+- ReqOptSumScorer (:30)                   -> left_outer join + coalesce
+- BooleanScorer bucket table (:61,134)    -> native hash aggregation
+- MultiTermQuery rewrites (:65,95)        -> termstats-dictionary scan ->
+  constant-score semi-join (CONSTANT_SCORE_AUTO analogue)
+- TopScoreDocCollector (:63-72)           -> orderBy(score desc, docid asc)
+  .limit(k) = Spark's distributed TakeOrderedAndProject; HitQueue tie-break
+  preserved by the float32 score cast before ordering
+
+Scoring precision contract (SURVEY.md §4.4): per-term scores are computed in
+numpy float32 in the exact reference op order ``(idf*(k1+1) * freq) / (freq +
+cache[norm])``; cross-clause accumulation is float64 summed then cast to
+float32 once (DisjunctionSumScorer convention, see scoring/oracle.py).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from dataclasses import dataclass
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.storage import IndexStorage
+from ..scoring.bm25 import BM25
+from .ast import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    rewrite,
+)
+
+_EMPTY_SCHEMA = "docid long, score double"
+
+
+def _collect_terms(q: Query, out: set[str]) -> None:
+    if isinstance(q, TermQuery):
+        out.add(q.term)
+    elif isinstance(q, PhraseQuery):
+        out.update(q.terms)
+    elif isinstance(q, BooleanQuery):
+        for c in q.clauses:
+            _collect_terms(c.query, out)
+    elif isinstance(q, (ConstantScoreQuery,)):
+        _collect_terms(q.query, out)
+    elif isinstance(q, DisjunctionMaxQuery):
+        for d in q.disjuncts:
+            _collect_terms(d, out)
+
+
+@dataclass
+class TermStat:
+    df: int
+    ttf: int
+    idf: np.float32
+    max_ub: np.float32
+
+
+class Searcher:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        k1: float = 1.2,
+        b: float = 0.75,
+        cache_tables: bool = True,
+    ):
+        self.spark = spark
+        storage = IndexStorage(index_dir)
+        self.postings = storage.read_stage(spark, "postings")
+        self.termstats = storage.read_stage(spark, "termstats")
+        self.docmap = storage.read_stage(spark, "docmap")
+        srow = storage.read_stage(spark, "stats").collect()[0]
+        self.maxdoc = int(srow["maxdoc"])
+        self.avgdl = np.float32(srow["avgdl"])
+        self.bm25 = BM25(k1, b)
+        self.cache = self.bm25.norm_cache(self.avgdl)
+        self.k1 = np.float32(k1)
+        if cache_tables:
+            # posting-block metadata & stats are hot across queries
+            self.postings = self.postings.cache()
+            self.termstats = self.termstats.cache()
+
+    # ---------------- term statistics (Weight creation) ----------------- #
+    def term_stats(self, terms: list[str]) -> dict[str, TermStat]:
+        """Pull TermStatistics for the query's terms — the
+        CreateNormalizedWeight stats fetch (IndexSearcher.cs:703-715). One
+        small pushdown-pruned scan, bounded by the query's term count."""
+        if not terms:
+            return {}
+        rows = self.termstats.filter(F.col("term").isin(list(set(terms)))).collect()
+        return {
+            r["term"]: TermStat(
+                int(r["df"]), int(r["ttf"]), np.float32(r["idf"]), np.float32(r["max_ub"])
+            )
+            for r in rows
+        }
+
+    # ---------------- decode + score kernel ----------------------------- #
+    def _decode_score(self, blocks: DataFrame, idf: np.float32) -> DataFrame:
+        """Posting blocks -> (docid, score float64-holding-float32-value).
+        The vectorized analogue of Lucene41PostingsReader.RefillDocs
+        (Lucene41PostingsReader.cs:385-404) fused with BM25DocScorer.Score
+        (BM25Similarity.cs:259-264)."""
+        cache = self.cache
+        w = np.float32(idf) * (self.k1 + np.float32(1.0))
+
+        def decode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                docids = []
+                for fd, deltas in zip(pdf["first_docid"], pdf["docid_deltas"]):
+                    d = np.asarray(deltas, dtype=np.int64)
+                    d = np.cumsum(d)
+                    docids.append(fd + d)
+                docids = np.concatenate(docids)
+                freqs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["freqs"]])
+                norms = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["norm_bytes"]])
+                f = freqs.astype(np.float32)
+                score = ((w * f) / (f + cache[norms & 0xFF])).astype(np.float32)
+                yield pd.DataFrame({"docid": docids, "score": score.astype(np.float64)})
+
+        cols = blocks.select("first_docid", "docid_deltas", "freqs", "norm_bytes")
+        return cols.mapInPandas(decode, schema=_EMPTY_SCHEMA)
+
+    def _decode_positions(self, blocks: DataFrame) -> DataFrame:
+        """Posting blocks -> (docid, freq, norm_byte, positions) for
+        positional queries."""
+        def decode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_doc, out_freq, out_norm, out_pos = [], [], [], []
+                for fd, deltas, freqs, norms, poss in zip(
+                    pdf["first_docid"], pdf["docid_deltas"], pdf["freqs"],
+                    pdf["norm_bytes"], pdf["positions"],
+                ):
+                    d = fd + np.cumsum(np.asarray(deltas, dtype=np.int64))
+                    out_doc.append(d)
+                    out_freq.append(np.asarray(freqs, dtype=np.int64))
+                    out_norm.append(np.asarray(norms, dtype=np.int64))
+                    out_pos.extend([np.asarray(p, dtype=np.int64) for p in poss])
+                yield pd.DataFrame(
+                    {
+                        "docid": np.concatenate(out_doc),
+                        "freq": np.concatenate(out_freq),
+                        "norm_byte": np.concatenate(out_norm),
+                        "positions": out_pos,
+                    }
+                )
+
+        cols = blocks.select("first_docid", "docid_deltas", "freqs", "norm_bytes", "positions")
+        return cols.mapInPandas(
+            decode, schema="docid long, freq long, norm_byte int, positions array<int>"
+        )
+
+    # ---------------- per-query-type scoring ----------------------------- #
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    def _score_term(self, q: TermQuery, stats: dict[str, TermStat]) -> DataFrame:
+        st = stats.get(q.term)
+        if st is None:
+            return self._empty()
+        blocks = self.postings.filter(F.col("term") == q.term)
+        scored = self._decode_score(blocks, st.idf)
+        if q.boost != 1.0:
+            scored = scored.withColumn(
+                "score",
+                (F.col("score").cast("float") * F.lit(float(np.float32(q.boost))).cast("float"))
+                .cast("float").cast("double"),
+            )
+        return scored
+
+    def _expand_terms(self, q: Query) -> DataFrame:
+        """Term-dictionary scan for MultiTermQuery shapes — returns a
+        DataFrame of matching terms (never collected: scales to huge
+        vocabularies; the constant-score path semi-joins it)."""
+        t = F.col("term")
+        if isinstance(q, PrefixQuery):
+            cond = t.startswith(q.prefix)
+        elif isinstance(q, WildcardQuery):
+            cond = t.rlike("^" + fnmatch.translate(q.pattern).replace("(?s:", "(?:"))
+        elif isinstance(q, RegexpQuery):
+            cond = t.rlike(f"^(?:{q.pattern})$")
+        elif isinstance(q, FuzzyQuery):
+            cond = F.levenshtein(t, F.lit(q.term)) <= q.max_edits
+            if q.prefix_length:
+                cond = cond & t.startswith(q.term[: q.prefix_length])
+            cond = cond & (
+                F.abs(F.length(t) - F.lit(len(q.term))) <= q.max_edits
+            )
+        elif isinstance(q, TermRangeQuery):
+            cond = F.lit(True)
+            if q.lower is not None:
+                cond = cond & (t >= q.lower if q.include_lower else t > q.lower)
+            if q.upper is not None:
+                cond = cond & (t <= q.upper if q.include_upper else t < q.upper)
+        else:
+            raise TypeError(q)
+        return self.termstats.filter(cond).select("term")
+
+    def _score_multiterm(self, q: Query) -> DataFrame:
+        """CONSTANT_SCORE_AUTO rewrite (MultiTermQuery.cs:95): matching docs
+        get constant score boost. Distributed end-to-end: expanded terms are
+        semi-joined against postings (broadcast — the term list is small
+        relative to postings), docids decoded, deduplicated."""
+        terms = self._expand_terms(q)
+        blocks = self.postings.join(F.broadcast(terms), "term", "left_semi")
+
+        def decode_docs(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ds = [
+                    fd + np.cumsum(np.asarray(deltas, dtype=np.int64))
+                    for fd, deltas in zip(pdf["first_docid"], pdf["docid_deltas"])
+                ]
+                yield pd.DataFrame({"docid": np.unique(np.concatenate(ds))})
+
+        docs = (
+            blocks.select("first_docid", "docid_deltas")
+            .mapInPandas(decode_docs, schema="docid long")
+            .distinct()
+        )
+        boost = float(np.float32(getattr(q, "boost", 1.0)))
+        return docs.withColumn("score", F.lit(boost).cast("double"))
+
+    def _score_phrase(self, q: PhraseQuery, stats: dict[str, TermStat]) -> DataFrame:
+        """ExactPhraseScorer / SloppyPhraseScorer (ExactPhraseScorer.cs:26-99)
+        as a join of positional postings + a vectorized position-intersection
+        kernel; scored like a pseudo-term with freq = phrase occurrences and
+        idf = sum of constituent idfs."""
+        if any(t not in stats for t in q.terms):
+            return self._empty()
+        idf_sum = np.float32(sum(float(stats[t].idf) for t in q.terms))
+        per_term = []
+        for i, t in enumerate(q.terms):
+            blocks = self.postings.filter(F.col("term") == t)
+            dec = self._decode_positions(blocks).select(
+                "docid",
+                F.col("positions").alias(f"pos_{i}"),
+                *([F.col("norm_byte")] if i == 0 else []),
+            )
+            per_term.append(dec)
+        joined = reduce(lambda a, b: a.join(b, "docid", "inner"), per_term)
+
+        nterms, slop = len(q.terms), q.slop
+        cache = self.cache
+        w = idf_sum * (self.k1 + np.float32(1.0))
+        boost = np.float32(q.boost)
+
+        def phrase_score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_doc, out_score = [], []
+                pos_cols = [pdf[f"pos_{i}"] for i in range(nterms)]
+                for r in range(len(pdf)):
+                    base = np.asarray(pos_cols[0].iloc[r], dtype=np.int64)
+                    if slop == 0:
+                        match = np.ones(len(base), dtype=bool)
+                        for i in range(1, nterms):
+                            match &= np.isin(
+                                base + i, np.asarray(pos_cols[i].iloc[r], dtype=np.int64)
+                            )
+                        freq = int(match.sum())
+                    else:
+                        freq = 0
+                        others = [
+                            np.asarray(pos_cols[i].iloc[r], dtype=np.int64)
+                            for i in range(1, nterms)
+                        ]
+                        for p0 in base:
+                            if all(
+                                np.any(np.abs(o - i - p0) <= slop)
+                                for i, o in enumerate(others, 1)
+                            ):
+                                freq += 1
+                    if freq > 0:
+                        f = np.float32(freq)
+                        nb = int(pdf["norm_byte"].iloc[r]) & 0xFF
+                        s = np.float32(boost * np.float32((w * f) / (f + cache[nb])))
+                        out_doc.append(int(pdf["docid"].iloc[r]))
+                        out_score.append(float(s))
+                yield pd.DataFrame({"docid": pd.Series(out_doc, dtype="int64"),
+                                    "score": pd.Series(out_score, dtype="float64")})
+
+        return joined.mapInPandas(phrase_score, schema=_EMPTY_SCHEMA)
+
+    # ---------------- boolean composition -------------------------------- #
+    def _score(self, q: Query, stats: dict[str, TermStat]) -> DataFrame:
+        if isinstance(q, TermQuery):
+            return self._score_term(q, stats)
+        if isinstance(q, PhraseQuery):
+            return self._score_phrase(q, stats)
+        if isinstance(q, MatchAllDocsQuery):
+            return self.docmap.select(
+                "docid", F.lit(float(np.float32(q.boost))).cast("double").alias("score")
+            )
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._score(q.query, stats)
+            return inner.select(
+                "docid", F.lit(float(np.float32(q.boost))).cast("double").alias("score")
+            )
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)):
+            return self._score_multiterm(q)
+        if isinstance(q, DisjunctionMaxQuery):
+            scored = [
+                self._score(d, stats).withColumn("clause", F.lit(i))
+                for i, d in enumerate(q.disjuncts)
+            ]
+            u = reduce(lambda a, b: a.unionAll(b), scored)
+            tie = float(q.tie_breaker)
+            return u.groupBy("docid").agg(
+                (F.max("score") + F.lit(tie) * (F.sum("score") - F.max("score"))).alias("score")
+            )
+        if isinstance(q, BooleanQuery):
+            return self._score_boolean(q, stats)
+        raise TypeError(f"unsupported query: {q!r}")
+
+    def _score_boolean(self, q: BooleanQuery, stats: dict[str, TermStat]) -> DataFrame:
+        must, should, must_not = q.parts()
+        msm = q.minimum_should_match
+
+        must_df = None
+        if must:
+            dfs = [
+                self._score(m, stats).withColumnRenamed("score", f"ms_{i}")
+                for i, m in enumerate(must)
+            ]
+            # rarest-first join order = the cost-sorted leapfrog
+            # (ConjunctionScorer.cs:40-60); Catalyst/AQE then picks the
+            # physical join strategy per side size
+            must_df = reduce(lambda a, b: a.join(b, "docid", "inner"), dfs)
+            must_sum = reduce(
+                lambda a, b: a + b, [F.col(f"ms_{i}") for i in range(len(must))]
+            )
+            must_df = must_df.select("docid", must_sum.alias("must_score"))
+
+        should_df = None
+        if should:
+            scored = [
+                self._score(s, stats).withColumn("clause", F.lit(i))
+                for i, s in enumerate(should)
+            ]
+            u = reduce(lambda a, b: a.unionAll(b), scored)
+            should_df = u.groupBy("docid").agg(
+                F.sum("score").alias("should_score"),
+                F.count_distinct("clause").alias("should_cnt"),
+            )
+            if msm > 0:
+                should_df = should_df.filter(F.col("should_cnt") >= msm)
+
+        if must_df is not None and should_df is not None:
+            # ReqOptSumScorer: required drives, optional adds when aligned;
+            # with msm>0 the optional side becomes required-count-filtered
+            join_type = "inner" if msm > 0 else "left_outer"
+            res = must_df.join(should_df, "docid", join_type).select(
+                "docid",
+                (F.col("must_score") + F.coalesce(F.col("should_score"), F.lit(0.0))).alias(
+                    "score"
+                ),
+            )
+        elif must_df is not None:
+            res = must_df.withColumnRenamed("must_score", "score")
+        elif should_df is not None:
+            res = should_df.select("docid", F.col("should_score").alias("score"))
+        else:
+            return self._empty()
+
+        for mn in must_not:
+            excl = self._score(mn, stats).select("docid")
+            res = res.join(excl, "docid", "left_anti")  # ReqExclScorer
+        return res
+
+    # ---------------- public API ----------------------------------------- #
+    def score_df(self, q: Query) -> DataFrame:
+        """Full scored match set as (docid, score float32-in-float column)."""
+        q = rewrite(q)
+        terms: set[str] = set()
+        _collect_terms(q, terms)
+        stats = self.term_stats(sorted(terms))
+        scored = self._score(q, stats)
+        return scored.select("docid", F.col("score").cast("float").alias("score"))
+
+    def search(self, q: Query, k: int = 10) -> DataFrame:
+        """Top-k: (docid, score, rank). Tie-break score desc then docid asc
+        (HitQueue.cs:77-87) via distributed TakeOrderedAndProject."""
+        scored = self.score_df(q)
+        top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        from pyspark.sql import Window
+
+        return top.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("docid"))
+            ),
+        )
+
+    def search_after(self, q: Query, after_score: float, after_docid: int, k: int = 10) -> DataFrame:
+        """Pagination cursor (IndexSearcher.cs:236-254 SearchAfter)."""
+        s = np.float32(after_score)
+        scored = self.score_df(q)
+        nxt = scored.filter(
+            (F.col("score") < float(s))
+            | ((F.col("score") == float(s)) & (F.col("docid") > after_docid))
+        )
+        return nxt.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    def count(self, q: Query) -> int:
+        """TotalHitCountCollector.cs analogue."""
+        return self.score_df(q).count()
+
+    def fetch(self, topk: DataFrame) -> DataFrame:
+        """Join stored fields back for the (tiny) top-k result — the
+        stored-fields fetch; the source table is the store (SURVEY.md §1.1)."""
+        return self.docmap.select("docid", "url").join(
+            F.broadcast(topk), "docid", "inner"
+        )
