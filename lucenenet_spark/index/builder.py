@@ -279,32 +279,40 @@ class IndexBuilder:
 
     # ------------------------------------------------------------------ #
     def _stage_postings(self) -> dict:
+        """THE global shuffle (SegmentMerger analogue). Partial posting rows
+        are range-repartitioned by (term, bucket) and merged by a STREAMING
+        group merge inside ``mapInPandas`` — one pandas/Arrow pipeline per
+        merge task instead of one per (term, bucket) group, so millions of
+        small terms cost no per-group overhead, while hot (stopword) terms
+        are still split across ``bucket`` salt values. Because the range
+        partitioning clusters terms, the output files are term-sorted as a
+        side effect: Parquet footer min/max on ``term`` become the term-
+        dictionary seek index with NO extra shuffle at write time."""
         cfg = self.config
         stats = self.storage.read_stage(self.spark, "stats").collect()[0]
         avgdl = np.float32(stats["avgdl"])
         cache = BM25(cfg.k1, cfg.b).norm_cache(avgdl)
         block_size = cfg.block_size
+        index_positions = cfg.index_positions
 
-        def merge_partials(key, pdf: pd.DataFrame):
-            term, bucket = key
-            pdf = pdf.sort_values(["pid", "seg"])
-            docids = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["docids"]])
-            freqs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["freqs"]])
-            norms = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["norm_bytes"]])
-            if cfg.index_positions:
+        def emit_group(term, bucket, rows) -> pd.DataFrame:
+            docids = np.concatenate([r[0] for r in rows])
+            freqs = np.concatenate([r[1] for r in rows])
+            norms = np.concatenate([r[2] for r in rows])
+            if index_positions:
                 positions: list = []
-                for plist in pdf["positions"]:
-                    positions.extend(plist)
+                for r in rows:
+                    positions.extend(r[3])
             n = len(docids)
-            # upper-bound factor tf/(tf + cache[norm]) per entry — multiplied
-            # by idf*(k1+1) at query time this is the exact block-max score
             f32 = freqs.astype(np.float32)
+            # upper-bound factor tf/(tf + cache[norm]) per entry — times
+            # idf*(k1+1) at query time this is the exact block-max score
             ub = f32 / (f32 + cache[norms & 0xFF])
-            rows = []
+            out = []
             for b0 in range(0, n, block_size):
                 b1 = min(b0 + block_size, n)
                 d = docids[b0:b1]
-                rows.append(
+                out.append(
                     {
                         "term": term,
                         "bucket": int(bucket),
@@ -315,13 +323,41 @@ class IndexBuilder:
                         "docid_deltas": np.diff(d, prepend=d[0]).astype(np.int64),
                         "freqs": freqs[b0:b1].astype(np.int32),
                         "norm_bytes": norms[b0:b1].astype(np.int32),
-                        "positions": positions[b0:b1] if cfg.index_positions else None,
+                        "positions": positions[b0:b1] if index_positions else None,
                         "block_max_tf": int(freqs[b0:b1].max()),
                         "block_ttf": int(freqs[b0:b1].sum()),
                         "block_max_ub": np.float32(ub[b0:b1].max()),
                     }
                 )
-            return pd.DataFrame(rows)
+            return pd.DataFrame(out)
+
+        def merge_stream(batches):
+            """Rows arrive sorted by (term, bucket, pid, seg); groups may
+            span Arrow batches — buffer the trailing open group."""
+            cur_key = None
+            cur_rows: list = []
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                terms = pdf["term"].values
+                buckets = pdf["bucket"].values
+                for i in range(len(pdf)):
+                    key = (terms[i], int(buckets[i]))
+                    if key != cur_key:
+                        if cur_rows:
+                            yield emit_group(cur_key[0], cur_key[1], cur_rows)
+                        cur_key = key
+                        cur_rows = []
+                    cur_rows.append(
+                        (
+                            np.asarray(pdf["docids"].iloc[i], dtype=np.int64),
+                            np.asarray(pdf["freqs"].iloc[i], dtype=np.int64),
+                            np.asarray(pdf["norm_bytes"].iloc[i], dtype=np.int64),
+                            pdf["positions"].iloc[i] if index_positions else None,
+                        )
+                    )
+            if cur_rows:
+                yield emit_group(cur_key[0], cur_key[1], cur_rows)
 
         partials = (
             self.storage.read_stage(self.spark, "partials")
@@ -329,14 +365,15 @@ class IndexBuilder:
             .select("term", "pid", "seg", "docids", "freqs", "norm_bytes", "positions")
             .withColumn("bucket", (F.col("pid") / F.lit(cfg.bucket_width)).cast("int"))
         )
-        postings = partials.groupBy("term", "bucket").applyInPandas(
-            merge_partials, schema=POSTINGS_SCHEMA
+        n_merge = cfg.merge_partitions or self.spark.conf.get(
+            "spark.sql.shuffle.partitions"
         )
-        return self.storage.write_stage(
-            postings, "postings", cfg.fingerprint(),
-            range_partition_column="term",
-            sort_columns=["term", "bucket", "block_id"],
+        postings = (
+            partials.repartitionByRange(int(n_merge), "term", "bucket")
+            .sortWithinPartitions("term", "bucket", "pid", "seg")
+            .mapInPandas(merge_stream, schema=POSTINGS_SCHEMA)
         )
+        return self.storage.write_stage(postings, "postings", cfg.fingerprint())
 
     # ------------------------------------------------------------------ #
     def _stage_termstats(self) -> dict:

@@ -40,6 +40,8 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
     max_token_length: int = 255
+    # merge-stage task count; None -> spark.sql.shuffle.partitions
+    merge_partitions: int | None = None
 
     def fingerprint(self) -> str:
         """Stable hash of the config — stamped into every stage's commit
