@@ -62,13 +62,13 @@ PARTIALS_SCHEMA = (
     "row_type string, pid int, seg int, "
     "docid long, url string, doclen int, norm_byte int, text_bytes long, "
     "term string, docids array<long>, freqs array<int>, "
-    "norm_bytes array<int>, positions array<array<int>>"
+    "norm_bytes array<int>, doclens array<int>, positions array<array<int>>"
 )
 
 POSTINGS_SCHEMA = (
     "term string, bucket int, block_id long, first_docid long, last_docid long, "
     "entry_count int, docid_deltas array<long>, freqs array<int>, "
-    "norm_bytes array<int>, positions array<array<int>>, "
+    "norm_bytes array<int>, doclens array<int>, positions array<array<int>>, "
     "block_max_tf int, block_ttf long, block_max_ub float"
 )
 
@@ -93,9 +93,14 @@ class IndexBuilder:
         self.spark = spark
         self.storage = storage
         self.config = config or IndexConfig()
-        self.analyzer = analyzer or StandardAnalyzer(
-            max_token_length=self.config.max_token_length
-        )
+        if analyzer is None:
+            from ..analysis.analyzer import ENGLISH_STOP_WORDS
+
+            analyzer = StandardAnalyzer(
+                stop_words=ENGLISH_STOP_WORDS if self.config.stop_filter else frozenset(),
+                max_token_length=self.config.max_token_length,
+            )
+        self.analyzer = analyzer
 
     # ------------------------------------------------------------------ #
     def build(self, pages: DataFrame, overwrite: bool = False) -> dict:
@@ -113,7 +118,8 @@ class IndexBuilder:
             meta = fn()
             summary["stages"][stage] = meta
 
-        run("docoffsets", lambda: self._stage_docoffsets(pages))
+        if not self.config.external_docids:
+            run("docoffsets", lambda: self._stage_docoffsets(pages))
         run("partials", lambda: self._stage_partials(pages))
         run("docmap", self._stage_docmap)
         run("stats", self._stage_stats)
@@ -155,32 +161,33 @@ class IndexBuilder:
         row_type for pruned reads."""
         cfg = self.config
         analyzer = self.analyzer
-        offsets = self._offsets()
+        external = cfg.external_docids
+        offsets = None if external else self._offsets()
 
         def build_partials(batches):
             state_pid = None
             next_docid = 0
             seg = 0
-            seg_docid_base = 0
             # per-seg accumulators (flat numpy-friendly lists)
             acc_terms: list[np.ndarray] = []
             acc_docs: list[np.ndarray] = []
             acc_pos: list[np.ndarray] = []
             acc_norm: list[np.ndarray] = []
+            acc_len: list[np.ndarray] = []
             docs_in_seg = 0
 
             def flush_seg():
-                nonlocal seg, acc_terms, acc_docs, acc_pos, acc_norm, docs_in_seg, seg_docid_base
+                nonlocal seg, acc_terms, acc_docs, acc_pos, acc_norm, acc_len, docs_in_seg
                 if docs_in_seg == 0:
                     return None
                 t = np.concatenate(acc_terms) if acc_terms else np.array([], dtype=object)
                 d = np.concatenate(acc_docs) if acc_docs else np.array([], dtype=np.int64)
                 p = np.concatenate(acc_pos) if acc_pos else np.array([], dtype=np.int64)
                 nb = np.concatenate(acc_norm) if acc_norm else np.array([], dtype=np.int64)
-                out = _invert(t, d, p, nb, state_pid, seg, cfg.index_positions)
+                dl = np.concatenate(acc_len) if acc_len else np.array([], dtype=np.int64)
+                out = _invert(t, d, p, nb, dl, state_pid, seg, cfg.index_positions)
                 seg += 1
-                seg_docid_base = next_docid
-                acc_terms, acc_docs, acc_pos, acc_norm = [], [], [], []
+                acc_terms, acc_docs, acc_pos, acc_norm, acc_len = [], [], [], [], []
                 docs_in_seg = 0
                 return out
 
@@ -190,14 +197,17 @@ class IndexBuilder:
                 pid = int(pdf["pid"].iloc[0])
                 if state_pid is None:
                     state_pid = pid
-                    next_docid = offsets[pid]
-                    seg_docid_base = next_docid
+                    if not external:
+                        next_docid = offsets[pid]
                 texts = pdf["text"]
                 analyzed = texts.fillna("").map(analyzer.analyze)
                 lens = np.fromiter((len(a.tokens) for a in analyzed), dtype=np.int64, count=len(analyzed))
-                docids = np.arange(next_docid, next_docid + len(pdf), dtype=np.int64)
+                if external:
+                    docids = pdf["docid"].to_numpy(dtype=np.int64)
+                else:
+                    docids = np.arange(next_docid, next_docid + len(pdf), dtype=np.int64)
+                    next_docid += len(pdf)
                 norm_bytes = doclen_to_norm_byte_fast(lens).astype(np.int64)
-                next_docid += len(pdf)
 
                 # doc rows
                 yield pd.DataFrame(
@@ -214,6 +224,7 @@ class IndexBuilder:
                         "docids": None,
                         "freqs": None,
                         "norm_bytes": None,
+                        "doclens": None,
                         "positions": None,
                     }
                 )
@@ -225,10 +236,12 @@ class IndexBuilder:
                     flat_pos = np.concatenate([np.asarray(a.positions, dtype=np.int64) for a in analyzed if a.tokens])
                     flat_docs = np.repeat(docids, lens)
                     flat_norm = np.repeat(norm_bytes, lens)
+                    flat_len = np.repeat(lens, lens)
                     acc_terms.append(flat_terms)
                     acc_docs.append(flat_docs)
                     acc_pos.append(flat_pos)
                     acc_norm.append(flat_norm)
+                    acc_len.append(flat_len)
                 docs_in_seg += len(pdf)
                 if docs_in_seg >= cfg.flush_docs:
                     out = flush_seg()
@@ -239,12 +252,23 @@ class IndexBuilder:
                 yield out
 
         P = cfg.num_partitions
-        prepared = (
-            pages.select("url", "text")
-            .repartition(P, "url")
-            .sortWithinPartitions("url")
-            .withColumn("pid", F.spark_partition_id())
-        )
+        if external:
+            # caller-assigned docids: range partitioning keeps each pid's
+            # docid range contiguous and pid order == docid order, so the
+            # (pid, seg)-ordered concatenation in the merge stays sorted
+            prepared = (
+                pages.select("url", "text", "docid")
+                .repartitionByRange(P, "docid")
+                .sortWithinPartitions("docid")
+                .withColumn("pid", F.spark_partition_id())
+            )
+        else:
+            prepared = (
+                pages.select("url", "text")
+                .repartition(P, "url")
+                .sortWithinPartitions("url")
+                .withColumn("pid", F.spark_partition_id())
+            )
         partials = prepared.mapInPandas(build_partials, schema=PARTIALS_SCHEMA)
         return self.storage.write_stage(
             partials, "partials", cfg.fingerprint(), partition_by=["row_type"]
@@ -299,10 +323,11 @@ class IndexBuilder:
             docids = np.concatenate([r[0] for r in rows])
             freqs = np.concatenate([r[1] for r in rows])
             norms = np.concatenate([r[2] for r in rows])
+            dlens = np.concatenate([r[3] for r in rows])
             if index_positions:
                 positions: list = []
                 for r in rows:
-                    positions.extend(r[3])
+                    positions.extend(r[4])
             n = len(docids)
             f32 = freqs.astype(np.float32)
             # upper-bound factor tf/(tf + cache[norm]) per entry — times
@@ -323,6 +348,7 @@ class IndexBuilder:
                         "docid_deltas": np.diff(d, prepend=d[0]).astype(np.int64),
                         "freqs": freqs[b0:b1].astype(np.int32),
                         "norm_bytes": norms[b0:b1].astype(np.int32),
+                        "doclens": dlens[b0:b1].astype(np.int32),
                         "positions": positions[b0:b1] if index_positions else None,
                         "block_max_tf": int(freqs[b0:b1].max()),
                         "block_ttf": int(freqs[b0:b1].sum()),
@@ -353,6 +379,7 @@ class IndexBuilder:
                             np.asarray(pdf["docids"].iloc[i], dtype=np.int64),
                             np.asarray(pdf["freqs"].iloc[i], dtype=np.int64),
                             np.asarray(pdf["norm_bytes"].iloc[i], dtype=np.int64),
+                            np.asarray(pdf["doclens"].iloc[i], dtype=np.int64),
                             pdf["positions"].iloc[i] if index_positions else None,
                         )
                     )
@@ -362,7 +389,7 @@ class IndexBuilder:
         partials = (
             self.storage.read_stage(self.spark, "partials")
             .filter(F.col("row_type") == "p")
-            .select("term", "pid", "seg", "docids", "freqs", "norm_bytes", "positions")
+            .select("term", "pid", "seg", "docids", "freqs", "norm_bytes", "doclens", "positions")
             .withColumn("bucket", (F.col("pid") / F.lit(cfg.bucket_width)).cast("int"))
         )
         n_merge = cfg.merge_partitions or self.spark.conf.get(
@@ -435,6 +462,7 @@ def _invert(
     docs: np.ndarray,
     pos: np.ndarray,
     norms: np.ndarray,
+    dlens: np.ndarray,
     pid: int,
     seg: int,
     index_positions: bool,
@@ -449,6 +477,7 @@ def _invert(
     d = docs[order]
     p = pos[order]
     nb = norms[order]
+    dl = dlens[order]
 
     # boundaries of (term, doc) runs -> postings entries
     entry_change = np.empty(len(t), dtype=bool)
@@ -463,6 +492,7 @@ def _invert(
     entry_freqs = (entry_ends - entry_starts).astype(np.int64)
     entry_docs = d[entry_starts]
     entry_norms = nb[entry_starts]
+    entry_dlens = dl[entry_starts]
     entry_terms = t[entry_starts]
 
     # boundaries of term runs over the entries
@@ -485,6 +515,7 @@ def _invert(
         "docids": [entry_docs[s:e] for s, e in zip(term_starts, term_ends)],
         "freqs": [entry_freqs[s:e].astype(np.int32) for s, e in zip(term_starts, term_ends)],
         "norm_bytes": [entry_norms[s:e].astype(np.int32) for s, e in zip(term_starts, term_ends)],
+        "doclens": [entry_dlens[s:e].astype(np.int32) for s, e in zip(term_starts, term_ends)],
     }
     if index_positions:
         pos_splits = np.split(p, entry_starts[1:])

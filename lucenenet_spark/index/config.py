@@ -42,6 +42,16 @@ class IndexConfig:
     max_token_length: int = 255
     # merge-stage task count; None -> spark.sql.shuffle.partitions
     merge_partitions: int | None = None
+    # apply the reference's 33-word English StopFilter (StopAnalyzer.cs:52-58).
+    # False -> keyword-style chain (tokenize+lowercase only), used when the
+    # index must agree with an external SQL oracle that has no stop list.
+    stop_filter: bool = True
+    # docids supplied by the caller in a ``docid`` column of the input
+    # (pre-assigned, globally unique, order-meaningful) instead of the
+    # hash-partition + offset scheme. The build then range-partitions on
+    # docid so each partition owns a contiguous docid range — the same
+    # contiguity contract the merge relies on.
+    external_docids: bool = False
 
     def fingerprint(self) -> str:
         """Stable hash of the config — stamped into every stage's commit

@@ -88,7 +88,21 @@ class Searcher:
         k1: float = 1.2,
         b: float = 0.75,
         cache_tables: bool = True,
+        scoring: str = "lucene",
     ):
+        """``scoring``:
+
+        - ``"lucene"`` (default): float32 BM25 on quantized norm bytes —
+          rank-identical to the reference (SURVEY.md §4.4).
+        - ``"exact_int"``: double-precision BM25 on exact doc lengths,
+          scaled to integer micro-units ``floor(score*1e6 + 0.5)``. Every
+          arithmetic step is IEEE-754 double with a fixed op order, so an
+          external SQL engine (the DuckDB oracle) reproduces the integers
+          bit-for-bit and aggregation order can never flip a rank. Used by
+          the driver correctness gate (__spark_entry__.py).
+        """
+        if scoring not in ("lucene", "exact_int"):
+            raise ValueError(scoring)
         self.spark = spark
         storage = IndexStorage(index_dir)
         self.postings = storage.read_stage(spark, "postings")
@@ -96,14 +110,31 @@ class Searcher:
         self.docmap = storage.read_stage(spark, "docmap")
         srow = storage.read_stage(spark, "stats").collect()[0]
         self.maxdoc = int(srow["maxdoc"])
+        self.sum_ttf = int(srow["sum_ttf"])
         self.avgdl = np.float32(srow["avgdl"])
+        # double-precision avgdl for exact_int mode (no float32 rounding)
+        self.avgdl_exact = self.sum_ttf / float(self.maxdoc) if self.maxdoc else 1.0
         self.bm25 = BM25(k1, b)
         self.cache = self.bm25.norm_cache(self.avgdl)
         self.k1 = np.float32(k1)
+        self.k1d = float(k1)
+        self.bd = float(b)
+        self.scoring = scoring
+        # constant score for filter-ish queries (MatchAll/ConstantScore/
+        # MultiTerm): 1.0, or its micro-unit representation in exact_int
+        self.const_score = 1_000_000.0 if scoring == "exact_int" else 1.0
         if cache_tables:
             # posting-block metadata & stats are hot across queries
             self.postings = self.postings.cache()
             self.termstats = self.termstats.cache()
+
+    def _idf_exact(self, df: int) -> float:
+        """Reference idf formula in pure double (BM25Similarity.cs:67-70
+        without the final float32 cast) — glibc ``log`` on the driver, the
+        same libm DuckDB calls, so oracle idf is bit-identical."""
+        import math
+
+        return math.log(1.0 + (self.maxdoc - df + 0.5) / (df + 0.5))
 
     # ---------------- term statistics (Weight creation) ----------------- #
     def term_stats(self, terms: list[str]) -> dict[str, TermStat]:
@@ -121,13 +152,20 @@ class Searcher:
         }
 
     # ---------------- decode + score kernel ----------------------------- #
-    def _decode_score(self, blocks: DataFrame, idf: np.float32) -> DataFrame:
+    def _decode_score(self, blocks: DataFrame, st: TermStat) -> DataFrame:
         """Posting blocks -> (docid, score float64-holding-float32-value).
         The vectorized analogue of Lucene41PostingsReader.RefillDocs
         (Lucene41PostingsReader.cs:385-404) fused with BM25DocScorer.Score
-        (BM25Similarity.cs:259-264)."""
+        (BM25Similarity.cs:259-264). In exact_int mode the kernel computes
+        the double-precision BM25 on exact doclens and emits integer
+        micro-scores (see __init__ docstring); op order mirrors the SQL
+        oracle exactly: ((idf*(k1+1))*tf) / (tf + k1*((1-b) + (b*dl)/avgdl))."""
+        exact = self.scoring == "exact_int"
         cache = self.cache
-        w = np.float32(idf) * (self.k1 + np.float32(1.0))
+        w = np.float32(st.idf) * (self.k1 + np.float32(1.0))
+        w_exact = self._idf_exact(st.df) * (self.k1d + 1.0)
+        k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
+        one_minus_b = 1.0 - bd
 
         def decode(batches):
             for pdf in batches:
@@ -140,12 +178,25 @@ class Searcher:
                     docids.append(fd + d)
                 docids = np.concatenate(docids)
                 freqs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["freqs"]])
-                norms = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["norm_bytes"]])
-                f = freqs.astype(np.float32)
-                score = ((w * f) / (f + cache[norms & 0xFF])).astype(np.float32)
+                if exact:
+                    dls = np.concatenate(
+                        [np.asarray(x, dtype=np.int64) for x in pdf["doclens"]]
+                    ).astype(np.float64)
+                    f = freqs.astype(np.float64)
+                    denom = f + k1d * (one_minus_b + (bd * dls) / avgdl_exact)
+                    s = (w_exact * f) / denom
+                    score = np.floor(s * 1e6 + 0.5)
+                else:
+                    norms = np.concatenate(
+                        [np.asarray(x, dtype=np.int64) for x in pdf["norm_bytes"]]
+                    )
+                    f = freqs.astype(np.float32)
+                    score = ((w * f) / (f + cache[norms & 0xFF])).astype(np.float32)
                 yield pd.DataFrame({"docid": docids, "score": score.astype(np.float64)})
 
-        cols = blocks.select("first_docid", "docid_deltas", "freqs", "norm_bytes")
+        cols = blocks.select(
+            "first_docid", "docid_deltas", "freqs", "doclens" if exact else "norm_bytes"
+        )
         return cols.mapInPandas(decode, schema=_EMPTY_SCHEMA)
 
     def _decode_positions(self, blocks: DataFrame) -> DataFrame:
@@ -155,28 +206,33 @@ class Searcher:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                out_doc, out_freq, out_norm, out_pos = [], [], [], []
-                for fd, deltas, freqs, norms, poss in zip(
+                out_doc, out_freq, out_norm, out_dl, out_pos = [], [], [], [], []
+                for fd, deltas, freqs, norms, dls, poss in zip(
                     pdf["first_docid"], pdf["docid_deltas"], pdf["freqs"],
-                    pdf["norm_bytes"], pdf["positions"],
+                    pdf["norm_bytes"], pdf["doclens"], pdf["positions"],
                 ):
                     d = fd + np.cumsum(np.asarray(deltas, dtype=np.int64))
                     out_doc.append(d)
                     out_freq.append(np.asarray(freqs, dtype=np.int64))
                     out_norm.append(np.asarray(norms, dtype=np.int64))
+                    out_dl.append(np.asarray(dls, dtype=np.int64))
                     out_pos.extend([np.asarray(p, dtype=np.int64) for p in poss])
                 yield pd.DataFrame(
                     {
                         "docid": np.concatenate(out_doc),
                         "freq": np.concatenate(out_freq),
                         "norm_byte": np.concatenate(out_norm),
+                        "doclen": np.concatenate(out_dl),
                         "positions": out_pos,
                     }
                 )
 
-        cols = blocks.select("first_docid", "docid_deltas", "freqs", "norm_bytes", "positions")
+        cols = blocks.select(
+            "first_docid", "docid_deltas", "freqs", "norm_bytes", "doclens", "positions"
+        )
         return cols.mapInPandas(
-            decode, schema="docid long, freq long, norm_byte int, positions array<int>"
+            decode,
+            schema="docid long, freq long, norm_byte int, doclen int, positions array<int>",
         )
 
     # ---------------- per-query-type scoring ----------------------------- #
@@ -188,7 +244,7 @@ class Searcher:
         if st is None:
             return self._empty()
         blocks = self.postings.filter(F.col("term") == q.term)
-        scored = self._decode_score(blocks, st.idf)
+        scored = self._decode_score(blocks, st)
         if q.boost != 1.0:
             scored = scored.withColumn(
                 "score",
@@ -248,7 +304,7 @@ class Searcher:
             .mapInPandas(decode_docs, schema="docid long")
             .distinct()
         )
-        boost = float(np.float32(getattr(q, "boost", 1.0)))
+        boost = float(np.float32(getattr(q, "boost", 1.0))) * self.const_score
         return docs.withColumn("score", F.lit(boost).cast("double"))
 
     def _score_phrase(self, q: PhraseQuery, stats: dict[str, TermStat]) -> DataFrame:
@@ -265,7 +321,7 @@ class Searcher:
             dec = self._decode_positions(blocks).select(
                 "docid",
                 F.col("positions").alias(f"pos_{i}"),
-                *([F.col("norm_byte")] if i == 0 else []),
+                *([F.col("norm_byte"), F.col("doclen")] if i == 0 else []),
             )
             per_term.append(dec)
         joined = reduce(lambda a, b: a.join(b, "docid", "inner"), per_term)
@@ -274,6 +330,14 @@ class Searcher:
         cache = self.cache
         w = idf_sum * (self.k1 + np.float32(1.0))
         boost = np.float32(q.boost)
+        exact = self.scoring == "exact_int"
+        # exact mode: phrase idf = sum of constituent exact idfs in term order
+        idf_sum_exact = 0.0
+        for t in q.terms:
+            idf_sum_exact = idf_sum_exact + self._idf_exact(stats[t].df)
+        w_exact = idf_sum_exact * (self.k1d + 1.0)
+        k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
+        one_minus_b = 1.0 - bd
 
         def phrase_score(batches):
             for pdf in batches:
@@ -303,11 +367,17 @@ class Searcher:
                             ):
                                 freq += 1
                     if freq > 0:
-                        f = np.float32(freq)
-                        nb = int(pdf["norm_byte"].iloc[r]) & 0xFF
-                        s = np.float32(boost * np.float32((w * f) / (f + cache[nb])))
+                        if exact:
+                            fd = float(freq)
+                            dl = float(pdf["doclen"].iloc[r])
+                            denom = fd + k1d * (one_minus_b + (bd * dl) / avgdl_exact)
+                            s = float(np.floor((w_exact * fd) / denom * 1e6 + 0.5))
+                        else:
+                            f = np.float32(freq)
+                            nb = int(pdf["norm_byte"].iloc[r]) & 0xFF
+                            s = float(np.float32(boost * np.float32((w * f) / (f + cache[nb]))))
                         out_doc.append(int(pdf["docid"].iloc[r]))
-                        out_score.append(float(s))
+                        out_score.append(s)
                 yield pd.DataFrame({"docid": pd.Series(out_doc, dtype="int64"),
                                     "score": pd.Series(out_score, dtype="float64")})
 
@@ -321,12 +391,16 @@ class Searcher:
             return self._score_phrase(q, stats)
         if isinstance(q, MatchAllDocsQuery):
             return self.docmap.select(
-                "docid", F.lit(float(np.float32(q.boost))).cast("double").alias("score")
+                "docid",
+                F.lit(float(np.float32(q.boost)) * self.const_score)
+                .cast("double").alias("score"),
             )
         if isinstance(q, ConstantScoreQuery):
             inner = self._score(q.query, stats)
             return inner.select(
-                "docid", F.lit(float(np.float32(q.boost))).cast("double").alias("score")
+                "docid",
+                F.lit(float(np.float32(q.boost)) * self.const_score)
+                .cast("double").alias("score"),
             )
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)):
             return self._score_multiterm(q)
@@ -407,6 +481,10 @@ class Searcher:
         _collect_terms(q, terms)
         stats = self.term_stats(sorted(terms))
         scored = self._score(q, stats)
+        if self.scoring == "exact_int":
+            # integer micro-units: sums of exact small ints held in doubles
+            # are exact, so the final long cast is lossless
+            return scored.select("docid", F.col("score").cast("long").alias("score"))
         return scored.select("docid", F.col("score").cast("float").alias("score"))
 
     def search(self, q: Query, k: int = 10) -> DataFrame:
@@ -425,7 +503,7 @@ class Searcher:
 
     def search_after(self, q: Query, after_score: float, after_docid: int, k: int = 10) -> DataFrame:
         """Pagination cursor (IndexSearcher.cs:236-254 SearchAfter)."""
-        s = np.float32(after_score)
+        s = after_score if self.scoring == "exact_int" else np.float32(after_score)
         scored = self.score_df(q)
         nxt = scored.filter(
             (F.col("score") < float(s))
