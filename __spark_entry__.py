@@ -1,38 +1,984 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an implemented operator from SURVEY.md §2,
+run by the driver at sf=0.01 against the matching ``oracle_sql()`` DuckDB
+query (row-count + schema + order-insensitive value-hash).
+
+Determinism contract shared by the Spark path and the SQL oracle:
+
+- tokenization: lowercase, split on ``[^a-z0-9]+``, drop empties — one regex
+  with identical semantics in Python re, Java regex (Spark) and RE2 (DuckDB)
+  (see lucenenet_spark/analysis/analyzer.py).
+- BM25 scores are computed in IEEE-754 double with a FIXED op order
+  ``((idf*(k1+1))*tf) / (tf + k1*((1-b) + (b*dl)/avgdl))`` and scaled to
+  integer micro-units ``floor(score*1e6 + 0.5)`` — integers survive any
+  aggregation order and hash identically across engines (the float32
+  Lucene-rank-identity path is the engine default and is covered by the
+  golden tests in tests/; see Searcher(scoring=...) in query/engine.py).
+- cross-engine hashes are md5 (identical hex in Spark and DuckDB); all
+  ratio outputs are integer-scaled with ``floor(x*1e6 + 0.5)``.
+
+The full-text queries run against a REAL index built by
+lucenenet_spark.index.builder (mapInPandas inversion -> salted term-range
+merge shuffle -> block rows) over the ``documents`` table, with
+caller-supplied docids (= doc_id) so the oracle can name them.
 """
 
 from __future__ import annotations
 
+import hashlib
+import math
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lucenenet_spark.index.builder import build_index
+from lucenenet_spark.index.config import IndexConfig
+from lucenenet_spark.query.ast import (
+    BooleanQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from lucenenet_spark.query.engine import Searcher
+
+# --------------------------------------------------------------------------- #
+# index build + searcher cache (per sf_dir, resumable on disk)
+# --------------------------------------------------------------------------- #
+
+_INDEX_ROOT = "/tmp/lucenenet_spark_entry_index"
+_SEARCHERS: dict[str, Searcher] = {}
+
+_ENTRY_CONFIG = IndexConfig(
+    num_partitions=16,
+    stop_filter=False,       # oracle SQL has no stop list
+    external_docids=True,    # docid == documents.doc_id, nameable in SQL
+    index_positions=True,
+    flush_docs=20_000,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    key = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = os.path.join(_INDEX_ROOT, key)
+    pages = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"),
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        "text",
+    )
+    build_index(spark, pages, idx, _ENTRY_CONFIG)  # resumes if committed
+    s = Searcher(spark, idx, scoring="exact_int")
+    _SEARCHERS[key] = s
+    return s
+
+
+def _topk_df(s: Searcher, q, k: int = 10) -> DataFrame:
+    top = s.search(q, k)
+    return top.select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# shared tokenizer expressions (Spark SQL + DuckDB dialects, same semantics)
+# --------------------------------------------------------------------------- #
+
+_TOKS_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_TOKS_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# DuckDB CTE prefix shared by all full-text oracles
+_SQL_PREFIX = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
+"""
+
+
+def _term_ctes(terms: list[str]) -> str:
+    """Per-term tf + integer-micro-score CTEs t{i}/s{i}, op order mirroring
+    Searcher._decode_score exactly (see its docstring)."""
+    parts = []
+    for i, t in enumerate(terms):
+        parts.append(
+            f"t{i} AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok "
+            f"WHERE term = '{t}' GROUP BY doc_id)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT t.doc_id, CAST(floor("
+            f"(ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t{i}) + 0.5)"
+            f"/((SELECT count(*) FROM t{i}) + 0.5)) * 2.2 * t.tf)"
+            f" / (t.tf + 1.2*(0.25 + (0.75*d.dl)/(st.sum_ttf/st.maxdoc)))"
+            f" * 1000000.0 + 0.5) AS BIGINT) AS s "
+            f"FROM t{i} t JOIN dl d USING (doc_id) CROSS JOIN st)"
+        )
+    return ", " + ",\n".join(parts)
+
+
+_TOPK_TAIL = (
+    "SELECT doc_id, score, CAST(row_number() OVER "
+    "(ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank "
+    "FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"
+)
+
+
+# --------------------------------------------------------------------------- #
+# deterministic LSH hyperplanes (ann_lsh_bucket) — pure function of (j, d)
+# --------------------------------------------------------------------------- #
+
+_N_PLANES = 8
+_DIM = 64
+
+
+def _plane_weight(j: int, d: int) -> float:
+    h = int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:8], 16)
+    return (h % 2000001 - 1000000) / 1e6
+
+
+_PLANES = [[_plane_weight(j, d) for d in range(_DIM)] for j in range(_N_PLANES)]
+
+
+# --------------------------------------------------------------------------- #
+# query implementations
+# --------------------------------------------------------------------------- #
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 TermQuery over an index built end-to-end from
+    /root/testdata/sf0.001 (TermScorer analogue, TermScorer.cs:63-69)."""
+    return q_ft_term_topk(spark, "/root/testdata/sf0.001")
+
+
+# ---- full-text search operators (index-backed) ---------------------------- #
+
+
+def q_ft_term_topk(spark, sf_dir):
+    """TermQuery/TermScorer + TopScoreDocCollector (TermScorer.cs:63-69,
+    TopScoreDocCollector.cs:63-72): posting seek -> vectorized BM25 ->
+    distributed top-k with (score desc, docid asc) tie-break."""
+    return _topk_df(_searcher(spark, sf_dir), TermQuery("data"), 10)
+
+
+def q_ft_bool_and(spark, sf_dir):
+    """BooleanQuery MUST+MUST = ConjunctionScorer leapfrog as inner joins
+    (ConjunctionScorer.cs:69-117)."""
+    q = BooleanQuery.build(must=[TermQuery("table"), TermQuery("group")])
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
+def q_ft_bool_or(spark, sf_dir):
+    """DisjunctionSumScorer = unionAll + groupBy(docid).sum
+    (DisjunctionSumScorer.cs:26,50)."""
+    q = BooleanQuery.build(
+        should=[TermQuery("spark"), TermQuery("merge"), TermQuery("vector")]
+    )
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
+def q_ft_bool_not(spark, sf_dir):
+    """ReqExclScorer = left_anti join (ReqExclScorer.cs:29)."""
+    q = BooleanQuery.build(must=[TermQuery("table")], must_not=[TermQuery("window")])
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
+def q_ft_bool_msm(spark, sf_dir):
+    """MinShouldMatchSumScorer = union + count(clause) >= mm filter
+    (MinShouldMatchSumScorer.cs:38-107)."""
+    q = BooleanQuery.build(
+        should=[TermQuery("spark"), TermQuery("query"), TermQuery("merge")],
+        minimum_should_match=2,
+    )
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
+def q_ft_req_opt(spark, sf_dir):
+    """ReqOptSumScorer = left_outer join + coalesce (ReqOptSumScorer.cs:30)."""
+    q = BooleanQuery.build(must=[TermQuery("data")], should=[TermQuery("spark")])
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
+def q_ft_phrase(spark, sf_dir):
+    """ExactPhraseScorer: positional postings join + vectorized position
+    intersection (ExactPhraseScorer.cs:26-99)."""
+    return _topk_df(_searcher(spark, sf_dir), PhraseQuery(("part", "filter")), 10)
+
+
+def q_ft_prefix(spark, sf_dir):
+    """PrefixQuery via term-dictionary scan + CONSTANT_SCORE_AUTO rewrite
+    (PrefixQuery.cs:37, MultiTermQuery.cs:95)."""
+    s = _searcher(spark, sf_dir)
+    d = s.score_df(PrefixQuery("wi"))
+    return d.select(F.col("docid").alias("doc_id"), F.col("score").cast("long").alias("score")).orderBy("doc_id")
+
+
+def q_ft_wildcard(spark, sf_dir):
+    """WildcardQuery -> regex scan of the term dictionary (WildcardQuery.cs:46)."""
+    s = _searcher(spark, sf_dir)
+    d = s.score_df(WildcardQuery("s*k"))
+    return d.select(F.col("docid").alias("doc_id"), F.col("score").cast("long").alias("score")).orderBy("doc_id")
+
+
+def q_ft_fuzzy(spark, sf_dir):
+    """FuzzyQuery: levenshtein <= maxEdits against the term dictionary
+    (FuzzyQuery.cs:56-63)."""
+    s = _searcher(spark, sf_dir)
+    d = s.score_df(FuzzyQuery("querry", max_edits=1))
+    return d.select(F.col("docid").alias("doc_id"), F.col("score").cast("long").alias("score")).orderBy("doc_id")
+
+
+def q_ft_term_range(spark, sf_dir):
+    """TermRangeQuery: lexicographic dictionary range (TermRangeQuery.cs:45)."""
+    s = _searcher(spark, sf_dir)
+    d = s.score_df(TermRangeQuery("query", "sort"))
+    return d.select(F.col("docid").alias("doc_id"), F.col("score").cast("long").alias("score")).orderBy("doc_id")
+
+
+def q_ft_dismax(spark, sf_dir):
+    """DisjunctionMaxQuery: per-doc max over disjuncts
+    (DisjunctionMaxQuery.cs:59, tie_breaker=0)."""
+    q = DisjunctionMaxQuery((TermQuery("spark"), TermQuery("data")))
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
+def q_ft_match_all_count(spark, sf_dir):
+    """MatchAllDocsQuery + TotalHitCountCollector (MatchAllDocsQuery.cs:33)."""
+    s = _searcher(spark, sf_dir)
+    return s.score_df(MatchAllDocsQuery()).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def q_ft_total_hits(spark, sf_dir):
+    """TotalHitCountCollector over a disjunction (TotalHitCountCollector.cs)."""
+    s = _searcher(spark, sf_dir)
+    q = BooleanQuery.build(should=[TermQuery("query"), TermQuery("sort")])
+    return s.score_df(q).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def q_ft_search_after(spark, sf_dir):
+    """SearchAfter pagination: page 2 via the (score, docid) cursor of page 1
+    (IndexSearcher.cs:236-254)."""
+    s = _searcher(spark, sf_dir)
+    q = TermQuery("data")
+    page1 = s.search(q, 10).collect()
+    last = page1[-1]
+    nxt = s.search_after(q, int(last["score"]), int(last["docid"]), 10)
+    w = Window.orderBy(F.desc("score"), F.asc("docid"))
+    return nxt.withColumn("rank", F.row_number().over(w)).select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ft_facet_lang(spark, sf_dir):
+    """FacetsCollector analogue: counts of a category column over the match
+    set (FacetsCollector.cs:38) = matches groupBy(facet).count."""
+    s = _searcher(spark, sf_dir)
+    matches = s.score_df(TermQuery("data")).select(F.col("docid").alias("doc_id"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        matches.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("lang")
+    )
+
+
+def q_ft_group_top_source(spark, sf_dir):
+    """Grouping module: top-1 hit per group = Window.partitionBy(group)
+    .orderBy(score desc) + row_number (GroupingSearch.cs:36)."""
+    s = _searcher(spark, sf_dir)
+    scored = s.score_df(TermQuery("data")).select(F.col("docid").alias("doc_id"), "score")
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", F.col("score").cast("long").alias("score"))
+        .orderBy("source")
+    )
+
+
+def q_ft_term_dictionary(spark, sf_dir):
+    """The term dictionary itself (BlockTreeTermsWriter analogue): per-term
+    df + ttf from the merged postings — a whole-index integrity check."""
+    s = _searcher(spark, sf_dir)
+    return (
+        s.termstats.select(
+            "term", F.col("df").cast("long").alias("df"), F.col("ttf").cast("long").alias("ttf")
+        )
+        .orderBy("term")
+    )
+
+
+def q_ft_doc_norms(spark, sf_dir):
+    """Norms/docmap: exact field length per doc (NormsConsumerPerField
+    analogue; we keep exact doclen beside the quantized byte, SURVEY.md §1.1)."""
+    s = _searcher(spark, sf_dir)
+    return s.docmap.select(
+        F.col("docid").alias("doc_id"), F.col("doclen").cast("long").alias("doclen")
+    ).orderBy("doc_id")
+
+
+# ---- training-data pipeline operators (documents/embeddings) -------------- #
+
+
+def q_dd_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text) (scale path: one shuffle on
+    the hash key; identical hex in Spark and DuckDB)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"), F.min("doc_id").cast("long").alias("keep_doc"))
+        .orderBy("text_hash")
+    )
+
+
+def q_dd_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH near-dup candidates: 3-token shingles -> 8 md5-derived
+    min-hashes -> 4 bands of 2 -> band-bucket self-join. The banding join is
+    the scale path: candidate generation never compares all pairs."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(toks)-3, -1)), "
+                "i -> concat_ws(' ', slice(toks, i+1, 3)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    seeds = F.explode(F.expr(f"sequence(0, {_N_PLANES - 1})")).alias("j")
+    hashed = sh.select("doc_id", "sh", seeds).withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("j"), F.col("sh"))), 1, 8), 16, 10).cast("long"),
+    )
+    mh = hashed.groupBy("doc_id", "j").agg(F.min("h").alias("mh"))
+    # bands of 2 consecutive signature rows (key = j-ordered minhash concat)
+    bands = (
+        mh.withColumn("band", (F.col("j") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "_",
+                F.expr("transform(sort_array(collect_list(struct(j, mh))), s -> CAST(s.mh AS STRING))"),
+            ).alias("key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+        .orderBy("a", "b")
+    )
+    return pairs
+
+
+def q_dd_simhash(spark, sf_dir):
+    """SimHash document fingerprint: 32-bit md5-derived token hashes,
+    per-bit +/-1 vote over all token occurrences, sign -> bit."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    tok = d.select("doc_id", F.explode("toks").alias("t"))
+    tok = tok.withColumn(
+        "h", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    )
+    bits = tok.select(
+        "doc_id", "h", F.explode(F.expr("sequence(0, 31)")).alias("b")
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(shiftright(h, b) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1)),
+    )
+    per_bit = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
+            ).cast("long").alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_nd_jaccard(spark, sf_dir):
+    """N-gram (token-set) Jaccard near-dup within source groups — the
+    exact-verify stage that follows LSH candidate generation; blocked by
+    ``source`` so the self-join never goes quadratic in the corpus."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.array_sort(F.array_distinct(F.expr(_TOKS_SPARK))).alias("ts")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    j = (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.size(F.array_intersect("a.ts", "b.ts")).cast("double").alias("inter"),
+            F.size(F.array_union("a.ts", "b.ts")).cast("double").alias("uni"),
+        )
+        .withColumn("j_x1m", F.floor(F.col("inter") * 1000000.0 / F.col("uni") + 0.5).cast("long"))
+        .filter(F.col("j_x1m") >= 600000)
+        .select("a", "b", "j_x1m")
+        .orderBy("a", "b")
+    )
+    return j
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over embeddings (the ANN baseline): fold-
+    ordered dot product in Spark SQL higher-order functions (JVM, no Python
+    in the hot path); distributed TakeOrderedAndProject top-k."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    qv = [float(x) for x in qrow["embedding"]]
+    nq = 0.0
+    for x in qv:
+        nq = nq + x * x
+    qlit = F.array(*[F.lit(x) for x in qv])
+    d = emb.filter(F.col("vec_id") != 0).withColumn("qv", qlit)
+    d = d.withColumn(
+        "dot",
+        F.expr(
+            "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
+    ).withColumn(
+        "na",
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
+    )
+    d = d.withColumn(
+        "cos_x1m",
+        F.floor(F.col("dot") / (F.sqrt(F.col("na")) * F.lit(math.sqrt(nq))) * 1000000.0 + 0.5).cast("long"),
+    )
+    top = d.orderBy(F.desc("cos_x1m"), F.asc("vec_id")).limit(10)
+    w = Window.orderBy(F.desc("cos_x1m"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "vec_id", F.col("label").cast("long").alias("label"), "cos_x1m", "rank"
+    )
+
+
+def q_ann_lsh_bucket(spark, sf_dir):
+    """Random-hyperplane LSH bucketing — the ANN scale path: 8 deterministic
+    md5-seeded hyperplanes, sign bits -> bucket id; at scale, top-k runs
+    within (a few probes of) one bucket instead of the full corpus."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cols = []
+    for j in range(_N_PLANES):
+        plane = F.array(*[F.lit(w) for w in _PLANES[j]])
+        dot = F.expr(
+            f"aggregate(zip_with(embedding, plane_{j}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        emb = emb.withColumn(f"plane_{j}", plane)
+        cols.append(F.when(dot > 0.0, F.lit(1 << j)).otherwise(F.lit(0)))
+    bucket = cols[0]
+    for c in cols[1:]:
+        bucket = bucket + c
+    return emb.select("vec_id", bucket.cast("long").alias("bucket")).orderBy("vec_id")
+
+
+def q_txt_quality(spark, sf_dir):
+    """Quality scoring: token count, type count, type-token ratio and mean
+    token length (integer-scaled) — the doc-quality features of a training
+    data pipeline."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    d = d.filter(F.size("toks") > 0)
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
+        F.floor(
+            F.size(F.array_distinct("toks")).cast("double") * 1000000.0
+            / F.size("toks").cast("double") + 0.5
+        ).cast("long").alias("ttr_x1m"),
+        F.floor(
+            F.expr("aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))").cast("double")
+            * 1000000.0 / F.size("toks").cast("double") + 0.5
+        ).cast("long").alias("mean_len_x1m"),
+    ).orderBy("doc_id")
+
+
+def q_txt_token_count(spark, sf_dir):
+    """Corpus token statistics per source partition (the lineage counters of
+    a data pipeline)."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", F.expr(_TOKS_SPARK).alias("toks"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_txt_langid(spark, sf_dir):
+    """Language-ID heuristic: function-word hits per doc (n-gram/stopword
+    profile); deterministic marker lists."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    en = F.size(F.array_intersect("toks", F.array(F.lit("the"), F.lit("a"), F.lit("of"))))
+    hits = F.size(F.expr("filter(toks, x -> x IN ('the', 'a', 'of'))"))
+    return d.select(
+        "doc_id",
+        hits.cast("long").alias("en_hits"),
+        F.when(en > 0, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def q_txt_fingerprint(spark, sf_dir):
+    """Rolling polynomial document fingerprint: left fold of
+    (acc*31 + md5int(token) % 1000003) % 1000000007 over the token stream."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    fp = F.expr(
+        "aggregate(transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 1000003), "
+        "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
+    )
+    return d.select("doc_id", fp.alias("fp")).orderBy("doc_id")
+
+
+def q_mm_meta(spark, sf_dir):
+    """Multimodal column plumbing: opaque binary payload + typed metadata
+    (byte length, sha256) — the schema/partitioning layer under any
+    decode/feature-extract UDF."""
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").cast("binary").alias("blob"))
+    return d.select(
+        "doc_id",
+        F.length("blob").cast("long").alias("n_bytes"),
+        F.sha2("blob", 256).alias("sha"),
+    ).orderBy("doc_id")
+
+
+def q_mm_decode_stub(spark, sf_dir):
+    """Multimodal decode pipeline over mapInPandas: Arrow-batched binary
+    column -> (width, height, n_frames) features. The decoder itself is a
+    STUB (deterministic arithmetic on the byte length — image/audio libs are
+    not in this container); the Spark plumbing (schema, batching, UDF
+    signature) is the real production path."""
+    import pandas as pd  # noqa: PLC0415
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").cast("binary").alias("blob"))
+
+    def decode(batches):
+        for pdf in batches:
+            n = pdf["blob"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": 16 + (n % 97),
+                    "height": 16 + (n * 31 % 89),
+                    "n_frames": 1 + (n % 7),
+                }
+            )
+
+    return d.mapInPandas(
+        decode, schema="doc_id long, width long, height long, n_frames long"
+    ).orderBy("doc_id")
+
+
+# ---- relational module analogues (Join / faceting over other tables) ------ #
+
+
+def q_rel_join_customers(spark, sf_dir):
+    """Join module (JoinUtil.cs:29): query-time join on a key column —
+    top-10 customers by order count (broadcast the small dim side)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    agg = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    cust = customer.select("c_custkey", "c_name")
+    top = (
+        agg.join(F.broadcast(cust), agg["o_custkey"] == cust["c_custkey"])
+        .select(F.col("c_custkey").cast("long").alias("c_custkey"), "c_name", "n_orders")
+        .orderBy(F.desc("n_orders"), F.asc("c_custkey"))
+        .limit(10)
+    )
+    return top
+
+
+def q_rel_facet_events(spark, sf_dir):
+    """Faceting over the events table: counts + integer-cent value sums per
+    event_type (DrillDownQuery-style category rollup)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.withColumn("cents", F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# registry
+# --------------------------------------------------------------------------- #
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ft_term_topk": q_ft_term_topk,
+        "ft_bool_and": q_ft_bool_and,
+        "ft_bool_or": q_ft_bool_or,
+        "ft_bool_not": q_ft_bool_not,
+        "ft_bool_msm": q_ft_bool_msm,
+        "ft_req_opt": q_ft_req_opt,
+        "ft_phrase": q_ft_phrase,
+        "ft_prefix": q_ft_prefix,
+        "ft_wildcard": q_ft_wildcard,
+        "ft_fuzzy": q_ft_fuzzy,
+        "ft_term_range": q_ft_term_range,
+        "ft_dismax": q_ft_dismax,
+        "ft_match_all_count": q_ft_match_all_count,
+        "ft_total_hits": q_ft_total_hits,
+        "ft_search_after": q_ft_search_after,
+        "ft_facet_lang": q_ft_facet_lang,
+        "ft_group_top_source": q_ft_group_top_source,
+        "ft_term_dictionary": q_ft_term_dictionary,
+        "ft_doc_norms": q_ft_doc_norms,
+        "dd_exact": q_dd_exact,
+        "dd_minhash_lsh": q_dd_minhash_lsh,
+        "dd_simhash": q_dd_simhash,
+        "nd_jaccard": q_nd_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_bucket": q_ann_lsh_bucket,
+        "txt_quality": q_txt_quality,
+        "txt_token_count": q_txt_token_count,
+        "txt_langid": q_txt_langid,
+        "txt_fingerprint": q_txt_fingerprint,
+        "mm_meta": q_mm_meta,
+        "mm_decode_stub": q_mm_decode_stub,
+        "rel_join_customers": q_rel_join_customers,
+        "rel_facet_events": q_rel_facet_events,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------- #
+# oracle SQL (DuckDB dialect; same table views pre-registered by the driver)
+# --------------------------------------------------------------------------- #
+
+
+def _sum_scored(idxs: list[int]) -> str:
+    """OR-shape: union of per-term integer scores, sum per doc."""
+    unions = " UNION ALL ".join(f"SELECT doc_id, s FROM s{i}" for i in idxs)
+    return f"(SELECT doc_id, CAST(sum(s) AS BIGINT) AS score, count(*) AS n FROM ({unions}) GROUP BY doc_id)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["ft_term_topk"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + ", scored AS (SELECT doc_id, s AS score FROM s0) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    o["ft_bool_and"] = (
+        _SQL_PREFIX + _term_ctes(["table", "group"])
+        + ", scored AS (SELECT a.doc_id, CAST(a.s + b.s AS BIGINT) AS score "
+        "FROM s0 a JOIN s1 b USING (doc_id)) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    o["ft_bool_or"] = (
+        _SQL_PREFIX + _term_ctes(["spark", "merge", "vector"])
+        + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1, 2])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    o["ft_bool_not"] = (
+        _SQL_PREFIX + _term_ctes(["table", "window"])
+        + ", scored AS (SELECT doc_id, s AS score FROM s0 "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM t1)) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    o["ft_bool_msm"] = (
+        _SQL_PREFIX + _term_ctes(["spark", "query", "merge"])
+        + f", u AS (SELECT * FROM {_sum_scored([0, 1, 2])}), "
+        "scored AS (SELECT doc_id, score FROM u WHERE n >= 2) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    o["ft_req_opt"] = (
+        _SQL_PREFIX + _term_ctes(["data", "spark"])
+        + ", scored AS (SELECT a.doc_id, CAST(a.s + COALESCE(b.s, 0) AS BIGINT) AS score "
+        "FROM s0 a LEFT JOIN s1 b USING (doc_id)) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # phrase: position table via zipped unnest, freq = adjacent-position pairs
+    o["ft_phrase"] = (
+        _SQL_PREFIX + _term_ctes(["part", "filter"])
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+pf AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS pf
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'part' AND b.term = 'filter'
+  GROUP BY a.doc_id
+),
+idfs AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)/((SELECT count(*) FROM t1) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+scored AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    o["ft_prefix"] = (
+        _SQL_PREFIX
+        + "SELECT DISTINCT doc_id, CAST(1000000 AS BIGINT) AS score FROM tok "
+        "WHERE term LIKE 'wi%' ORDER BY doc_id"
+    )
+
+    o["ft_wildcard"] = (
+        _SQL_PREFIX
+        + "SELECT DISTINCT doc_id, CAST(1000000 AS BIGINT) AS score FROM tok "
+        "WHERE regexp_full_match(term, 's.*k') ORDER BY doc_id"
+    )
+
+    o["ft_fuzzy"] = (
+        _SQL_PREFIX
+        + "SELECT DISTINCT doc_id, CAST(1000000 AS BIGINT) AS score FROM tok "
+        "WHERE levenshtein(term, 'querry') <= 1 AND abs(length(term) - 6) <= 1 "
+        "ORDER BY doc_id"
+    )
+
+    o["ft_term_range"] = (
+        _SQL_PREFIX
+        + "SELECT DISTINCT doc_id, CAST(1000000 AS BIGINT) AS score FROM tok "
+        "WHERE term >= 'query' AND term <= 'sort' ORDER BY doc_id"
+    )
+
+    o["ft_dismax"] = (
+        _SQL_PREFIX + _term_ctes(["spark", "data"])
+        + ", u AS (SELECT doc_id, s FROM s0 UNION ALL SELECT doc_id, s FROM s1), "
+        "scored AS (SELECT doc_id, CAST(max(s) AS BIGINT) AS score FROM u GROUP BY doc_id) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    o["ft_match_all_count"] = "SELECT count(*)::BIGINT AS cnt FROM documents"
+
+    o["ft_total_hits"] = (
+        _SQL_PREFIX
+        + "SELECT count(DISTINCT doc_id)::BIGINT AS cnt FROM tok "
+        "WHERE term IN ('query', 'sort')"
+    )
+
+    o["ft_search_after"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + ", scored AS (SELECT doc_id, s AS score FROM s0), "
+        "ranked AS (SELECT doc_id, score, row_number() OVER "
+        "(ORDER BY score DESC, doc_id ASC) AS rk FROM scored) "
+        "SELECT doc_id, score, CAST(rk - 10 AS BIGINT) AS rank FROM ranked "
+        "WHERE rk BETWEEN 11 AND 20 ORDER BY rk"
+    )
+
+    o["ft_facet_lang"] = (
+        _SQL_PREFIX
+        + ", m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data') "
+        "SELECT d.lang, count(*)::BIGINT AS cnt FROM m JOIN documents d USING (doc_id) "
+        "GROUP BY d.lang ORDER BY d.lang"
+    )
+
+    o["ft_group_top_source"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + ", scored AS (SELECT s0.doc_id, s0.s AS score, d.source "
+        "FROM s0 JOIN documents d USING (doc_id)), "
+        "r AS (SELECT source, doc_id, score, row_number() OVER "
+        "(PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn FROM scored) "
+        "SELECT source, doc_id, score FROM r WHERE rn = 1 ORDER BY source"
+    )
+
+    o["ft_term_dictionary"] = (
+        _SQL_PREFIX
+        + "SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf "
+        "FROM tok GROUP BY term ORDER BY term"
+    )
+
+    o["ft_doc_norms"] = (
+        _SQL_PREFIX
+        + ", c AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS doclen "
+        "FROM documents d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id"
+    )
+
+    o["dd_exact"] = (
+        "SELECT md5(text) AS text_hash, count(*)::BIGINT AS cnt, "
+        "CAST(min(doc_id) AS BIGINT) AS keep_doc "
+        "FROM documents GROUP BY md5(text) ORDER BY text_hash"
+    )
+
+    o["dd_minhash_lsh"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+tokp AS (SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos FROM d),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS sh
+  FROM tokp a
+  JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+hs AS (
+  SELECT doc_id, j, min(CAST(concat('0x', substr(md5(j || ':' || sh), 1, 8)) AS BIGINT)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {_N_PLANES})) AS j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, CAST(j // 2 AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+  FROM hs GROUP BY doc_id, CAST(j // 2 AS INT)
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+ORDER BY a, b
+"""
+
+    o["dd_simhash"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+th AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h FROM tok),
+votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+    o["nd_jaccard"] = f"""
+WITH d AS (SELECT doc_id, source, list_sort(list_distinct({_TOKS_DUCK})) AS ts FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(floor(len(list_intersect(a.ts, b.ts))::DOUBLE * 1000000.0
+            / len(list_distinct(list_concat(a.ts, b.ts)))::DOUBLE + 0.5) AS BIGINT) AS j_x1m
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(floor(len(list_intersect(a.ts, b.ts))::DOUBLE * 1000000.0
+      / len(list_distinct(list_concat(a.ts, b.ts)))::DOUBLE + 0.5) AS BIGINT) >= 600000
+ORDER BY a, b
+"""
+
+    o["ann_cosine_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+nq AS (SELECT list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b) AS nq FROM q),
+s AS (
+  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         CAST(floor(
+           list_reduce(list_transform(range(1, len(e.embedding) + 1), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), (a, b) -> a + b)
+           / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (a, b) -> a + b))
+              * sqrt(nq.nq))
+           * 1000000.0 + 0.5) AS BIGINT) AS cos_x1m
+  FROM embeddings e CROSS JOIN q CROSS JOIN nq
+  WHERE e.vec_id != 0
+)
+SELECT vec_id, label, cos_x1m,
+       CAST(row_number() OVER (ORDER BY cos_x1m DESC, vec_id ASC) AS BIGINT) AS rank
+FROM s ORDER BY cos_x1m DESC, vec_id ASC LIMIT 10
+"""
+
+    plane_exprs = []
+    for j in range(_N_PLANES):
+        lit = "[" + ", ".join(repr(w) for w in _PLANES[j]) + "]"
+        plane_exprs.append(
+            f"CASE WHEN list_reduce(list_transform(range(1, {_DIM} + 1), "
+            f"i -> embedding[i]::DOUBLE * ({lit})[i]), (a, b) -> a + b) > 0.0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    o["ann_lsh_bucket"] = (
+        "SELECT vec_id, CAST(" + " + ".join(plane_exprs) + " AS BIGINT) AS bucket "
+        "FROM embeddings ORDER BY vec_id"
+    )
+
+    o["txt_quality"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       CAST(floor(len(list_distinct(toks))::DOUBLE * 1000000.0 / len(toks)::DOUBLE + 0.5) AS BIGINT) AS ttr_x1m,
+       CAST(floor(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b)::DOUBLE
+            * 1000000.0 / len(toks)::DOUBLE + 0.5) AS BIGINT) AS mean_len_x1m
+FROM d WHERE len(toks) > 0 ORDER BY doc_id
+"""
+
+    o["txt_token_count"] = f"""
+WITH d AS (SELECT doc_id, source, {_TOKS_DUCK} AS toks FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+FROM d GROUP BY source ORDER BY source
+"""
+
+    o["txt_langid"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS en_hits,
+       CASE WHEN len(list_filter(list_distinct(toks), x -> x IN ('the', 'a', 'of'))) > 0
+            THEN 'en' ELSE 'und' END AS pred_lang
+FROM d ORDER BY doc_id
+"""
+
+    o["txt_fingerprint"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+SELECT doc_id,
+       CAST(COALESCE(list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 1000003)),
+         (acc, x) -> (acc * 31 + x) % 1000000007), 0) AS BIGINT) AS fp
+FROM d ORDER BY doc_id
+"""
+
+    o["mm_meta"] = (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "sha256(text) AS sha FROM documents ORDER BY doc_id"
+    )
+
+    o["mm_decode_stub"] = (
+        "WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents) "
+        "SELECT doc_id, CAST(16 + (n % 97) AS BIGINT) AS width, "
+        "CAST(16 + (n * 31 % 89) AS BIGINT) AS height, "
+        "CAST(1 + (n % 7) AS BIGINT) AS n_frames FROM d ORDER BY doc_id"
+    )
+
+    o["rel_join_customers"] = (
+        "WITH a AS (SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders GROUP BY o_custkey) "
+        "SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name, a.n_orders "
+        "FROM a JOIN customer c ON a.o_custkey = c.c_custkey "
+        "ORDER BY a.n_orders DESC, c.c_custkey ASC LIMIT 10"
+    )
+
+    o["rel_facet_events"] = (
+        "SELECT event_type, count(*)::BIGINT AS n, "
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    )
+
+    return o
