@@ -1,0 +1,113 @@
+"""Benchmark harness: index-build throughput + query latencies.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1, "index_build_sec": ..., "index_docs_per_sec": ...,
+     "synth_build_docs_per_sec": ...}
+
+Two build measurements:
+- the sf documents table (what the correctness queries run on), and
+- a synthetic Common-Crawl-style ``pages`` corpus (SPARK_GRAFT_BENCH_SYNTH_DOCS,
+  default 50_000, seed 42) — the north-rule indexing path at a size where
+  per-doc cost, not fixed overhead, dominates. Used by scripts/scaling_bench.py
+  for the N-vs-4N-cores scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    synth_docs = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH_DOCS", "50000"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = 0.0
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from lucenenet_spark.index.builder import build_index
+    from lucenenet_spark.index.config import IndexConfig
+
+    out: dict = {"metric": "total_query_sec", "unit": "sec", "sf": sf, "cpus": cpus}
+
+    # ---- index build over the sf documents table (fresh, timed) ---------- #
+    key = sf_name or "default"
+    idx_dir = os.path.join(entrymod._INDEX_ROOT, key)
+    pages = entrymod._docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"),
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        "text",
+    )
+    n_docs = pages.count()
+    t0 = time.time()
+    build_index(spark, pages, idx_dir, entrymod._ENTRY_CONFIG, overwrite=True)
+    t_build = time.time() - t0
+    out["index_build_sec"] = round(t_build, 3)
+    out["index_docs_per_sec"] = round(n_docs / t_build, 1)
+    out["index_n_docs"] = n_docs
+
+    # ---- synthetic pages corpus build (north-rule path, bigger) ---------- #
+    if synth_docs > 0:
+        from lucenenet_spark.data.pages import pages_spark_df
+
+        cfg = IndexConfig(num_partitions=max(cpus, 16), flush_docs=50_000)
+        synth = pages_spark_df(spark, synth_docs, seed=42, num_partitions=max(cpus, 16))
+        synth = synth.persist()
+        m = synth.count()  # materialize input so build timing excludes synthesis
+        t0 = time.time()
+        build_index(spark, synth, "/tmp/lucenenet_spark_bench_synth", cfg, overwrite=True)
+        t_synth = time.time() - t0
+        out["synth_build_docs"] = m
+        out["synth_build_sec"] = round(t_synth, 3)
+        out["synth_build_docs_per_sec"] = round(m / t_synth, 1)
+        synth.unpersist()
+
+    # ---- query latencies -------------------------------------------------- #
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES") == "1":
+        out["queries"] = {}
+        out["value"] = out["synth_build_sec" if synth_docs > 0 else "index_build_sec"]
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    qs = entrymod.queries()
+    entrymod._searcher(spark, sf_dir)  # warm: open searcher, cache block metadata
+    times: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+    out["queries"] = times
+    out["value"] = round(sum(times.values()), 3)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,49 @@ def tokenize_series(texts: pd.Series, analyzer: StandardAnalyzer = _DEFAULT) -> 
     return texts.fillna("").map(analyzer.tokenize)
 
 
+def analyze_flat(
+    texts: pd.Series, analyzer: StandardAnalyzer = _DEFAULT
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized full chain over a batch, FLAT output (the shape the
+    inversion kernel wants):
+
+    returns ``(tokens, doc_idx, positions, doclens)`` where tokens/doc_idx/
+    positions are aligned flat arrays over all surviving tokens of the batch
+    (doc_idx = 0-based row index into ``texts``; positions = pre-stop-filter
+    token index within the doc, matching :meth:`StandardAnalyzer.analyze`)
+    and doclens[i] = post-stop token count of row i (0 for empty docs).
+
+    Semantics are identical to ``analyze()`` row-by-row (asserted by
+    tests/test_analyzer.py); the difference is that every per-token step —
+    explode, position numbering, stop/length filtering — runs inside
+    pandas/numpy C loops instead of per-row Python. This is the indexing
+    hot path (DocInverterPerField analogue, DocInverterPerField.cs:150-197).
+    """
+    n = len(texts)
+    s = texts.fillna("").str.lower()
+    s.index = pd.RangeIndex(n)
+    tok_lists = s.str.findall(_TOKEN_PATTERN)
+    flat = tok_lists.explode().dropna()
+    if len(flat) == 0:
+        empty_o = np.array([], dtype=object)
+        empty_i = np.array([], dtype=np.int64)
+        return empty_o, empty_i, empty_i, np.zeros(n, dtype=np.int64)
+    # 255-char cap first (tokenize() drops overlong tokens before numbering)
+    flat = flat[flat.str.len() <= analyzer.max_token_length]
+    doc_idx_all = flat.index.to_numpy(np.int64)
+    # pre-stop position = rank within doc after the cap filter
+    pos_all = flat.groupby(level=0).cumcount().to_numpy(np.int64)
+    keep = ~flat.isin(analyzer.stop_words).to_numpy()
+    tokens = flat.to_numpy(dtype=object)[keep]
+    doc_idx = doc_idx_all[keep]
+    positions = pos_all[keep]
+    doclens = np.zeros(n, dtype=np.int64)
+    if len(doc_idx):
+        uniq, cnt = np.unique(doc_idx, return_counts=True)
+        doclens[uniq] = cnt
+    return tokens, doc_idx, positions, doclens
+
+
 def analyze_series(
     texts: pd.Series, analyzer: StandardAnalyzer = _DEFAULT
 ) -> tuple[pd.Series, pd.Series, np.ndarray]:

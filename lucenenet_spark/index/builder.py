@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis import StandardAnalyzer
+from ..analysis.analyzer import analyze_flat
 from ..scoring.bm25 import BM25
 from ..scoring.smallfloat import doclen_to_norm_byte_fast
 from .config import IndexConfig
@@ -200,8 +201,7 @@ class IndexBuilder:
                     if not external:
                         next_docid = offsets[pid]
                 texts = pdf["text"]
-                analyzed = texts.fillna("").map(analyzer.analyze)
-                lens = np.fromiter((len(a.tokens) for a in analyzed), dtype=np.int64, count=len(analyzed))
+                flat_terms, flat_docidx, flat_pos, lens = analyze_flat(texts, analyzer)
                 if external:
                     docids = pdf["docid"].to_numpy(dtype=np.int64)
                 else:
@@ -230,18 +230,12 @@ class IndexBuilder:
                 )
 
                 # accumulate inversion input (flat arrays, no per-token Python)
-                n_tok = int(lens.sum())
-                if n_tok:
-                    flat_terms = np.concatenate([np.asarray(a.tokens, dtype=object) for a in analyzed if a.tokens])
-                    flat_pos = np.concatenate([np.asarray(a.positions, dtype=np.int64) for a in analyzed if a.tokens])
-                    flat_docs = np.repeat(docids, lens)
-                    flat_norm = np.repeat(norm_bytes, lens)
-                    flat_len = np.repeat(lens, lens)
+                if len(flat_terms):
                     acc_terms.append(flat_terms)
-                    acc_docs.append(flat_docs)
+                    acc_docs.append(docids[flat_docidx])
                     acc_pos.append(flat_pos)
-                    acc_norm.append(flat_norm)
-                    acc_len.append(flat_len)
+                    acc_norm.append(norm_bytes[flat_docidx])
+                    acc_len.append(lens[flat_docidx])
                 docs_in_seg += len(pdf)
                 if docs_in_seg >= cfg.flush_docs:
                     out = flush_seg()

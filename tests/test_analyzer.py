@@ -50,3 +50,28 @@ def test_analyze_series_vectorized():
 def test_unicode_tokens():
     a = StandardAnalyzer()
     assert a.tokenize("Köln Zürich 北京 data") == ["köln", "zürich", "北京", "data"]
+
+
+def test_analyze_flat_equivalent_to_analyze():
+    from lucenenet_spark.analysis.analyzer import analyze_flat
+    import numpy as np
+    import random
+
+    rng = random.Random(7)
+    vocab = ["the", "tiger", "of", "Data", "X" * 256, "forest", "a", "Köln", "42"]
+    texts = []
+    for _ in range(50):
+        n = rng.randint(0, 12)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    texts += [None, "", "   ", "the of and to"]
+    s = pd.Series(texts)
+    a = StandardAnalyzer()
+    tokens, doc_idx, positions, doclens = analyze_flat(s, a)
+    # reassemble per-doc and compare to the row-at-a-time reference chain
+    for i, t in enumerate(texts):
+        ref = a.analyze(t or "")
+        m = doc_idx == i
+        assert list(tokens[m]) == ref.tokens, f"doc {i}"
+        assert list(positions[m]) == ref.positions, f"doc {i}"
+        assert doclens[i] == len(ref.tokens)
+    assert doclens.sum() == len(tokens)
