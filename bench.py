@@ -78,6 +78,9 @@ def main() -> None:
         synth = pages_spark_df(spark, synth_docs, seed=42, num_partitions=max(cpus, 16))
         synth = synth.persist()
         m = synth.count()  # materialize input so build timing excludes synthesis
+        # build twice; time the warm run (first run pays one-time JVM codegen
+        # + Python-worker fork costs that a long-lived cluster amortizes away)
+        build_index(spark, synth, "/tmp/lucenenet_spark_bench_synth", cfg, overwrite=True)
         t0 = time.time()
         build_index(spark, synth, "/tmp/lucenenet_spark_bench_synth", cfg, overwrite=True)
         t_synth = time.time() - t0

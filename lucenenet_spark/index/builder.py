@@ -59,17 +59,21 @@ from ..scoring.smallfloat import doclen_to_norm_byte_fast
 from .config import IndexConfig
 from .storage import IndexStorage
 
+# positions are stored FLAT (concatenated across entries in entry order);
+# ``freqs`` doubles as the split lengths — freq == len(positions-of-entry) —
+# exactly the reason Lucene's .doc file can address the .pos file without a
+# per-entry length (Lucene41PostingsFormat.cs:88-100 file-layout rationale).
 PARTIALS_SCHEMA = (
     "row_type string, pid int, seg int, "
     "docid long, url string, doclen int, norm_byte int, text_bytes long, "
     "term string, docids array<long>, freqs array<int>, "
-    "norm_bytes array<int>, doclens array<int>, positions array<array<int>>"
+    "norm_bytes array<int>, doclens array<int>, positions array<int>"
 )
 
 POSTINGS_SCHEMA = (
     "term string, bucket int, block_id long, first_docid long, last_docid long, "
     "entry_count int, docid_deltas array<long>, freqs array<int>, "
-    "norm_bytes array<int>, doclens array<int>, positions array<array<int>>, "
+    "norm_bytes array<int>, doclens array<int>, positions array<int>, "
     "block_max_tf int, block_ttf long, block_max_ub float"
 )
 
@@ -116,7 +120,12 @@ class IndexBuilder:
             if self.storage.is_committed(stage, fp):
                 summary["stages"][stage] = {"skipped": True}
                 return
+            import time as _time
+
+            t0 = _time.time()
             meta = fn()
+            if isinstance(meta, dict):
+                meta["wall_sec"] = round(_time.time() - t0, 3)
             summary["stages"][stage] = meta
 
         if not self.config.external_docids:
@@ -313,72 +322,125 @@ class IndexBuilder:
         block_size = cfg.block_size
         index_positions = cfg.index_positions
 
-        def emit_group(term, bucket, rows) -> pd.DataFrame:
-            docids = np.concatenate([r[0] for r in rows])
-            freqs = np.concatenate([r[1] for r in rows])
-            norms = np.concatenate([r[2] for r in rows])
-            dlens = np.concatenate([r[3] for r in rows])
+        def emit_rows(terms, buckets, docids_col, freqs_col, norms_col,
+                      dlens_col, pos_col) -> pd.DataFrame | None:
+            """Fully vectorized block builder over a run of partial rows that
+            contains ONLY complete (term, bucket) groups, pre-sorted by
+            (term, bucket, pid, seg). One np.concatenate per column, group/
+            block boundaries via flatnonzero, per-block stats via reduceat —
+            no per-row or per-entry Python."""
+            n_rows = len(terms)
+            if n_rows == 0:
+                return None
+            row_lens = np.fromiter((len(x) for x in docids_col), dtype=np.int64, count=n_rows)
+            docids = np.concatenate([np.asarray(x, dtype=np.int64) for x in docids_col])
+            freqs = np.concatenate([np.asarray(x, dtype=np.int64) for x in freqs_col])
+            norms = np.concatenate([np.asarray(x, dtype=np.int64) for x in norms_col])
+            dlens = np.concatenate([np.asarray(x, dtype=np.int64) for x in dlens_col])
             if index_positions:
-                positions: list = []
-                for r in rows:
-                    positions.extend(r[4])
-            n = len(docids)
+                poss = np.concatenate([np.asarray(x, dtype=np.int64) for x in pos_col])
+                pos_bounds = np.concatenate([[0], np.cumsum(freqs)])
+
+            # row -> group id (change of term or bucket)
+            term_arr = np.asarray(terms, dtype=object)
+            buck_arr = np.asarray(buckets, dtype=np.int64)
+            row_change = np.empty(n_rows, dtype=bool)
+            row_change[0] = True
+            row_change[1:] = (term_arr[1:] != term_arr[:-1]).astype(bool)
+            row_change[1:] |= buck_arr[1:] != buck_arr[:-1]
+            row_group = np.cumsum(row_change) - 1
+
+            # entry -> group id; within-group entry rank; block boundaries
+            n_entries = len(docids)
+            entry_group = np.repeat(row_group, row_lens)
+            group_first_entry = np.flatnonzero(
+                np.concatenate([[True], entry_group[1:] != entry_group[:-1]])
+            )
+            rank = np.arange(n_entries) - group_first_entry[
+                np.cumsum(np.concatenate([[True], entry_group[1:] != entry_group[:-1]])) - 1
+            ]
+            is_block_start = (rank % block_size) == 0
+            block_starts = np.flatnonzero(is_block_start)
+            block_ends = np.append(block_starts[1:], n_entries)
+            block_group = entry_group[block_starts]
+            block_id = rank[block_starts] // block_size
+
+            # per-block stats (vectorized)
+            first_docid = docids[block_starts]
+            last_docid = docids[block_ends - 1]
+            max_tf = np.maximum.reduceat(freqs, block_starts)
+            ttf = np.add.reduceat(freqs, block_starts)
             f32 = freqs.astype(np.float32)
-            # upper-bound factor tf/(tf + cache[norm]) per entry — times
-            # idf*(k1+1) at query time this is the exact block-max score
             ub = f32 / (f32 + cache[norms & 0xFF])
-            out = []
-            for b0 in range(0, n, block_size):
-                b1 = min(b0 + block_size, n)
-                d = docids[b0:b1]
-                out.append(
-                    {
-                        "term": term,
-                        "bucket": int(bucket),
-                        "block_id": b0 // block_size,
-                        "first_docid": int(d[0]),
-                        "last_docid": int(d[-1]),
-                        "entry_count": b1 - b0,
-                        "docid_deltas": np.diff(d, prepend=d[0]).astype(np.int64),
-                        "freqs": freqs[b0:b1].astype(np.int32),
-                        "norm_bytes": norms[b0:b1].astype(np.int32),
-                        "doclens": dlens[b0:b1].astype(np.int32),
-                        "positions": positions[b0:b1] if index_positions else None,
-                        "block_max_tf": int(freqs[b0:b1].max()),
-                        "block_ttf": int(freqs[b0:b1].sum()),
-                        "block_max_ub": np.float32(ub[b0:b1].max()),
-                    }
-                )
+            max_ub = np.maximum.reduceat(ub, block_starts)
+
+            # docid deltas with a 0 at every block start
+            deltas = np.empty(n_entries, dtype=np.int64)
+            deltas[0] = 0
+            deltas[1:] = docids[1:] - docids[:-1]
+            deltas[block_starts] = 0
+
+            # group id -> (term, bucket) of first row of the group
+            group_first_row = np.flatnonzero(row_change)
+            gterm = term_arr[group_first_row]
+            gbuck = buck_arr[group_first_row]
+
+            split = block_starts[1:]
+            out = {
+                "term": gterm[block_group],
+                "bucket": gbuck[block_group].astype(np.int32),
+                "block_id": block_id,
+                "first_docid": first_docid,
+                "last_docid": last_docid,
+                "entry_count": (block_ends - block_starts).astype(np.int32),
+                "docid_deltas": np.split(deltas, split),
+                "freqs": np.split(freqs.astype(np.int32), split),
+                "norm_bytes": np.split(norms.astype(np.int32), split),
+                "doclens": np.split(dlens.astype(np.int32), split),
+                "positions": (
+                    [
+                        poss[pos_bounds[s]:pos_bounds[e]].astype(np.int32)
+                        for s, e in zip(block_starts, block_ends)
+                    ]
+                    if index_positions
+                    else None
+                ),
+                "block_max_tf": max_tf.astype(np.int32),
+                "block_ttf": ttf,
+                "block_max_ub": max_ub.astype(np.float32),
+            }
             return pd.DataFrame(out)
+
+        cols = ["term", "bucket", "docids", "freqs", "norm_bytes", "doclens", "positions"]
 
         def merge_stream(batches):
             """Rows arrive sorted by (term, bucket, pid, seg); groups may
-            span Arrow batches — buffer the trailing open group."""
-            cur_key = None
-            cur_rows: list = []
+            span Arrow batches — hold back the trailing open group and
+            prepend it to the next batch, then hand complete-group runs to
+            the vectorized block builder."""
+            held: list | None = None  # list of column lists
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                terms = pdf["term"].values
-                buckets = pdf["bucket"].values
-                for i in range(len(pdf)):
-                    key = (terms[i], int(buckets[i]))
-                    if key != cur_key:
-                        if cur_rows:
-                            yield emit_group(cur_key[0], cur_key[1], cur_rows)
-                        cur_key = key
-                        cur_rows = []
-                    cur_rows.append(
-                        (
-                            np.asarray(pdf["docids"].iloc[i], dtype=np.int64),
-                            np.asarray(pdf["freqs"].iloc[i], dtype=np.int64),
-                            np.asarray(pdf["norm_bytes"].iloc[i], dtype=np.int64),
-                            np.asarray(pdf["doclens"].iloc[i], dtype=np.int64),
-                            pdf["positions"].iloc[i] if index_positions else None,
-                        )
-                    )
-            if cur_rows:
-                yield emit_group(cur_key[0], cur_key[1], cur_rows)
+                data = [pdf[c].tolist() for c in cols]
+                if held is not None:
+                    data = [h + d for h, d in zip(held, data)]
+                terms, buckets = data[0], data[1]
+                n = len(terms)
+                # find start of the last (term, bucket) group
+                last_key = (terms[-1], buckets[-1])
+                cut = n - 1
+                while cut > 0 and (terms[cut - 1], buckets[cut - 1]) == last_key:
+                    cut -= 1
+                held = [d[cut:] for d in data]
+                if cut > 0:
+                    out = emit_rows(*[d[:cut] for d in data])
+                    if out is not None:
+                        yield out
+            if held and held[0]:
+                out = emit_rows(*held)
+                if out is not None:
+                    yield out
 
         partials = (
             self.storage.read_stage(self.spark, "partials")
@@ -512,9 +574,11 @@ def _invert(
         "doclens": [entry_dlens[s:e].astype(np.int32) for s, e in zip(term_starts, term_ends)],
     }
     if index_positions:
-        pos_splits = np.split(p, entry_starts[1:])
+        # flat positions per term: p is sorted by (term, doc, pos), so the
+        # token-range slice of a term IS its entry-ordered position stream
+        tok_bounds = np.append(entry_starts, len(t))
         rows["positions"] = [
-            [ps.astype(np.int32) for ps in pos_splits[s:e]]
+            p[tok_bounds[s]:tok_bounds[e]].astype(np.int32)
             for s, e in zip(term_starts, term_ends)
         ]
     else:

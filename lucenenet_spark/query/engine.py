@@ -212,11 +212,15 @@ class Searcher:
                     pdf["norm_bytes"], pdf["doclens"], pdf["positions"],
                 ):
                     d = fd + np.cumsum(np.asarray(deltas, dtype=np.int64))
+                    f = np.asarray(freqs, dtype=np.int64)
                     out_doc.append(d)
-                    out_freq.append(np.asarray(freqs, dtype=np.int64))
+                    out_freq.append(f)
                     out_norm.append(np.asarray(norms, dtype=np.int64))
                     out_dl.append(np.asarray(dls, dtype=np.int64))
-                    out_pos.extend([np.asarray(p, dtype=np.int64) for p in poss])
+                    # positions are stored flat per block; freq == per-entry
+                    # position count, so cumsum(freqs) are the split points
+                    flat = np.asarray(poss, dtype=np.int64)
+                    out_pos.extend(np.split(flat, np.cumsum(f)[:-1]))
                 yield pd.DataFrame(
                     {
                         "docid": np.concatenate(out_doc),
