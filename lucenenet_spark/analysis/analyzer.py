@@ -40,6 +40,7 @@ MAX_TOKEN_LENGTH = 255
 # One tokenizer, three dialects (identical semantics on letter/digit runs):
 TOKEN_RE_PYTHON = r"[^\W_]+"          # Python re, with re.UNICODE
 TOKEN_RE_SQL = r"[\p{L}\p{N}]+"       # Java (Spark) and RE2 (DuckDB)
+SPLIT_RE_RE2 = r"[^\p{L}\p{N}]+"      # RE2 split form (pyarrow compute)
 
 _TOKEN_PATTERN = re.compile(TOKEN_RE_PYTHON, re.UNICODE)
 
@@ -140,6 +141,83 @@ def analyze_flat(
         uniq, cnt = np.unique(doc_idx, return_counts=True)
         doclens[uniq] = cnt
     return tokens, doc_idx, positions, doclens
+
+
+def analyze_flat_arrow(
+    texts, analyzer: StandardAnalyzer = _DEFAULT, encode: bool = True
+) -> tuple:
+    """Arrow-native full analysis chain — the indexing hot path at scale.
+
+    Same semantics as :func:`analyze_flat` (asserted by tests) but tokens
+    never become Python objects: tokenize/lower/filter run inside pyarrow
+    compute (C++, re2), and the term dictionary comes from
+    ``dictionary_encode`` so only the UNIQUE terms of the batch materialize
+    as Python strings. This removes the per-token allocation churn that
+    capped multi-core scaling of the pandas path (memory-allocator bound,
+    not CPU bound).
+
+    ``texts``: pa.Array/ChunkedArray of strings (nulls = empty docs).
+
+    Returns ``(codes, uniques, doc_idx, positions, doclens)``:
+    - codes: int64 per surviving token, index into ``uniques``
+    - uniques: np object array of SORTED unique terms of the batch
+    - doc_idx / positions: aligned with codes (0-based row; pre-stop pos)
+    - doclens: post-stop token count per input row
+
+    With ``encode=False`` the first two slots are instead
+    ``(flat_tokens_arrow, None)`` — the surviving tokens as an Arrow
+    StringArray, still zero Python objects; callers that accumulate several
+    batches before inverting (the flush buffer) concat those and
+    dictionary-encode once per segment.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    low = pc.utf8_lower(texts)
+    sp = pc.split_pattern_regex(low, SPLIT_RE_RE2)
+    lens_all = pc.list_value_length(sp)
+    lens_all = pc.fill_null(lens_all, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(sp)
+    doc_idx_all = np.repeat(np.arange(n, dtype=np.int64), lens_all)
+
+    # drop split artifacts ('' at edges) and over-long tokens (255-char cap)
+    valid = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.less_equal(pc.utf8_length(flat), analyzer.max_token_length),
+    )
+    valid_np = valid.to_numpy(zero_copy_only=False)
+    flat = flat.filter(valid)
+    doc_idx_v = doc_idx_all[valid_np]
+    # pre-stop position = rank within doc after the cap filter
+    vcounts = np.bincount(doc_idx_v, minlength=n).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(vcounts)[:-1]])
+    positions = np.arange(len(doc_idx_v), dtype=np.int64) - starts[doc_idx_v]
+
+    if analyzer.stop_words:
+        stop = pc.is_in(flat, value_set=pa.array(sorted(analyzer.stop_words)))
+        keep_arrow = pc.invert(stop)
+        keep = keep_arrow.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep_arrow)
+        doc_idx_v = doc_idx_v[keep]
+        positions = positions[keep]
+
+    doclens = np.bincount(doc_idx_v, minlength=n).astype(np.int64)
+    if not encode:
+        return flat, None, doc_idx_v, positions, doclens
+    if len(flat) == 0:
+        e = np.array([], dtype=np.int64)
+        return e, np.array([], dtype=object), e, e, doclens
+
+    d = pc.dictionary_encode(flat)
+    uniques = d.dictionary.to_numpy(zero_copy_only=False)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(uniques)  # lexicographic, == pd.factorize(sort=True)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    return rank[codes], uniques[order], doc_idx_v, positions, doclens
 
 
 def analyze_series(

@@ -53,7 +53,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis import StandardAnalyzer
-from ..analysis.analyzer import analyze_flat
 from ..scoring.bm25 import BM25
 from ..scoring.smallfloat import doclen_to_norm_byte_fast
 from .config import IndexConfig
@@ -173,13 +172,24 @@ class IndexBuilder:
         analyzer = self.analyzer
         external = cfg.external_docids
         offsets = None if external else self._offsets()
+        index_positions = cfg.index_positions
+        flush_docs = cfg.flush_docs
 
         def build_partials(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            from ..analysis.analyzer import analyze_flat_arrow
+
+            doc_null_cols = _null_cols(
+                ["term", "docids", "freqs", "norm_bytes", "doclens", "positions"]
+            )
             state_pid = None
             next_docid = 0
             seg = 0
-            # per-seg accumulators (flat numpy-friendly lists)
-            acc_terms: list[np.ndarray] = []
+            # per-seg accumulators: tokens stay as Arrow arrays, everything
+            # else as numpy — zero per-token Python objects
+            acc_tok: list = []
             acc_docs: list[np.ndarray] = []
             acc_pos: list[np.ndarray] = []
             acc_norm: list[np.ndarray] = []
@@ -187,66 +197,76 @@ class IndexBuilder:
             docs_in_seg = 0
 
             def flush_seg():
-                nonlocal seg, acc_terms, acc_docs, acc_pos, acc_norm, acc_len, docs_in_seg
-                if docs_in_seg == 0:
+                nonlocal seg, acc_tok, acc_docs, acc_pos, acc_norm, acc_len, docs_in_seg
+                if docs_in_seg == 0 or not acc_tok:
+                    seg += 1 if docs_in_seg else 0
+                    docs_in_seg = 0
+                    acc_tok, acc_docs, acc_pos, acc_norm, acc_len = [], [], [], [], []
                     return None
-                t = np.concatenate(acc_terms) if acc_terms else np.array([], dtype=object)
-                d = np.concatenate(acc_docs) if acc_docs else np.array([], dtype=np.int64)
-                p = np.concatenate(acc_pos) if acc_pos else np.array([], dtype=np.int64)
-                nb = np.concatenate(acc_norm) if acc_norm else np.array([], dtype=np.int64)
-                dl = np.concatenate(acc_len) if acc_len else np.array([], dtype=np.int64)
-                out = _invert(t, d, p, nb, dl, state_pid, seg, cfg.index_positions)
+                tokens = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in acc_tok])
+                d = np.concatenate(acc_docs)
+                p = np.concatenate(acc_pos)
+                nb = np.concatenate(acc_norm)
+                dl = np.concatenate(acc_len)
+                # one dictionary encode per segment (TermsHash analogue)
+                enc = pc.dictionary_encode(tokens)
+                uniq = enc.dictionary.to_numpy(zero_copy_only=False)
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(uniq)
+                rk = np.empty_like(order)
+                rk[order] = np.arange(len(order))
+                out = _invert_codes(
+                    rk[codes], uniq[order], d, p, nb, dl, state_pid, seg, index_positions
+                )
                 seg += 1
-                acc_terms, acc_docs, acc_pos, acc_norm, acc_len = [], [], [], [], []
+                acc_tok, acc_docs, acc_pos, acc_norm, acc_len = [], [], [], [], []
                 docs_in_seg = 0
                 return out
 
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                n = rb.num_rows
+                if n == 0:
                     continue
-                pid = int(pdf["pid"].iloc[0])
+                pid = int(rb.column("pid")[0].as_py())
                 if state_pid is None:
                     state_pid = pid
                     if not external:
                         next_docid = offsets[pid]
-                texts = pdf["text"]
-                flat_terms, flat_docidx, flat_pos, lens = analyze_flat(texts, analyzer)
+                texts = rb.column("text")
+                flat_tok, _, flat_docidx, flat_pos, lens = analyze_flat_arrow(
+                    texts, analyzer, encode=False
+                )
                 if external:
-                    docids = pdf["docid"].to_numpy(dtype=np.int64)
+                    docids = rb.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
                 else:
-                    docids = np.arange(next_docid, next_docid + len(pdf), dtype=np.int64)
-                    next_docid += len(pdf)
+                    docids = np.arange(next_docid, next_docid + n, dtype=np.int64)
+                    next_docid += n
                 norm_bytes = doclen_to_norm_byte_fast(lens).astype(np.int64)
 
-                # doc rows
-                yield pd.DataFrame(
-                    {
-                        "row_type": "d",
-                        "pid": pid,
-                        "seg": seg,
-                        "docid": docids,
-                        "url": pdf["url"].values,
-                        "doclen": lens.astype("int32"),
-                        "norm_byte": norm_bytes.astype("int32"),
-                        "text_bytes": texts.fillna("").str.encode("utf-8").str.len().astype("int64"),
-                        "term": None,
-                        "docids": None,
-                        "freqs": None,
-                        "norm_bytes": None,
-                        "doclens": None,
-                        "positions": None,
-                    }
+                # doc rows (one arrow batch, no pandas)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        _const_str("d", n),
+                        pa.array(np.full(n, pid, dtype=np.int32)),
+                        pa.array(np.full(n, seg, dtype=np.int32)),
+                        pa.array(docids),
+                        rb.column("url"),
+                        pa.array(lens.astype(np.int32)),
+                        pa.array(norm_bytes.astype(np.int32)),
+                        pc.cast(pc.fill_null(pc.binary_length(texts), 0), pa.int64()),
+                    ]
+                    + doc_null_cols(n),
+                    schema=_partials_pa(),
                 )
 
-                # accumulate inversion input (flat arrays, no per-token Python)
-                if len(flat_terms):
-                    acc_terms.append(flat_terms)
+                if len(flat_docidx):
+                    acc_tok.append(flat_tok)
                     acc_docs.append(docids[flat_docidx])
                     acc_pos.append(flat_pos)
                     acc_norm.append(norm_bytes[flat_docidx])
                     acc_len.append(lens[flat_docidx])
-                docs_in_seg += len(pdf)
-                if docs_in_seg >= cfg.flush_docs:
+                docs_in_seg += n
+                if docs_in_seg >= flush_docs:
                     out = flush_seg()
                     if out is not None:
                         yield out
@@ -272,7 +292,7 @@ class IndexBuilder:
                 .sortWithinPartitions("url")
                 .withColumn("pid", F.spark_partition_id())
             )
-        partials = prepared.mapInPandas(build_partials, schema=PARTIALS_SCHEMA)
+        partials = prepared.mapInArrow(build_partials, schema=PARTIALS_SCHEMA)
         return self.storage.write_stage(
             partials, "partials", cfg.fingerprint(), partition_by=["row_type"]
         )
@@ -322,123 +342,160 @@ class IndexBuilder:
         block_size = cfg.block_size
         index_positions = cfg.index_positions
 
-        def emit_rows(terms, buckets, docids_col, freqs_col, norms_col,
-                      dlens_col, pos_col) -> pd.DataFrame | None:
-            """Fully vectorized block builder over a run of partial rows that
-            contains ONLY complete (term, bucket) groups, pre-sorted by
-            (term, bucket, pid, seg). One np.concatenate per column, group/
-            block boundaries via flatnonzero, per-block stats via reduceat —
-            no per-row or per-entry Python."""
-            n_rows = len(terms)
-            if n_rows == 0:
-                return None
-            row_lens = np.fromiter((len(x) for x in docids_col), dtype=np.int64, count=n_rows)
-            docids = np.concatenate([np.asarray(x, dtype=np.int64) for x in docids_col])
-            freqs = np.concatenate([np.asarray(x, dtype=np.int64) for x in freqs_col])
-            norms = np.concatenate([np.asarray(x, dtype=np.int64) for x in norms_col])
-            dlens = np.concatenate([np.asarray(x, dtype=np.int64) for x in dlens_col])
-            if index_positions:
-                poss = np.concatenate([np.asarray(x, dtype=np.int64) for x in pos_col])
-                pos_bounds = np.concatenate([[0], np.cumsum(freqs)])
-
-            # row -> group id (change of term or bucket)
-            term_arr = np.asarray(terms, dtype=object)
-            buck_arr = np.asarray(buckets, dtype=np.int64)
-            row_change = np.empty(n_rows, dtype=bool)
-            row_change[0] = True
-            row_change[1:] = (term_arr[1:] != term_arr[:-1]).astype(bool)
-            row_change[1:] |= buck_arr[1:] != buck_arr[:-1]
-            row_group = np.cumsum(row_change) - 1
-
-            # entry -> group id; within-group entry rank; block boundaries
-            n_entries = len(docids)
-            entry_group = np.repeat(row_group, row_lens)
-            group_first_entry = np.flatnonzero(
-                np.concatenate([[True], entry_group[1:] != entry_group[:-1]])
-            )
-            rank = np.arange(n_entries) - group_first_entry[
-                np.cumsum(np.concatenate([[True], entry_group[1:] != entry_group[:-1]])) - 1
-            ]
-            is_block_start = (rank % block_size) == 0
-            block_starts = np.flatnonzero(is_block_start)
-            block_ends = np.append(block_starts[1:], n_entries)
-            block_group = entry_group[block_starts]
-            block_id = rank[block_starts] // block_size
-
-            # per-block stats (vectorized)
-            first_docid = docids[block_starts]
-            last_docid = docids[block_ends - 1]
-            max_tf = np.maximum.reduceat(freqs, block_starts)
-            ttf = np.add.reduceat(freqs, block_starts)
-            f32 = freqs.astype(np.float32)
-            ub = f32 / (f32 + cache[norms & 0xFF])
-            max_ub = np.maximum.reduceat(ub, block_starts)
-
-            # docid deltas with a 0 at every block start
-            deltas = np.empty(n_entries, dtype=np.int64)
-            deltas[0] = 0
-            deltas[1:] = docids[1:] - docids[:-1]
-            deltas[block_starts] = 0
-
-            # group id -> (term, bucket) of first row of the group
-            group_first_row = np.flatnonzero(row_change)
-            gterm = term_arr[group_first_row]
-            gbuck = buck_arr[group_first_row]
-
-            split = block_starts[1:]
-            out = {
-                "term": gterm[block_group],
-                "bucket": gbuck[block_group].astype(np.int32),
-                "block_id": block_id,
-                "first_docid": first_docid,
-                "last_docid": last_docid,
-                "entry_count": (block_ends - block_starts).astype(np.int32),
-                "docid_deltas": np.split(deltas, split),
-                "freqs": np.split(freqs.astype(np.int32), split),
-                "norm_bytes": np.split(norms.astype(np.int32), split),
-                "doclens": np.split(dlens.astype(np.int32), split),
-                "positions": (
-                    [
-                        poss[pos_bounds[s]:pos_bounds[e]].astype(np.int32)
-                        for s, e in zip(block_starts, block_ends)
-                    ]
-                    if index_positions
-                    else None
-                ),
-                "block_max_tf": max_tf.astype(np.int32),
-                "block_ttf": ttf,
-                "block_max_ub": max_ub.astype(np.float32),
-            }
-            return pd.DataFrame(out)
-
-        cols = ["term", "bucket", "docids", "freqs", "norm_bytes", "doclens", "positions"]
-
-        def merge_stream(batches):
+        def merge_arrow(batches):
             """Rows arrive sorted by (term, bucket, pid, seg); groups may
             span Arrow batches — hold back the trailing open group and
             prepend it to the next batch, then hand complete-group runs to
-            the vectorized block builder."""
-            held: list | None = None  # list of column lists
-            for pdf in batches:
-                if len(pdf) == 0:
+            the vectorized block builder. Everything stays flat: list
+            columns are flattened once per batch (Arrow C++), group/block
+            boundaries come from flatnonzero, per-block stats from reduceat,
+            and output list columns are rebuilt from offsets — no per-row,
+            per-entry, or per-block Python loops."""
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            postings_pa = pa.schema(
+                [
+                    ("term", pa.string()),
+                    ("bucket", pa.int32()),
+                    ("block_id", pa.int64()),
+                    ("first_docid", pa.int64()),
+                    ("last_docid", pa.int64()),
+                    ("entry_count", pa.int32()),
+                    ("docid_deltas", pa.list_(pa.int64())),
+                    ("freqs", pa.list_(pa.int32())),
+                    ("norm_bytes", pa.list_(pa.int32())),
+                    ("doclens", pa.list_(pa.int32())),
+                    ("positions", pa.list_(pa.int32())),
+                    ("block_max_tf", pa.int32()),
+                    ("block_ttf", pa.int64()),
+                    ("block_max_ub", pa.float32()),
+                ]
+            )
+
+            def emit(terms, buckets, row_lens, docids, freqs, norms, dlens, poss):
+                n_rows = len(terms)
+                if n_rows == 0:
+                    return None
+                # row -> group id (change of term or bucket)
+                row_change = np.empty(n_rows, dtype=bool)
+                row_change[0] = True
+                row_change[1:] = (terms[1:] != terms[:-1]).astype(bool)
+                row_change[1:] |= buckets[1:] != buckets[:-1]
+
+                n_entries = len(docids)
+                row_entry_off = np.concatenate([[0], np.cumsum(row_lens)])
+                group_first_row = np.flatnonzero(row_change)
+                group_first_entry = row_entry_off[group_first_row]
+                group_entry_counts = np.diff(np.append(group_first_entry, n_entries))
+                # within-group entry rank -> 128-entry block boundaries
+                rank = np.arange(n_entries) - np.repeat(group_first_entry, group_entry_counts)
+                block_starts = np.flatnonzero((rank % block_size) == 0)
+                block_ends = np.append(block_starts[1:], n_entries)
+                entry_group = np.repeat(
+                    np.arange(len(group_first_row)), group_entry_counts
+                )
+                block_group = entry_group[block_starts]
+                block_id = rank[block_starts] // block_size
+
+                # per-block stats (vectorized)
+                first_docid = docids[block_starts]
+                last_docid = docids[block_ends - 1]
+                max_tf = np.maximum.reduceat(freqs, block_starts)
+                ttf = np.add.reduceat(freqs, block_starts)
+                f32 = freqs.astype(np.float32)
+                ub = f32 / (f32 + cache[norms & 0xFF])
+                max_ub = np.maximum.reduceat(ub, block_starts)
+
+                # docid deltas with a 0 at every block start
+                deltas = np.empty(n_entries, dtype=np.int64)
+                if n_entries:
+                    deltas[0] = 0
+                    deltas[1:] = docids[1:] - docids[:-1]
+                    deltas[block_starts] = 0
+
+                gterm = terms[group_first_row]
+                gbuck = buckets[group_first_row]
+                blk_off = np.append(block_starts, n_entries)
+                cols = [
+                    pa.array(gterm[block_group]),
+                    pa.array(gbuck[block_group].astype(np.int32)),
+                    pa.array(block_id.astype(np.int64)),
+                    pa.array(first_docid),
+                    pa.array(last_docid),
+                    pa.array((block_ends - block_starts).astype(np.int32)),
+                    _list_array(blk_off, deltas),
+                    _list_array(blk_off, freqs.astype(np.int32)),
+                    _list_array(blk_off, norms.astype(np.int32)),
+                    _list_array(blk_off, dlens.astype(np.int32)),
+                ]
+                if index_positions:
+                    # positions are flat in entry order; freq == per-entry
+                    # position count, so cumsum(freqs) addresses them
+                    entry_pos_off = np.concatenate([[0], np.cumsum(freqs)])
+                    pos_off = entry_pos_off[blk_off]
+                    cols.append(_list_array(pos_off, poss.astype(np.int32)))
+                else:
+                    cols.append(pa.nulls(len(block_starts), pa.list_(pa.int32())))
+                cols += [
+                    pa.array(max_tf.astype(np.int32)),
+                    pa.array(ttf.astype(np.int64)),
+                    pa.array(max_ub.astype(np.float32)),
+                ]
+                return pa.RecordBatch.from_arrays(cols, schema=postings_pa)
+
+            def flat(rb, name, dtype):
+                col = rb.column(name)
+                vals = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(dtype)
+                lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+                return vals, lens
+
+            held = None  # (terms, buckets, row_lens, docids, freqs, norms, dlens, poss, pos_row_lens)
+            empty64 = np.array([], dtype=np.int64)
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                data = [pdf[c].tolist() for c in cols]
+                terms = rb.column("term").to_numpy(zero_copy_only=False)
+                buckets = rb.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+                docids, row_lens = flat(rb, "docids", np.int64)
+                freqs, _ = flat(rb, "freqs", np.int64)
+                norms, _ = flat(rb, "norm_bytes", np.int64)
+                dlens, _ = flat(rb, "doclens", np.int64)
+                if index_positions:
+                    poss, pos_row_lens = flat(rb, "positions", np.int64)
+                else:
+                    poss, pos_row_lens = empty64, np.zeros(len(terms), dtype=np.int64)
                 if held is not None:
-                    data = [h + d for h, d in zip(held, data)]
-                terms, buckets = data[0], data[1]
+                    terms = np.concatenate([held[0], terms])
+                    buckets = np.concatenate([held[1], buckets])
+                    row_lens = np.concatenate([held[2], row_lens])
+                    docids = np.concatenate([held[3], docids])
+                    freqs = np.concatenate([held[4], freqs])
+                    norms = np.concatenate([held[5], norms])
+                    dlens = np.concatenate([held[6], dlens])
+                    poss = np.concatenate([held[7], poss])
+                    pos_row_lens = np.concatenate([held[8], pos_row_lens])
                 n = len(terms)
-                # find start of the last (term, bucket) group
-                last_key = (terms[-1], buckets[-1])
                 cut = n - 1
-                while cut > 0 and (terms[cut - 1], buckets[cut - 1]) == last_key:
+                while cut > 0 and terms[cut - 1] == terms[-1] and buckets[cut - 1] == buckets[-1]:
                     cut -= 1
-                held = [d[cut:] for d in data]
+                row_off = np.concatenate([[0], np.cumsum(row_lens)])
+                pos_off = np.concatenate([[0], np.cumsum(pos_row_lens)])
+                ec, pc_ = int(row_off[cut]), int(pos_off[cut])
+                held = (
+                    terms[cut:], buckets[cut:], row_lens[cut:],
+                    docids[ec:], freqs[ec:], norms[ec:], dlens[ec:],
+                    poss[pc_:], pos_row_lens[cut:],
+                )
                 if cut > 0:
-                    out = emit_rows(*[d[:cut] for d in data])
+                    out = emit(
+                        terms[:cut], buckets[:cut], row_lens[:cut],
+                        docids[:ec], freqs[:ec], norms[:ec], dlens[:ec], poss[:pc_],
+                    )
                     if out is not None:
                         yield out
-            if held and held[0]:
-                out = emit_rows(*held)
+            if held is not None and len(held[0]):
+                out = emit(held[0], held[1], held[2], held[3], held[4], held[5], held[6], held[7])
                 if out is not None:
                     yield out
 
@@ -454,9 +511,19 @@ class IndexBuilder:
         postings = (
             partials.repartitionByRange(int(n_merge), "term", "bucket")
             .sortWithinPartitions("term", "bucket", "pid", "seg")
-            .mapInPandas(merge_stream, schema=POSTINGS_SCHEMA)
+            .mapInArrow(merge_arrow, schema=POSTINGS_SCHEMA)
         )
-        return self.storage.write_stage(postings, "postings", cfg.fingerprint())
+        # AQE's per-stage materialization serializes this CPU-bound (not
+        # bytes-bound) pipeline and its small-shuffle heuristics misjudge the
+        # per-byte cost of the merge kernel (measured 2.6x slower with AQE on)
+        # — scope it off for this one write; query-side jobs keep AQE.
+        aqe_key = "spark.sql.adaptive.enabled"
+        old = self.spark.conf.get(aqe_key, "true")
+        self.spark.conf.set(aqe_key, "false")
+        try:
+            return self.storage.write_stage(postings, "postings", cfg.fingerprint())
+        finally:
+            self.spark.conf.set(aqe_key, old)
 
     # ------------------------------------------------------------------ #
     def _stage_termstats(self) -> dict:
@@ -513,8 +580,70 @@ class IndexBuilder:
         return self.storage.write_stage(lineage, "lineage", self.config.fingerprint())
 
 
-def _invert(
-    terms: np.ndarray,
+def _arrow_partials_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("row_type", pa.string()),
+            ("pid", pa.int32()),
+            ("seg", pa.int32()),
+            ("docid", pa.int64()),
+            ("url", pa.string()),
+            ("doclen", pa.int32()),
+            ("norm_byte", pa.int32()),
+            ("text_bytes", pa.int64()),
+            ("term", pa.string()),
+            ("docids", pa.list_(pa.int64())),
+            ("freqs", pa.list_(pa.int32())),
+            ("norm_bytes", pa.list_(pa.int32())),
+            ("doclens", pa.list_(pa.int32())),
+            ("positions", pa.list_(pa.int32())),
+        ]
+    )
+
+
+_PARTIALS_PA = None
+
+
+def _partials_pa():
+    global _PARTIALS_PA
+    if _PARTIALS_PA is None:
+        _PARTIALS_PA = _arrow_partials_schema()
+    return _PARTIALS_PA
+
+
+def _const_str(value: str, n: int):
+    """Run-length string column without n Python objects (dictionary array)."""
+    import pyarrow as pa
+
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), pa.array([value])
+    ).cast(pa.string())
+
+
+def _null_cols(names: list[str]):
+    import pyarrow as pa
+
+    schema = _partials_pa()
+
+    def make(n: int):
+        return [pa.nulls(n, schema.field(name).type) for name in names]
+
+    return make
+
+
+def _list_array(offsets: np.ndarray, values, value_type=None):
+    """ListArray from int64 entry offsets + flat values, zero-copy."""
+    import pyarrow as pa
+
+    v = pa.array(values) if not isinstance(values, pa.Array) else values
+    return pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32), pa.int32()), v)
+
+
+def _invert_codes(
+    codes: np.ndarray,
+    uniques: np.ndarray,
     docs: np.ndarray,
     pos: np.ndarray,
     norms: np.ndarray,
@@ -522,12 +651,15 @@ def _invert(
     pid: int,
     seg: int,
     index_positions: bool,
-) -> pd.DataFrame:
-    """Vectorized in-partition inversion: flat (term, doc, pos, norm) arrays
-    -> one partial posting row per term. The numpy lexsort replaces the
+):
+    """Vectorized in-partition inversion: flat (term-code, doc, pos, norm)
+    arrays -> one partial posting row per term, emitted as ONE Arrow
+    RecordBatch (list columns built from offsets, zero per-term Python work
+    beyond the unique-term strings). The int lexsort replaces the
     reference's TermsHash byte-slice accumulation
     (FreqProxTermsWriterPerField.cs:155-251)."""
-    codes, uniques = pd.factorize(terms, sort=True)
+    import pyarrow as pa
+
     order = np.lexsort((pos, docs, codes))
     t = codes[order]
     d = docs[order]
@@ -556,34 +688,35 @@ def _invert(
     term_change[0] = True
     np.not_equal(entry_terms[1:], entry_terms[:-1], out=term_change[1:])
     term_starts = np.flatnonzero(term_change)
-    term_ends = np.append(term_starts[1:], len(entry_terms))
+    n_terms = len(term_starts)
+    entry_bounds = np.append(term_starts, len(entry_terms))  # per-term entry offsets
 
-    rows = {
-        "row_type": "p",
-        "pid": pid,
-        "seg": seg,
-        "docid": None,
-        "url": None,
-        "doclen": None,
-        "norm_byte": None,
-        "text_bytes": None,
-        "term": uniques[entry_terms[term_starts]],
-        "docids": [entry_docs[s:e] for s, e in zip(term_starts, term_ends)],
-        "freqs": [entry_freqs[s:e].astype(np.int32) for s, e in zip(term_starts, term_ends)],
-        "norm_bytes": [entry_norms[s:e].astype(np.int32) for s, e in zip(term_starts, term_ends)],
-        "doclens": [entry_dlens[s:e].astype(np.int32) for s, e in zip(term_starts, term_ends)],
-    }
+    schema = _partials_pa()
+    n = n_terms
+    cols = [
+        _const_str("p", n),
+        pa.array(np.full(n, pid, dtype=np.int32)),
+        pa.array(np.full(n, seg, dtype=np.int32)),
+        pa.nulls(n, pa.int64()),   # docid
+        pa.nulls(n, pa.string()),  # url
+        pa.nulls(n, pa.int32()),   # doclen
+        pa.nulls(n, pa.int32()),   # norm_byte
+        pa.nulls(n, pa.int64()),   # text_bytes
+        pa.array(uniques[entry_terms[term_starts]]),
+        _list_array(entry_bounds, entry_docs),
+        _list_array(entry_bounds, entry_freqs.astype(np.int32)),
+        _list_array(entry_bounds, entry_norms.astype(np.int32)),
+        _list_array(entry_bounds, entry_dlens.astype(np.int32)),
+    ]
     if index_positions:
         # flat positions per term: p is sorted by (term, doc, pos), so the
-        # token-range slice of a term IS its entry-ordered position stream
-        tok_bounds = np.append(entry_starts, len(t))
-        rows["positions"] = [
-            p[tok_bounds[s]:tok_bounds[e]].astype(np.int32)
-            for s, e in zip(term_starts, term_ends)
-        ]
+        # token-range slice of a term IS its entry-ordered position stream;
+        # per-term offsets into p are the token indices of term boundaries
+        tok_bounds = np.append(entry_starts[term_starts], len(t))
+        cols.append(_list_array(tok_bounds, p.astype(np.int32)))
     else:
-        rows["positions"] = None
-    return pd.DataFrame(rows)
+        cols.append(pa.nulls(n, pa.list_(pa.int32())))
+    return pa.RecordBatch.from_arrays(cols, schema=schema)
 
 
 def build_index(

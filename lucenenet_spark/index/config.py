@@ -46,6 +46,10 @@ class IndexConfig:
     # False -> keyword-style chain (tokenize+lowercase only), used when the
     # index must agree with an external SQL oracle that has no stop list.
     stop_filter: bool = True
+    # bump on any change to the stage schemas / on-disk layout: the value is
+    # part of the fingerprint, so committed stages from an older layout are
+    # rebuilt instead of misread on resume
+    format_version: int = 2
     # docids supplied by the caller in a ``docid`` column of the input
     # (pre-assigned, globally unique, order-meaningful) instead of the
     # hash-partition + offset scheme. The build then range-partitions on

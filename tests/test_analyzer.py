@@ -75,3 +75,28 @@ def test_analyze_flat_equivalent_to_analyze():
         assert list(positions[m]) == ref.positions, f"doc {i}"
         assert doclens[i] == len(ref.tokens)
     assert doclens.sum() == len(tokens)
+
+
+def test_analyze_flat_arrow_equivalent_to_analyze():
+    import pyarrow as pa
+    import random
+    from lucenenet_spark.analysis.analyzer import analyze_flat_arrow
+
+    rng = random.Random(11)
+    vocab = ["the", "tiger", "of", "Data", "X" * 256, "forest", "a", "Köln", "42", "北京"]
+    texts = []
+    for _ in range(60):
+        n = rng.randint(0, 12)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    texts += [None, "", "  , ! ", "the of and to", "water'd under_score"]
+    a = StandardAnalyzer()
+    codes, uniques, doc_idx, positions, doclens = analyze_flat_arrow(pa.array(texts), a)
+    tokens = uniques[codes] if len(codes) else codes
+    for i, t in enumerate(texts):
+        ref = a.analyze(t or "")
+        m = doc_idx == i
+        assert list(tokens[m]) == ref.tokens, f"doc {i}: {tokens[m]} != {ref.tokens}"
+        assert list(positions[m]) == ref.positions, f"doc {i}"
+        assert doclens[i] == len(ref.tokens)
+    # sorted unique dictionary
+    assert list(uniques) == sorted(set(uniques))
