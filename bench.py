@@ -42,7 +42,7 @@ def main() -> None:
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -72,10 +72,13 @@ def main() -> None:
 
     # ---- synthetic pages corpus build (north-rule path, bigger) ---------- #
     if synth_docs > 0:
-        from lucenenet_spark.data.pages import pages_spark_df
+        from lucenenet_spark.data.pages import pages_spark_df_distributed
 
         cfg = IndexConfig(num_partitions=max(cpus, 16), flush_docs=50_000)
-        synth = pages_spark_df(spark, synth_docs, seed=42, num_partitions=max(cpus, 16))
+        # generation partition count is FIXED (not cpu-dependent) so the
+        # corpus is byte-identical across parallelism levels — required for
+        # the N-vs-4N scaling comparison to be apples-to-apples
+        synth = pages_spark_df_distributed(spark, synth_docs, seed=42, num_partitions=64)
         synth = synth.persist()
         m = synth.count()  # materialize input so build timing excludes synthesis
         # build twice; time the warm run (first run pays one-time JVM codegen

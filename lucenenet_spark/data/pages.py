@@ -111,3 +111,52 @@ def pages_spark_df(spark, n: int, seed: int = 42, num_partitions: int | None = N
     if num_partitions:
         df = df.repartition(num_partitions, "url")
     return df
+
+
+def pages_spark_df_distributed(
+    spark,
+    n: int,
+    seed: int = 42,
+    num_partitions: int = 32,
+    vocab_size: int = 5000,
+    mean_len: int = 60,
+):
+    """Generate the pages table DISTRIBUTED — each partition synthesizes its
+    own row range with an rng seeded by (seed, partition), so the corpus is
+    a pure function of (n, seed, num_partitions) and synthesis scales with
+    the cluster instead of the driver. This is the generator the bench uses
+    at sizes where driver-side pandas synthesis would itself be the
+    bottleneck (and the pattern a 100 TB backfill would use)."""
+    import pyarrow as pa
+
+    def gen(batches):
+        for rb in batches:
+            ids = rb.column("id").to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            rng = np.random.default_rng([seed, int(ids[0])])
+            vocab = _vocab(vocab_size)
+            ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+            weights = 1.0 / ranks**1.07
+            weights /= weights.sum()
+            doc_lens = np.maximum(1, rng.poisson(mean_len, size=len(ids)))
+            all_tokens = rng.choice(vocab, size=int(doc_lens.sum()), p=weights)
+            bounds = np.concatenate([[0], np.cumsum(doc_lens)])
+            texts = [" ".join(all_tokens[bounds[i]:bounds[i + 1]]) for i in range(len(ids))]
+            urls = [f"https://site{int(i) % 997:04d}.example/p/{int(i):08d}" for i in ids]
+            ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(ids, unit="s")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls),
+                    pa.array(ts).cast(pa.timestamp("us")),
+                    pa.array([f"<html><body>{t}</body></html>".encode() for t in texts]),
+                    pa.array(texts),
+                    pa.array(["en"] * len(ids)),
+                ],
+                names=["url", "warc_ts", "html", "text", "lang"],
+            )
+
+    base = spark.range(0, n, 1, num_partitions)
+    return base.mapInArrow(
+        gen, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )

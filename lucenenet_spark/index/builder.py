@@ -513,17 +513,25 @@ class IndexBuilder:
             .sortWithinPartitions("term", "bucket", "pid", "seg")
             .mapInArrow(merge_arrow, schema=POSTINGS_SCHEMA)
         )
-        # AQE's per-stage materialization serializes this CPU-bound (not
-        # bytes-bound) pipeline and its small-shuffle heuristics misjudge the
-        # per-byte cost of the merge kernel (measured 2.6x slower with AQE on)
-        # — scope it off for this one write; query-side jobs keep AQE.
-        aqe_key = "spark.sql.adaptive.enabled"
-        old = self.spark.conf.get(aqe_key, "true")
-        self.spark.conf.set(aqe_key, "false")
+        # Scoped confs for this one write (query-side jobs keep defaults):
+        # - AQE off: its per-stage materialization serializes this CPU-bound
+        #   (not bytes-bound) pipeline (measured 2.6x slower with AQE on).
+        # - small columnar reader batches: partial-posting rows carry arrays
+        #   up to flush_docs entries; the default 4096-row reader batch can
+        #   demand GBs of contiguous heap per task on stopword rows.
+        scoped = {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.parquet.columnarReaderBatchSize": "256",
+        }
+        old = {k: self.spark.conf.get(k, None) for k in scoped}
+        for k, v in scoped.items():
+            self.spark.conf.set(k, v)
         try:
             return self.storage.write_stage(postings, "postings", cfg.fingerprint())
         finally:
-            self.spark.conf.set(aqe_key, old)
+            for k, v in old.items():
+                if v is not None:
+                    self.spark.conf.set(k, v)
 
     # ------------------------------------------------------------------ #
     def _stage_termstats(self) -> dict:
