@@ -421,22 +421,40 @@ def q_dd_simhash(spark, sf_dir):
 
 
 def q_nd_jaccard(spark, sf_dir):
-    """N-gram (token-set) Jaccard near-dup within source groups — the
-    exact-verify stage that follows LSH candidate generation; blocked by
-    ``source`` so the self-join never goes quadratic in the corpus."""
+    """Token-set Jaccard near-dup within source groups — the exact-verify
+    stage that follows LSH candidate generation. Shaped as an inverted-index
+    join (explode -> equi-join on token -> count per pair), NOT a quadratic
+    self-join carrying token arrays through the shuffle: pair rows only
+    materialize for docs that actually share a token, which is what survives
+    a 100 TB corpus. Pairs with intersection 0 have Jaccard 0 and can never
+    pass the threshold, so dropping them matches the oracle."""
     d = _docs(spark, sf_dir).select(
-        "doc_id", "source", F.array_sort(F.array_distinct(F.expr(_TOKS_SPARK))).alias("ts")
+        "doc_id", "source", F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("t")
     )
+    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = d.alias("a"), d.alias("b")
-    j = (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("a"),
-            F.col("b.doc_id").alias("b"),
-            F.size(F.array_intersect("a.ts", "b.ts")).cast("double").alias("inter"),
-            F.size(F.array_union("a.ts", "b.ts")).cast("double").alias("uni"),
+    inter = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .withColumn("j_x1m", F.floor(F.col("inter") * 1000000.0 / F.col("uni") + 0.5).cast("long"))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+        .withColumn(
+            "j_x1m",
+            F.floor(
+                F.col("inter").cast("double") * 1000000.0
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+                + 0.5
+            ).cast("long"),
+        )
         .filter(F.col("j_x1m") >= 600000)
         .select("a", "b", "j_x1m")
         .orderBy("a", "b")

@@ -28,6 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Each mapInArrow task keeps a JVM thread AND a Python worker hot; this
+    # VM's memory bandwidth collapses ~30x beyond ~16 concurrent memory-heavy
+    # processes (measured: 127 GB/s aggregate at 8 procs -> 4.3 GB/s at 32,
+    # BENCH/BASELINE.md). Cap task slots so the build runs at the machine's
+    # peak instead of inside the collapse; override with SPARK_GRAFT_MAX_SLOTS.
+    cpus = min(cpus, int(os.environ.get("SPARK_GRAFT_MAX_SLOTS", "16")))
     synth_docs = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH_DOCS", "50000"))
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     try:

@@ -92,6 +92,64 @@ class StandardAnalyzer:
         return self.analyze(text).tokens
 
 
+class KeywordAnalyzer(StandardAnalyzer):
+    """KeywordAnalyzer (Analysis/Core/KeywordAnalyzer.cs): the entire input
+    is ONE token, unanalyzed — the StringField chain."""
+
+    def __init__(self):
+        super().__init__(stop_words=frozenset())
+
+    def tokenize(self, text: str) -> list[str]:
+        return [text] if text else []
+
+    def analyze(self, text: str) -> Analyzed:
+        toks = self.tokenize(text)
+        return Analyzed(toks, list(range(len(toks))))
+
+
+class WhitespaceAnalyzer(StandardAnalyzer):
+    """WhitespaceAnalyzer (Analysis/Core/WhitespaceAnalyzer.cs): split on
+    whitespace only, no lowercasing, no stop filter."""
+
+    def __init__(self, max_token_length: int = MAX_TOKEN_LENGTH):
+        super().__init__(stop_words=frozenset(), max_token_length=max_token_length)
+
+    def tokenize(self, text: str) -> list[str]:
+        if not text:
+            return []
+        ml = self.max_token_length
+        return [t for t in text.split() if len(t) <= ml]
+
+
+class SimpleAnalyzer(StandardAnalyzer):
+    """SimpleAnalyzer (Analysis/Core/SimpleAnalyzer.cs): maximal letter runs,
+    lowercased — digits split tokens (unlike StandardAnalyzer)."""
+
+    _LETTERS = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+    def __init__(self, max_token_length: int = MAX_TOKEN_LENGTH):
+        super().__init__(stop_words=frozenset(), max_token_length=max_token_length)
+
+    def tokenize(self, text: str) -> list[str]:
+        if not text:
+            return []
+        ml = self.max_token_length
+        return [t for t in self._LETTERS.findall(text.lower()) if len(t) <= ml]
+
+
+class StopAnalyzer(StandardAnalyzer):
+    """StopAnalyzer (Analysis/Core/StopAnalyzer.cs): SimpleAnalyzer letter
+    runs + the English stop set."""
+
+    _LETTERS = SimpleAnalyzer._LETTERS
+
+    def tokenize(self, text: str) -> list[str]:
+        if not text:
+            return []
+        ml = self.max_token_length
+        return [t for t in self._LETTERS.findall(text.lower()) if len(t) <= ml]
+
+
 _DEFAULT = StandardAnalyzer()
 
 
@@ -175,6 +233,11 @@ def analyze_flat_arrow(
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if type(analyzer) is not StandardAnalyzer:
+        # custom chain (Keyword/Whitespace/Simple/... or user subclass):
+        # honor its analyze() row-by-row — correctness over speed for
+        # non-default chains; the default chain stays on the C++ path
+        return _analyze_flat_generic(texts, analyzer, encode)
     n = len(texts)
     low = pc.utf8_lower(texts)
     sp = pc.split_pattern_regex(low, SPLIT_RE_RE2)
@@ -218,6 +281,35 @@ def analyze_flat_arrow(
     rank = np.empty_like(order)
     rank[order] = np.arange(len(order))
     return rank[codes], uniques[order], doc_idx_v, positions, doclens
+
+
+def _analyze_flat_generic(texts, analyzer: StandardAnalyzer, encode: bool) -> tuple:
+    """Row-at-a-time fallback for custom analyzer chains, same contract as
+    :func:`analyze_flat_arrow`."""
+    import pyarrow as pa
+
+    rows = texts.to_pylist()
+    n = len(rows)
+    toks: list[str] = []
+    doc_idx: list[int] = []
+    positions: list[int] = []
+    doclens = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(rows):
+        a = analyzer.analyze(t or "")
+        toks.extend(a.tokens)
+        doc_idx.extend([i] * len(a.tokens))
+        positions.extend(a.positions)
+        doclens[i] = len(a.tokens)
+    flat = pa.array(toks, pa.string())
+    di = np.asarray(doc_idx, dtype=np.int64)
+    po = np.asarray(positions, dtype=np.int64)
+    if not encode:
+        return flat, None, di, po, doclens
+    if len(toks) == 0:
+        e = np.array([], dtype=np.int64)
+        return e, np.array([], dtype=object), e, e, doclens
+    codes, uniques = pd.factorize(np.asarray(toks, dtype=object), sort=True)
+    return codes.astype(np.int64), uniques, di, po, doclens
 
 
 def analyze_series(

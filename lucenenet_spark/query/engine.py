@@ -477,6 +477,87 @@ class Searcher:
             res = res.join(excl, "docid", "left_anti")  # ReqExclScorer
         return res
 
+    # ---------------- block-max WAND pruning ------------------------------ #
+    def _wand_shape(self, q: Query) -> list[str] | None:
+        """Queries the block-max pruned path supports: a single TermQuery or
+        a pure-SHOULD BooleanQuery with minimum_should_match <= 1 over
+        TermQuery clauses (the classic WAND shape). Returns the term list,
+        or None if the shape (or scoring mode) doesn't qualify."""
+        if self.scoring != "lucene":
+            return None  # block_max_ub bounds the quantized-norm score only
+        if isinstance(q, TermQuery) and q.boost == 1.0:
+            return [q.term]
+        if isinstance(q, BooleanQuery) and q.minimum_should_match <= 1:
+            must, should, must_not = q.parts()
+            if must or must_not:
+                return None
+            if all(isinstance(s, TermQuery) and s.boost == 1.0 for s in should):
+                return [s.term for s in should]
+        return None
+
+    def _wand_theta(self, terms: list[str], stats: dict[str, TermStat], k: int):
+        """Cheap pre-pass: fully score only the top-``ceil(k/block)`` blocks
+        of each term (ranked by block_max_ub — the best-impact blocks) and
+        take the k-th best partial score. Partial sums are LOWER bounds of
+        true scores, so theta is achievable and pruning against it is safe.
+        Everything collected is O(k) rows."""
+        m = max(1, -(-k // 128))
+        scored = []
+        for t in terms:
+            st = stats.get(t)
+            if st is None:
+                continue
+            blocks = (
+                self.postings.filter(F.col("term") == t)
+                .orderBy(F.desc("block_max_ub"))
+                .limit(m)
+            )
+            scored.append(self._decode_score(blocks, st))
+        if not scored:
+            return None
+        u = reduce(lambda a, b: a.unionAll(b), scored)
+        agg = u.groupBy("docid").agg(F.sum("score").alias("score"))
+        rows = agg.orderBy(F.desc("score"), F.asc("docid")).limit(k).collect()
+        if len(rows) < k:
+            return None  # fewer than k candidates — pruning could drop hits
+        return np.float32(rows[-1]["score"])
+
+    def _search_wand(self, terms: list[str], stats: dict[str, TermStat], k: int) -> DataFrame:
+        """Block-max WAND as a set operation (SURVEY.md §4.2 — absent in the
+        reference, required by the north rule): drop every posting block
+        whose upper bound ``ub_t(block) + Σ_{s≠t} global_max_s`` cannot
+        reach theta. A doc whose term-t block is pruned can still surface
+        via another term, but its (understated) score is then provably
+        < theta <= k-th true score, so the top-k is EXACTLY the unpruned
+        result (asserted by tests/test_wand.py). Bounds are padded a ulp so
+        float rounding can only under-prune, never over-prune."""
+        theta = self._wand_theta(terms, stats, k)
+        live = [t for t in terms if t in stats]
+        # per-term global max score: idf*(k1+1) * max over index of
+        # tf/(tf+cache[norm]) — float64 with upward padding
+        gmax = {
+            t: float(stats[t].idf) * (float(self.k1) + 1.0) * float(stats[t].max_ub)
+            for t in live
+        }
+        scored = []
+        for t in live:
+            st = stats[t]
+            blocks = self.postings.filter(F.col("term") == t)
+            if theta is not None:
+                w_t = float(st.idf) * (float(self.k1) + 1.0)
+                rest = sum(gmax[s] for s in live if s != t)
+                # keep block iff w_t*ub + rest >= theta (with safety margin)
+                bound = F.col("block_max_ub").cast("double") * F.lit(w_t) + F.lit(rest)
+                blocks = blocks.filter(bound >= F.lit(float(theta) * (1.0 - 1e-6)))
+            scored.append(self._decode_score(blocks, st))
+        if not scored:
+            return self._empty().select(
+                "docid", F.col("score").cast("float").alias("score")
+            )
+        u = reduce(lambda a, b: a.unionAll(b), scored)
+        agg = u.groupBy("docid").agg(F.sum("score").alias("score"))
+        return agg.select("docid", F.col("score").cast("float").alias("score"))
+
     # ---------------- public API ----------------------------------------- #
     def score_df(self, q: Query) -> DataFrame:
         """Full scored match set as (docid, score float32-in-float column)."""
@@ -491,9 +572,25 @@ class Searcher:
             return scored.select("docid", F.col("score").cast("long").alias("score"))
         return scored.select("docid", F.col("score").cast("float").alias("score"))
 
-    def search(self, q: Query, k: int = 10) -> DataFrame:
+    def search(self, q: Query, k: int = 10, wand: bool = False) -> DataFrame:
         """Top-k: (docid, score, rank). Tie-break score desc then docid asc
-        (HitQueue.cs:77-87) via distributed TakeOrderedAndProject."""
+        (HitQueue.cs:77-87) via distributed TakeOrderedAndProject.
+
+        ``wand=True`` enables block-max WAND pruning for term/disjunction
+        shapes in "lucene" scoring mode — result-identical, skips posting
+        blocks that provably cannot reach the top-k threshold."""
+        if wand:
+            terms = self._wand_shape(rewrite(q))
+            if terms is not None:
+                stats = self.term_stats(terms)
+                scored = self._search_wand(terms, stats, k)
+                top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+                from pyspark.sql import Window
+
+                return top.withColumn(
+                    "rank",
+                    F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid"))),
+                )
         scored = self.score_df(q)
         top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         from pyspark.sql import Window
@@ -518,6 +615,114 @@ class Searcher:
     def count(self, q: Query) -> int:
         """TotalHitCountCollector.cs analogue."""
         return self.score_df(q).count()
+
+    def rescore(self, topk: DataFrame, q: Query, weight: float = 1.0) -> DataFrame:
+        """QueryRescorer (QueryRescorer.cs): re-rank an existing (tiny)
+        top-k with a second query; combined score = first + weight*second.
+        The top-k side is broadcast — the second query only ever scores the
+        k candidate docids."""
+        second = self.score_df(q).withColumnRenamed("score", "score2")
+        joined = F.broadcast(topk.select("docid", "score")).join(
+            second, "docid", "left_outer"
+        )
+        combined = joined.select(
+            "docid",
+            (
+                F.col("score") + F.lit(float(weight)) * F.coalesce(F.col("score2"), F.lit(0.0))
+            ).alias("score"),
+        )
+        from pyspark.sql import Window
+
+        return combined.orderBy(F.desc("score"), F.asc("docid")).withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid")))
+        )
+
+    def search_sorted(self, q: Query, sort_cols: list, k: int = 10) -> DataFrame:
+        """TopFieldCollector / Sort (TopFieldCollector.cs:37, Sort.cs): top-k
+        by arbitrary docmap columns instead of relevance; ``sort_cols`` are
+        Spark Column expressions (e.g. [F.asc("url")])."""
+        matched = self.score_df(q).select("docid", "score")
+        enriched = matched.join(self.docmap, "docid")
+        return enriched.orderBy(*sort_cols).limit(k)
+
+    def more_like_this(
+        self, text: str, k: int = 10, max_query_terms: int = 25, min_doc_freq: int = 2
+    ) -> DataFrame:
+        """MoreLikeThis (Lucene.Net.Queries/Mlt/MoreLikeThis.cs): rank the
+        input text's terms by tf*idf, keep the best ``max_query_terms``, run
+        them as a SHOULD disjunction. The term selection happens driver-side
+        on the (tiny) analyzed input; scoring is the normal distributed
+        path."""
+        from collections import Counter
+
+        from ..analysis import StandardAnalyzer
+
+        toks = StandardAnalyzer().analyze_query(text)
+        if not toks:
+            return self._empty()
+        tf = Counter(toks)
+        stats = self.term_stats(list(tf))
+        ranked = sorted(
+            (
+                (float(tf[t]) * float(st.idf), t)
+                for t, st in stats.items()
+                if st.df >= min_doc_freq
+            ),
+            reverse=True,
+        )
+        best = [t for _, t in ranked[:max_query_terms]]
+        if not best:
+            return self._empty()
+        q = BooleanQuery.build(should=[TermQuery(t) for t in best])
+        return self.search(q, k)
+
+    def common_terms_query(
+        self, terms: list[str], k: int = 10, max_term_frequency: float = 0.01
+    ) -> DataFrame:
+        """CommonTermsQuery (Lucene.Net.Queries/CommonTermsQuery.cs:69): the
+        query-time face of stopword skew — terms with df/maxDoc above the
+        cutoff are demoted to an optional clause that can only add score to
+        docs already matched by the rare terms (ReqOptSumScorer shape), so a
+        stopword never drives a full posting-list scan of the match set."""
+        stats = self.term_stats(terms)
+        cutoff = max_term_frequency * self.maxdoc
+        low = [t for t in terms if t in stats and stats[t].df <= cutoff]
+        high = [t for t in terms if t in stats and stats[t].df > cutoff]
+        if not low:
+            # all terms common -> plain disjunction (reference fallback)
+            q = BooleanQuery.build(should=[TermQuery(t) for t in high])
+            return self.search(q, k)
+        q = BooleanQuery.build(
+            must=[BooleanQuery.build(should=[TermQuery(t) for t in low])],
+            should=[TermQuery(t) for t in high] if high else None,
+        )
+        return self.search(q, k)
+
+    def suggest(self, prefix: str, k: int = 10) -> DataFrame:
+        """Autocomplete (Suggest/Analyzing/AnalyzingSuggester.cs:90, FST
+        replaced by the sorted term dictionary): terms with the prefix,
+        ranked by document frequency — a pushdown-pruned dictionary scan."""
+        return (
+            self.termstats.filter(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
+    def spell_correct(self, term: str, k: int = 5, max_edits: int = 2) -> DataFrame:
+        """SpellChecker (Suggest/Spell/SpellChecker.cs): nearest dictionary
+        terms by edit distance, ties broken by df desc then term asc."""
+        t = F.col("term")
+        cand = self.termstats.filter(
+            (F.levenshtein(t, F.lit(term)) <= max_edits)
+            & (F.abs(F.length(t) - F.lit(len(term))) <= max_edits)
+            & (t != term)
+        )
+        return (
+            cand.select("term", "df", F.levenshtein(t, F.lit(term)).alias("distance"))
+            .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
 
     def fetch(self, topk: DataFrame) -> DataFrame:
         """Join stored fields back for the (tiny) top-k result — the

@@ -1,0 +1,147 @@
+"""MoreLikeThis + CommonTermsQuery (Lucene.Net.Queries module analogues):
+metamorphic checks against the explicitly-constructed equivalent query."""
+
+import pytest
+
+from lucenenet_spark.data.pages import pages_spark_df
+from lucenenet_spark.index import IndexConfig, build_index
+from lucenenet_spark.query.ast import BooleanQuery, TermQuery
+from lucenenet_spark.query.engine import Searcher
+
+CFG = IndexConfig(num_partitions=8, bucket_width=2, flush_docs=64)
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("miscidx"))
+    build_index(spark, pages_spark_df(spark, 400, seed=42), out, CFG, overwrite=True)
+    return Searcher(spark, out)
+
+
+def rows(df):
+    return [(r["docid"], r["score"]) for r in df.collect()]
+
+
+def test_more_like_this_matches_explicit_or(searcher):
+    text = "tiger burning bright in the forest data search"
+    got = searcher.more_like_this(text, k=10, max_query_terms=3)
+    # replicate the selection: tf*idf ranking over analyzed terms
+    from collections import Counter
+
+    from lucenenet_spark.analysis import StandardAnalyzer
+
+    tf = Counter(StandardAnalyzer().analyze_query(text))
+    stats = searcher.term_stats(list(tf))
+    ranked = sorted(
+        ((float(tf[t]) * float(st.idf), t) for t, st in stats.items() if st.df >= 2),
+        reverse=True,
+    )
+    best = [t for _, t in ranked[:3]]
+    want = searcher.search(BooleanQuery.build(should=[TermQuery(t) for t in best]), 10)
+    assert rows(got) == rows(want)
+
+
+def test_more_like_this_empty_text(searcher):
+    assert searcher.more_like_this("", k=5).count() == 0
+    assert searcher.more_like_this("the of and", k=5).count() == 0  # all stopwords
+
+
+def test_common_terms_demotes_high_df(searcher):
+    # 'data' is frequent (Zipf head), 'w00042' rare. With a cutoff between
+    # their dfs, the query must equal the ReqOptSum shape.
+    stats = searcher.term_stats(["data", "w00042"])
+    assert stats["data"].df > stats["w00042"].df
+    cutoff_ratio = (stats["w00042"].df + 0.5) / searcher.maxdoc
+    got = searcher.common_terms_query(["data", "w00042"], k=10, max_term_frequency=cutoff_ratio)
+    want = searcher.search(
+        BooleanQuery.build(
+            must=[BooleanQuery.build(should=[TermQuery("w00042")])],
+            should=[TermQuery("data")],
+        ),
+        10,
+    )
+    assert rows(got) == rows(want)
+    # every hit must contain the rare (required) term
+    req_docs = {r["docid"] for r in searcher.score_df(TermQuery("w00042")).collect()}
+    assert {r["docid"] for r in got.collect()} <= req_docs
+
+
+def test_common_terms_all_common_falls_back_to_or(searcher):
+    got = searcher.common_terms_query(["data", "search"], k=10, max_term_frequency=1e-9)
+    want = searcher.search(
+        BooleanQuery.build(should=[TermQuery("data"), TermQuery("search")]), 10
+    )
+    assert rows(got) == rows(want)
+
+
+def test_rescorer_reranks_topk(searcher):
+    from pyspark.sql import functions as F
+
+    base = searcher.search(TermQuery("data"), 10)
+    rescored = searcher.rescore(base, TermQuery("search"), weight=2.0)
+    rows_ = rescored.collect()
+    assert len(rows_) == len(base.collect())
+    # rescored docids are a permutation of the originals
+    assert {r["docid"] for r in rows_} == {r["docid"] for r in base.collect()}
+    # combined score == base + 2*second for a doc matching both
+    second = {r["docid"]: r["score"] for r in searcher.score_df(TermQuery("search")).collect()}
+    base_s = {r["docid"]: r["score"] for r in base.collect()}
+    for r in rows_:
+        want = base_s[r["docid"]] + 2.0 * second.get(r["docid"], 0.0)
+        assert abs(r["score"] - want) < 1e-5
+
+
+def test_search_sorted_by_field(searcher):
+    from pyspark.sql import functions as F
+
+    top = searcher.search_sorted(TermQuery("data"), [F.asc("url")], k=5).collect()
+    urls = [r["url"] for r in top]
+    assert urls == sorted(urls)
+    assert len(top) == 5
+
+
+def test_suggest_prefix_ranked_by_df(searcher):
+    rows_ = searcher.suggest("s", k=5).collect()
+    assert all(r["term"].startswith("s") for r in rows_)
+    dfs = [r["df"] for r in rows_]
+    assert dfs == sorted(dfs, reverse=True)
+
+
+def test_spell_correct(searcher):
+    rows_ = searcher.spell_correct("serch", k=3).collect()
+    assert rows_, "expected at least one correction"
+    assert rows_[0]["term"] == "search"
+    dists = [r["distance"] for r in rows_]
+    assert dists == sorted(dists)
+
+
+def test_analyzer_variants():
+    from lucenenet_spark.analysis.analyzer import (
+        KeywordAnalyzer,
+        SimpleAnalyzer,
+        StopAnalyzer,
+        WhitespaceAnalyzer,
+    )
+
+    assert KeywordAnalyzer().analyze("Hello World 42").tokens == ["Hello World 42"]
+    assert WhitespaceAnalyzer().analyze("Hello World 42").tokens == ["Hello", "World", "42"]
+    assert SimpleAnalyzer().analyze("Hello World42x the").tokens == ["hello", "world", "x", "the"]
+    assert StopAnalyzer().analyze("Hello World42x the").tokens == ["hello", "world", "x"]
+
+
+def test_custom_analyzer_build_path(spark, tmp_path_factory):
+    """A non-default chain must flow through the whole build (generic
+    analyzer fallback) and produce a queryable index."""
+    from lucenenet_spark.analysis.analyzer import WhitespaceAnalyzer
+    from lucenenet_spark.index.builder import IndexBuilder
+    from lucenenet_spark.index.storage import IndexStorage
+
+    out = str(tmp_path_factory.mktemp("wsidx"))
+    pages = pages_spark_df(spark, 50, seed=3)
+    b = IndexBuilder(spark, IndexStorage(out), CFG, analyzer=WhitespaceAnalyzer())
+    b.build(pages, overwrite=True)
+    s = Searcher(spark, out)
+    # WhitespaceAnalyzer preserves case and punctuation-attached tokens;
+    # 'Tiger,' (with comma) exists as a term, lowercase 'tiger' standalone does not
+    terms = {r["term"] for r in s.termstats.select("term").collect()}
+    assert any("," in t or t[0].isupper() for t in terms)
