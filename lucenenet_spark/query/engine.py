@@ -87,7 +87,7 @@ class Searcher:
         index_dir: str,
         k1: float = 1.2,
         b: float = 0.75,
-        cache_tables: bool = True,
+        cache_tables: bool = False,
         scoring: str = "lucene",
     ):
         """``scoring``:
@@ -124,7 +124,13 @@ class Searcher:
         # MultiTerm): 1.0, or its micro-unit representation in exact_int
         self.const_score = 1_000_000.0 if scoring == "exact_int" else 1.0
         if cache_tables:
-            # posting-block metadata & stats are hot across queries
+            # OFF by default, and measured strictly worse on this engine:
+            # caching the postings table pays a full materialization scan of
+            # EVERY column (positions included), and InMemoryTableScan loses
+            # the Parquet footer min/max pushdown on the term-sorted files —
+            # the seek-by-term design (BlockTree analogue) lives in that
+            # pushdown. At 100 TB the postings table could never be cached
+            # anyway. Kept as an option for small hot indexes only.
             self.postings = self.postings.cache()
             self.termstats = self.termstats.cache()
 
