@@ -34,7 +34,9 @@ def main() -> None:
     # BENCH/BASELINE.md). Cap task slots so the build runs at the machine's
     # peak instead of inside the collapse; override with SPARK_GRAFT_MAX_SLOTS.
     cpus = min(cpus, int(os.environ.get("SPARK_GRAFT_MAX_SLOTS", "16")))
-    synth_docs = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH_DOCS", "50000"))
+    # 200k: small enough to keep the bench under ~2 min, large enough that
+    # per-doc cost (not JVM/stage fixed overhead) dominates the docs/sec
+    synth_docs = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH_DOCS", "200000"))
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     try:
         sf = float(sf_name.replace("sf", ""))

@@ -93,7 +93,12 @@ class IndexBuilder:
         storage: IndexStorage,
         config: IndexConfig | None = None,
         analyzer: StandardAnalyzer | None = None,
+        docid_base: int = 0,
     ):
+        #: first docid this build assigns — 0 for a base index; the base's
+        #: maxdoc for a delta generation (the docBase scheme of
+        #: BaseCompositeReader.cs:79-99 applied across commit generations)
+        self.docid_base = docid_base
         self.spark = spark
         self.storage = storage
         self.config = config or IndexConfig()
@@ -130,12 +135,32 @@ class IndexBuilder:
         if not self.config.external_docids:
             run("docoffsets", lambda: self._stage_docoffsets(pages))
         run("partials", lambda: self._stage_partials(pages))
+        return self._finish(summary, run)
+
+    def _finish(self, summary: dict, run) -> dict:
+        """Stages downstream of the partials table — also the entry point
+        for compaction, which synthesizes a merged partials table first."""
         run("docmap", self._stage_docmap)
         run("stats", self._stage_stats)
         run("postings", self._stage_postings)
         run("termstats", self._stage_termstats)
         run("lineage", self._stage_lineage)
         return summary
+
+    def finish_from_partials(self) -> dict:
+        """Run every stage downstream of an externally-written partials
+        table (compaction path)."""
+        fp = self.config.fingerprint()
+        summary = {"fingerprint": fp, "stages": {}}
+
+        def run(stage: str, fn):
+            if self.storage.is_committed(stage, fp):
+                summary["stages"][stage] = {"skipped": True}
+                return
+            meta = fn()
+            summary["stages"][stage] = meta
+
+        return self._finish(summary, run)
 
     # ------------------------------------------------------------------ #
     def _stage_docoffsets(self, pages: DataFrame) -> dict:
@@ -151,7 +176,7 @@ class IndexBuilder:
         pdf = counts.toPandas().sort_values("pid")  # P rows — driver-safe
         full = pd.DataFrame({"pid": range(P)}).merge(pdf, on="pid", how="left").fillna(0)
         full["cnt"] = full["cnt"].astype("int64")
-        full["docid_base"] = full["cnt"].cumsum().shift(1, fill_value=0)
+        full["docid_base"] = full["cnt"].cumsum().shift(1, fill_value=0) + self.docid_base
         df = self.spark.createDataFrame(full[["pid", "cnt", "docid_base"]])
         return self.storage.write_stage(
             df, "docoffsets", self.config.fingerprint(),
@@ -736,3 +761,89 @@ def build_index(
 ) -> dict:
     builder = IndexBuilder(spark, IndexStorage(out_dir), config)
     return builder.build(pages, overwrite=overwrite)
+
+
+def append_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    config: IndexConfig | None = None,
+) -> dict:
+    """Incremental indexing — the commit-generation analogue of Lucene's
+    near-real-time refresh (DirectoryReader.Open(writer),
+    DirectoryReader.cs:111): a new batch of pages becomes a fresh delta
+    generation under ``<index_dir>/deltas/<gen>``, a self-contained
+    mini-index whose docids start at the composite maxdoc (docBase scheme).
+    ``Searcher`` unions base + committed deltas and recomputes collection
+    statistics at query time, so the appended docs are searchable without
+    touching the base tables. A crash mid-append leaves an uncommitted
+    generation that the searcher ignores and a re-run resumes."""
+    import os
+
+    base = IndexStorage(index_dir)
+    # composite maxdoc = base + all committed deltas (sequential docBase)
+    next_base = int(base.commit_meta("stats")["maxdoc"])
+    for d in base.delta_dirs():
+        next_base += int(IndexStorage(d).commit_meta("stats")["maxdoc"])
+    gen = len(base.delta_dirs())
+    delta_dir = os.path.join(index_dir, "deltas", f"{gen:06d}")
+    builder = IndexBuilder(spark, IndexStorage(delta_dir), config, docid_base=next_base)
+    summary = builder.build(pages)
+    summary["delta_dir"] = delta_dir
+    summary["docid_base"] = next_base
+    return summary
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    config: IndexConfig | None = None,
+) -> dict:
+    """Merge all delta generations back into a single base index — the
+    TieredMergePolicy maintenance job (TieredMergePolicy.cs:308-440) at tier
+    granularity: every generation's PARTIAL postings (retained on disk
+    precisely for this) are unioned — with pids offset per generation so
+    global pid order still equals docid order — and replayed through the
+    normal merge/stats stages. The compacted index has fresh collection
+    stats and block-max metadata, so WAND pruning is valid again.
+
+    The final publish is a per-stage directory swap; on Iceberg this whole
+    function is a single snapshot commit. Returns the build summary."""
+    import os
+    import shutil
+
+    from functools import reduce as _reduce
+
+    base = IndexStorage(index_dir)
+    deltas = base.delta_dirs()
+    if not deltas:
+        return {"skipped": True, "reason": "no deltas"}
+    cfg = config or IndexConfig()
+    tmp_root = index_dir + ".__compact__"
+    st = IndexStorage(tmp_root)
+    st.drop()
+    builder = IndexBuilder(spark, st, cfg)
+
+    parts = []
+    pid_offset = 0
+    for d in [index_dir, *deltas]:
+        p = IndexStorage(d).read_stage(spark, "partials")
+        parts.append(p.withColumn("pid", (F.col("pid") + F.lit(pid_offset)).cast("int")))
+        pid_offset += int(p.select(F.max("pid")).collect()[0][0] or 0) + 1
+    merged = _reduce(lambda a, b: a.unionAll(b), parts)
+    st.write_stage(merged, "partials", cfg.fingerprint(), partition_by=["row_type"])
+    summary = builder.finish_from_partials()
+
+    # publish: swap stage dirs, then drop the deltas (Iceberg: one snapshot)
+    for stage in ("partials", "docmap", "stats", "postings", "termstats", "lineage"):
+        dst = os.path.join(index_dir, stage)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(os.path.join(tmp_root, stage), dst)
+    old_offsets = os.path.join(index_dir, "docoffsets")
+    if os.path.exists(old_offsets):
+        shutil.rmtree(old_offsets)  # stale after compaction (docids kept as-is)
+    shutil.rmtree(os.path.join(index_dir, "deltas"))
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    summary["compacted_generations"] = len(deltas) + 1
+    return summary

@@ -102,6 +102,21 @@ class IndexStorage:
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self.path(stage))
 
+    def delta_dirs(self) -> list[str]:
+        """Committed delta generations under <root>/deltas/<gen>, in
+        generation order — the ``segments_N`` commit-generation list of the
+        composite index (SegmentInfos.cs:55-119). A generation counts only
+        if its postings stage published a commit marker."""
+        base = os.path.join(self.root, "deltas")
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for name in sorted(os.listdir(base)):
+            d = os.path.join(base, name)
+            if os.path.exists(os.path.join(d, "postings", COMMIT_MARKER)):
+                out.append(d)
+        return out
+
     def drop(self) -> None:
         if os.path.exists(self.root):
             shutil.rmtree(self.root)

@@ -105,13 +105,36 @@ class Searcher:
             raise ValueError(scoring)
         self.spark = spark
         storage = IndexStorage(index_dir)
-        self.postings = storage.read_stage(spark, "postings")
-        self.termstats = storage.read_stage(spark, "termstats")
-        self.docmap = storage.read_stage(spark, "docmap")
-        srow = storage.read_stage(spark, "stats").collect()[0]
-        self.maxdoc = int(srow["maxdoc"])
-        self.sum_ttf = int(srow["sum_ttf"])
-        self.avgdl = np.float32(srow["avgdl"])
+        # composite index = base + committed delta generations (the
+        # BaseCompositeReader over segments_N commit points; docids are
+        # already globally offset at build time, so composition is a union)
+        dirs = [index_dir, *storage.delta_dirs()]
+        self.is_composite = len(dirs) > 1
+        stores = [IndexStorage(d) for d in dirs]
+        posts = [st.read_stage(spark, "postings") for st in stores]
+        self.postings = reduce(lambda a, b: a.unionAll(b), posts)
+        dms = [st.read_stage(spark, "docmap") for st in stores]
+        self.docmap = reduce(lambda a, b: a.unionAll(b), dms)
+        tss = [st.read_stage(spark, "termstats").select("term", "df", "ttf", "max_ub") for st in stores]
+        ts = reduce(lambda a, b: a.unionAll(b), tss)
+        if self.is_composite:
+            # collection statistics are re-derived over the composite —
+            # exactly what IndexSearcher does over a composite reader
+            ts = ts.groupBy("term").agg(
+                F.sum("df").alias("df"),
+                F.sum("ttf").alias("ttf"),
+                F.max("max_ub").alias("max_ub"),
+            )
+        self.termstats = ts
+        maxdoc = sum_ttf = 0
+        for st in stores:
+            srow = st.read_stage(spark, "stats").collect()[0]
+            maxdoc += int(srow["maxdoc"])
+            sum_ttf += int(srow["sum_ttf"])
+        self.maxdoc = maxdoc
+        self.sum_ttf = sum_ttf
+        # avgdl over the composite, float32 exactly as BM25Similarity.cs:91-102
+        self.avgdl = np.float32(sum_ttf / float(maxdoc)) if maxdoc and sum_ttf > 0 else np.float32(1.0)
         # double-precision avgdl for exact_int mode (no float32 rounding)
         self.avgdl_exact = self.sum_ttf / float(self.maxdoc) if self.maxdoc else 1.0
         self.bm25 = BM25(k1, b)
@@ -149,13 +172,18 @@ class Searcher:
         small pushdown-pruned scan, bounded by the query's term count."""
         if not terms:
             return {}
+        import math
+
         rows = self.termstats.filter(F.col("term").isin(list(set(terms)))).collect()
-        return {
-            r["term"]: TermStat(
-                int(r["df"]), int(r["ttf"]), np.float32(r["idf"]), np.float32(r["max_ub"])
-            )
-            for r in rows
-        }
+        out = {}
+        for r in rows:
+            df = int(r["df"])
+            # idf recomputed from the COMPOSITE df (BM25Similarity.cs:67-70:
+            # double log, one float cast) — the stored per-generation idf is
+            # stale the moment a delta lands
+            idf = np.float32(math.log(1.0 + (self.maxdoc - df + 0.5) / (df + 0.5)))
+            out[r["term"]] = TermStat(df, int(r["ttf"]), idf, np.float32(r["max_ub"]))
+        return out
 
     # ---------------- decode + score kernel ----------------------------- #
     def _decode_score(self, blocks: DataFrame, st: TermStat) -> DataFrame:
@@ -491,6 +519,12 @@ class Searcher:
         or None if the shape (or scoring mode) doesn't qualify."""
         if self.scoring != "lucene":
             return None  # block_max_ub bounds the quantized-norm score only
+        if self.is_composite:
+            # stored block_max_ub was computed with each generation's OWN
+            # avgdl; under the composite avgdl it is no longer a valid upper
+            # bound — fall back to the unpruned path (a compaction job
+            # restores WAND eligibility)
+            return None
         if isinstance(q, TermQuery) and q.boost == 1.0:
             return [q.term]
         if isinstance(q, BooleanQuery) and q.minimum_should_match <= 1:
