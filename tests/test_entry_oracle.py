@@ -1,0 +1,58 @@
+"""In-suite insurance for the driver correctness gate: a representative
+subset of __spark_entry__ queries vs their DuckDB oracles at sf0.001.
+(The full 33-query sweep is scripts/check_entry.py / the driver's
+CORRECTNESS_r{N}.json.)"""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+SUBSET = [
+    "ft_term_topk",      # BM25 scoring end-to-end through the real index
+    "ft_bool_msm",       # union + minShouldMatch
+    "ft_phrase",         # positional intersection
+    "ft_term_dictionary",  # whole-index df/ttf integrity
+    "dd_minhash_lsh",    # cross-engine md5 minhash banding
+    "ann_cosine_topk",   # fold-ordered double dot product
+    "txt_fingerprint",   # rolling-hash fold
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_entry_query_matches_oracle(spark, duck, name):
+    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(entrymod.oracle_sql()[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    pd.testing.assert_frame_equal(canon(sdf), canon(odf))
+
+
+def test_every_query_has_oracle():
+    qs = entrymod.queries()
+    oq = entrymod.oracle_sql()
+    missing = [n for n in qs if n not in oq]
+    assert not missing, f"queries without oracle SQL: {missing}"

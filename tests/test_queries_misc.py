@@ -145,3 +145,16 @@ def test_custom_analyzer_build_path(spark, tmp_path_factory):
     # 'Tiger,' (with comma) exists as a term, lowercase 'tiger' standalone does not
     terms = {r["term"] for r in s.termstats.select("term").collect()}
     assert any("," in t or t[0].isupper() for t in terms)
+
+
+def test_highlighter(spark):
+    from lucenenet_spark.query.highlight import highlight
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "no match here"), (3, None)],
+        "docid long, text string",
+    )
+    out = {r["docid"]: r["snippet"] for r in highlight(df, ["fox", "dog"]).collect()}
+    assert "<b>fox</b>" in out[1] and "<b>dog</b>" in out[1]
+    assert out[2] == "no match here"
+    assert out[3] == ""
