@@ -337,6 +337,25 @@ def q_ft_doc_norms(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_ft_suggest(spark, sf_dir):
+    """Autocomplete over the term dictionary (AnalyzingSuggester.cs:90 with
+    the FST replaced by the sorted termstats table): prefix scan ranked by
+    document frequency."""
+    s = _searcher(spark, sf_dir)
+    return s.suggest("s", 10).select("term", F.col("df").cast("long").alias("df"))
+
+
+def q_ft_spell(spark, sf_dir):
+    """Spell correction (Suggest/Spell/SpellChecker.cs): nearest dictionary
+    terms by levenshtein distance, df-ranked."""
+    s = _searcher(spark, sf_dir)
+    return s.spell_correct("tabel", k=5, max_edits=2).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
 # ---- training-data pipeline operators (documents/embeddings) -------------- #
 
 
@@ -676,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_group_top_source": q_ft_group_top_source,
         "ft_term_dictionary": q_ft_term_dictionary,
         "ft_doc_norms": q_ft_doc_norms,
+        "ft_suggest": q_ft_suggest,
+        "ft_spell": q_ft_spell,
         "dd_exact": q_dd_exact,
         "dd_minhash_lsh": q_dd_minhash_lsh,
         "dd_simhash": q_dd_simhash,
@@ -852,6 +873,21 @@ scored AS (
         + ", c AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) "
         "SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS doclen "
         "FROM documents d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id"
+    )
+
+    o["ft_suggest"] = (
+        _SQL_PREFIX
+        + "SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok "
+        "WHERE term LIKE 's%' GROUP BY term "
+        "ORDER BY df DESC, term ASC LIMIT 10"
+    )
+
+    o["ft_spell"] = (
+        _SQL_PREFIX
+        + ", d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term) "
+        "SELECT term, df, CAST(levenshtein(term, 'tabel') AS BIGINT) AS distance FROM d "
+        "WHERE levenshtein(term, 'tabel') <= 2 AND abs(length(term) - 5) <= 2 AND term <> 'tabel' "
+        "ORDER BY distance ASC, df DESC, term ASC LIMIT 5"
     )
 
     o["dd_exact"] = (
