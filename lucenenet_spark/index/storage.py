@@ -61,6 +61,7 @@ class IndexStorage:
         range_partition_column: str | None = None,
         num_files: int | None = None,
         partition_by: list[str] | None = None,
+        compression: str | None = None,
     ) -> dict:
         """Write a stage table and publish its commit marker.
 
@@ -83,6 +84,8 @@ class IndexStorage:
         if sort_columns:
             w = w.sortWithinPartitions(*sort_columns)
         writer = w.write.mode("overwrite")
+        if compression:
+            writer = writer.option("compression", compression)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)

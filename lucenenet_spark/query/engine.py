@@ -462,13 +462,25 @@ class Searcher:
 
         must_df = None
         if must:
-            dfs = [
-                self._score(m, stats).withColumnRenamed("score", f"ms_{i}")
-                for i, m in enumerate(must)
-            ]
             # rarest-first join order = the cost-sorted leapfrog
-            # (ConjunctionScorer.cs:40-60); Catalyst/AQE then picks the
-            # physical join strategy per side size
+            # (ConjunctionScorer.cs:40-60): we KNOW each term's exact df, so
+            # join the smallest match set first; non-term clauses (unknown
+            # cost) go last. A clause with df below the broadcast threshold
+            # gets an explicit broadcast hint — the n-docid probe side of a
+            # conjunction is the classic broadcast-join case.
+            def cost(q: Query) -> int:
+                if isinstance(q, TermQuery):
+                    st = stats.get(q.term)
+                    return st.df if st else 0
+                return 1 << 60
+
+            order = sorted(range(len(must)), key=lambda i: cost(must[i]))
+            dfs = []
+            for i in order:
+                d = self._score(must[i], stats).withColumnRenamed("score", f"ms_{i}")
+                if cost(must[i]) <= 1_000_000:
+                    d = F.broadcast(d)
+                dfs.append(d)
             must_df = reduce(lambda a, b: a.join(b, "docid", "inner"), dfs)
             must_sum = reduce(
                 lambda a, b: a + b, [F.col(f"ms_{i}") for i in range(len(must))]

@@ -119,3 +119,36 @@ def test_block_size_respected(built):
     post = IndexStorage(out).read_stage(spark, "postings")
     assert post.filter(F.col("entry_count") > CFG.block_size).count() == 0
     assert post.filter(F.col("entry_count") <= 0).count() == 0
+
+
+def test_hot_term_spreads_across_buckets(spark, tmp_path):
+    """Stopword-skew contract: a term present in EVERY doc must have its
+    postings split across multiple (term, bucket) merge groups, so no single
+    merge task ever owns a full hot posting list (TieredMergePolicy salting
+    analogue, SURVEY.md §2.2)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.index import IndexConfig, build_index
+    from lucenenet_spark.index.storage import IndexStorage
+
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i:05d}" for i in range(n)],
+            "text": ["hotword filler%d" % (i % 7) for i in range(n)],
+        }
+    )
+    pages = spark.createDataFrame(pdf)
+    out = str(tmp_path / "skewidx")
+    cfg = IndexConfig(num_partitions=8, bucket_width=2, flush_docs=1000)
+    build_index(spark, pages, out, cfg, overwrite=True)
+    post = IndexStorage(out).read_stage(spark, "postings")
+    hot = post.filter(F.col("term") == "hotword")
+    n_buckets = hot.select("bucket").distinct().count()
+    assert n_buckets == 4  # 8 partitions / bucket_width 2
+    # and the union of bucket-ordered blocks is still the sorted full list
+    rows = hot.orderBy("bucket", "block_id").select("first_docid", "last_docid").collect()
+    bounds = [(r["first_docid"], r["last_docid"]) for r in rows]
+    for (a, b), (c, d) in zip(bounds, bounds[1:]):
+        assert b < c
