@@ -76,6 +76,12 @@ POSTINGS_SCHEMA = (
     "block_max_tf int, block_ttf long, block_max_ub float"
 )
 
+DOCMAP_SCHEMA = (
+    "docid long, url string, doclen int, norm_byte int, text_bytes long, pid int"
+)
+
+TERMSTATS_SCHEMA = "term string, df long, ttf long, max_ub float, idf float"
+
 STAGES = ("docoffsets", "partials", "docmap", "stats", "postings", "termstats", "lineage")
 
 
@@ -328,7 +334,7 @@ class IndexBuilder:
     # ------------------------------------------------------------------ #
     def _stage_docmap(self) -> dict:
         df = (
-            self.storage.read_stage(self.spark, "partials")
+            self.storage.read_stage(self.spark, "partials", PARTIALS_SCHEMA)
             .filter(F.col("row_type") == "d")
             .select("docid", "url", "doclen", "norm_byte", "text_bytes", "pid")
         )
@@ -338,7 +344,7 @@ class IndexBuilder:
         )
 
     def _stage_stats(self) -> dict:
-        dm = self.storage.read_stage(self.spark, "docmap")
+        dm = self.storage.read_stage(self.spark, "docmap", DOCMAP_SCHEMA)
         row = dm.agg(
             F.count(F.lit(1)).alias("maxdoc"), F.sum("doclen").alias("sum_ttf")
         ).collect()[0]
@@ -528,7 +534,7 @@ class IndexBuilder:
                     yield out
 
         partials = (
-            self.storage.read_stage(self.spark, "partials")
+            self.storage.read_stage(self.spark, "partials", PARTIALS_SCHEMA)
             .filter(F.col("row_type") == "p")
             .select("term", "pid", "seg", "docids", "freqs", "norm_bytes", "doclens", "positions")
             .withColumn("bucket", (F.col("pid") / F.lit(cfg.bucket_width)).cast("int"))
@@ -556,7 +562,8 @@ class IndexBuilder:
             self.spark.conf.set(k, v)
         try:
             return self.storage.write_stage(
-                postings, "postings", cfg.fingerprint(), compression="zstd"
+                postings, "postings", cfg.fingerprint(), compression="zstd",
+                meta={"index_positions": cfg.index_positions},
             )
         finally:
             for k, v in old.items():
@@ -567,7 +574,7 @@ class IndexBuilder:
     def _stage_termstats(self) -> dict:
         stats = self.storage.read_stage(self.spark, "stats").collect()[0]
         maxdoc = int(stats["maxdoc"])
-        post = self.storage.read_stage(self.spark, "postings")
+        post = self.storage.read_stage(self.spark, "postings", POSTINGS_SCHEMA)
         ts = (
             post.groupBy("term")
             .agg(
@@ -596,7 +603,7 @@ class IndexBuilder:
         """Per-partition audit counters (doc/byte/posting), the resume/
         lineage contract: Σ over pids must equal the table totals
         (CheckIndex analogue, asserted by checkindex.verify)."""
-        partials = self.storage.read_stage(self.spark, "partials")
+        partials = self.storage.read_stage(self.spark, "partials", PARTIALS_SCHEMA)
         docs = (
             partials.filter(F.col("row_type") == "d")
             .groupBy("pid")
@@ -832,7 +839,7 @@ def compact_index(
     parts = []
     pid_offset = 0
     for d in [index_dir, *deltas]:
-        p = IndexStorage(d).read_stage(spark, "partials")
+        p = IndexStorage(d).read_stage(spark, "partials", PARTIALS_SCHEMA)
         parts.append(p.withColumn("pid", (F.col("pid") + F.lit(pid_offset)).cast("int")))
         pid_offset += int(p.select(F.max("pid")).collect()[0][0] or 0) + 1
     merged = _reduce(lambda a, b: a.unionAll(b), parts)

@@ -19,14 +19,15 @@ import pandas as pd
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
+from .builder import DOCMAP_SCHEMA, PARTIALS_SCHEMA, POSTINGS_SCHEMA, TERMSTATS_SCHEMA
 from .storage import IndexStorage
 
 
 def verify(spark: SparkSession, index_dir: str) -> dict:
     st = IndexStorage(index_dir)
-    postings = st.read_stage(spark, "postings")
-    docmap = st.read_stage(spark, "docmap")
-    termstats = st.read_stage(spark, "termstats")
+    postings = st.read_stage(spark, "postings", POSTINGS_SCHEMA)
+    docmap = st.read_stage(spark, "docmap", DOCMAP_SCHEMA)
+    termstats = st.read_stage(spark, "termstats", TERMSTATS_SCHEMA)
     stats = st.read_stage(spark, "stats").collect()[0]
     lineage = st.read_stage(spark, "lineage")
 

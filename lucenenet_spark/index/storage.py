@@ -102,8 +102,14 @@ class IndexStorage:
             json.dump(commit, f, indent=2)
         return commit
 
-    def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(self.path(stage))
+    def read_stage(self, spark: SparkSession, stage: str, schema: str | None = None) -> DataFrame:
+        """``schema``: explicit DDL string — required to read stages that can
+        legitimately be EMPTY (a zero-doc corpus writes no parquet files, and
+        schema inference has nothing to look at)."""
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(self.path(stage))
 
     def delta_dirs(self) -> list[str]:
         """Committed delta generations under <root>/deltas/<gen>, in

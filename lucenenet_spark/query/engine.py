@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..index.builder import DOCMAP_SCHEMA, POSTINGS_SCHEMA, TERMSTATS_SCHEMA
 from ..index.storage import IndexStorage
 from ..scoring.bm25 import BM25
 from .ast import (
@@ -111,11 +112,11 @@ class Searcher:
         dirs = [index_dir, *storage.delta_dirs()]
         self.is_composite = len(dirs) > 1
         stores = [IndexStorage(d) for d in dirs]
-        posts = [st.read_stage(spark, "postings") for st in stores]
+        posts = [st.read_stage(spark, "postings", POSTINGS_SCHEMA) for st in stores]
         self.postings = reduce(lambda a, b: a.unionAll(b), posts)
-        dms = [st.read_stage(spark, "docmap") for st in stores]
+        dms = [st.read_stage(spark, "docmap", DOCMAP_SCHEMA) for st in stores]
         self.docmap = reduce(lambda a, b: a.unionAll(b), dms)
-        tss = [st.read_stage(spark, "termstats").select("term", "df", "ttf", "max_ub") for st in stores]
+        tss = [st.read_stage(spark, "termstats", TERMSTATS_SCHEMA).select("term", "df", "ttf", "max_ub") for st in stores]
         ts = reduce(lambda a, b: a.unionAll(b), tss)
         if self.is_composite:
             # collection statistics are re-derived over the composite —
@@ -133,6 +134,9 @@ class Searcher:
             sum_ttf += int(srow["sum_ttf"])
         self.maxdoc = maxdoc
         self.sum_ttf = sum_ttf
+        self.has_positions = all(
+            st.commit_meta("postings").get("index_positions", True) for st in stores
+        )
         # avgdl over the composite, float32 exactly as BM25Similarity.cs:91-102
         self.avgdl = np.float32(sum_ttf / float(maxdoc)) if maxdoc and sum_ttf > 0 else np.float32(1.0)
         # double-precision avgdl for exact_int mode (no float32 rounding)
@@ -352,6 +356,10 @@ class Searcher:
         idf = sum of constituent idfs."""
         if any(t not in stats for t in q.terms):
             return self._empty()
+        if not self.has_positions:
+            raise ValueError(
+                "phrase queries need an index built with index_positions=True"
+            )
         idf_sum = np.float32(sum(float(stats[t].idf) for t in q.terms))
         per_term = []
         for i, t in enumerate(q.terms):

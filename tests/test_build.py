@@ -152,3 +152,41 @@ def test_hot_term_spreads_across_buckets(spark, tmp_path):
     bounds = [(r["first_docid"], r["last_docid"]) for r in rows]
     for (a, b), (c, d) in zip(bounds, bounds[1:]):
         assert b < c
+
+
+def test_positions_off_index(spark, tmp_path):
+    """index_positions=False: smaller index, term/boolean queries work,
+    phrase queries fail with a clear error."""
+    import pytest as _pytest
+
+    from lucenenet_spark.data.pages import pages_spark_df
+    from lucenenet_spark.index import IndexConfig, build_index
+    from lucenenet_spark.query.ast import PhraseQuery, TermQuery
+    from lucenenet_spark.query.engine import Searcher
+
+    out = str(tmp_path / "noposidx")
+    cfg = IndexConfig(num_partitions=4, index_positions=False)
+    build_index(spark, pages_spark_df(spark, 100, seed=42), out, cfg, overwrite=True)
+    s = Searcher(spark, out)
+    assert not s.has_positions
+    assert s.search(TermQuery("tiger"), 5).count() > 0
+    with _pytest.raises(ValueError, match="index_positions"):
+        s.search(PhraseQuery(("tiger", "burning")), 5).count()
+
+
+def test_empty_corpus_build_and_search(spark, tmp_path):
+    """A zero-doc corpus must build a valid (empty) index and answer
+    queries with zero hits rather than erroring."""
+    from lucenenet_spark.data.pages import pages_spark_df
+    from lucenenet_spark.index import IndexConfig, build_index
+    from lucenenet_spark.query.ast import MatchAllDocsQuery, TermQuery
+    from lucenenet_spark.query.engine import Searcher
+
+    out = str(tmp_path / "emptyidx")
+    empty = pages_spark_df(spark, 1, seed=1, include_blake=False).filter("1=0")
+    cfg = IndexConfig(num_partitions=2)
+    build_index(spark, empty, out, cfg, overwrite=True)
+    s = Searcher(spark, out)
+    assert s.maxdoc == 0
+    assert s.search(TermQuery("anything"), 5).count() == 0
+    assert s.search(MatchAllDocsQuery(), 5).count() == 0
