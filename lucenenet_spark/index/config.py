@@ -40,7 +40,13 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
     max_token_length: int = 255
-    # merge-stage task count; None -> spark.sql.shuffle.partitions
+    # merge-stage task count; None -> spark.sql.shuffle.partitions.
+    # SIZE THIS AT SCALE: one merge task materializes ~(corpus postings /
+    # merge_partitions) entries in Arrow batches whose list offsets are
+    # int32 — keep a task's flattened entry count under ~500M (and its
+    # memory under a few GB) by growing merge_partitions linearly with the
+    # corpus; term-range partitioning keeps the output term-sorted at any
+    # task count, and bucket salting already bounds any single GROUP.
     merge_partitions: int | None = None
     # apply the reference's 33-word English StopFilter (StopAnalyzer.cs:52-58).
     # False -> keyword-style chain (tokenize+lowercase only), used when the
