@@ -758,6 +758,112 @@ class Searcher:
         )
         return self.search(q, k)
 
+    def explain(self, q: Query, docid: int) -> dict:
+        """IndexSearcher.Explain analogue (IndexSearcher.cs Explain /
+        BM25Similarity.Explain): the scoring breakdown for one (query, doc)
+        as a nested Explanation dict {value, description, details}. The
+        docid-targeted posting lookup rides the block metadata: term
+        equality + first/last docid range both push into the Parquet scan."""
+        q = rewrite(q)
+        terms: set[str] = set()
+        _collect_terms(q, terms)
+        stats = self.term_stats(sorted(terms))
+        return self._explain(q, int(docid), stats)
+
+    def _explain(self, q: Query, docid: int, stats: dict[str, TermStat]) -> dict:
+        if isinstance(q, TermQuery):
+            st = stats.get(q.term)
+            if st is None:
+                return {"value": 0.0, "description": f"term({q.term!r}): no match", "details": []}
+            row = (
+                self.postings.filter(
+                    (F.col("term") == q.term)
+                    & (F.col("first_docid") <= docid)
+                    & (F.col("last_docid") >= docid)
+                )
+                .select("first_docid", "docid_deltas", "freqs", "norm_bytes", "doclens")
+                .collect()
+            )
+            tf = norm_byte = doclen = None
+            for r in row:
+                d = r["first_docid"] + np.cumsum(np.asarray(r["docid_deltas"], dtype=np.int64))
+                hit = np.flatnonzero(d == docid)
+                if len(hit):
+                    i = int(hit[0])
+                    tf = int(r["freqs"][i])
+                    norm_byte = int(r["norm_bytes"][i])
+                    doclen = int(r["doclens"][i])
+                    break
+            if tf is None:
+                return {"value": 0.0, "description": f"term({q.term!r}): no match", "details": []}
+            if self.scoring == "exact_int":
+                idf = self._idf_exact(st.df)
+                denom = float(tf) + self.k1d * (
+                    (1.0 - self.bd) + (self.bd * float(doclen)) / self.avgdl_exact
+                )
+                value = float(np.floor((idf * (self.k1d + 1.0) * tf) / denom * 1e6 + 0.5))
+                norm_detail = {"value": doclen, "description": "exact doclen", "details": []}
+            else:
+                f = np.float32(tf)
+                w = np.float32(st.idf) * (self.k1 + np.float32(1.0))
+                value = float(np.float32((w * f) / (f + self.cache[norm_byte & 0xFF])))
+                idf = float(st.idf)
+                norm_detail = {
+                    "value": norm_byte,
+                    "description": f"norm byte (quantized doclen {doclen})",
+                    "details": [],
+                }
+            return {
+                "value": value,
+                "description": f"weight(term={q.term!r} in {docid}) [BM25 k1={self.k1d} b={self.bd}]",
+                "details": [
+                    {"value": float(idf), "description": f"idf(docFreq={st.df}, maxDocs={self.maxdoc})", "details": []},
+                    {"value": tf, "description": "termFreq", "details": []},
+                    norm_detail,
+                    {"value": float(self.avgdl if self.scoring == 'lucene' else self.avgdl_exact),
+                     "description": "avgFieldLength", "details": []},
+                ],
+            }
+        if isinstance(q, BooleanQuery):
+            must, should, must_not = q.parts()
+            for mn in must_not:
+                ex = self._explain(mn, docid, stats)
+                if ex["value"] > 0:
+                    return {
+                        "value": 0.0,
+                        "description": "excluded by MUST_NOT clause",
+                        "details": [ex],
+                    }
+            details = []
+            total = 0.0
+            matched_should = 0
+            for m in must:
+                ex = self._explain(m, docid, stats)
+                if ex["value"] <= 0:
+                    return {"value": 0.0, "description": "failure to match MUST clause",
+                            "details": [ex]}
+                details.append(ex)
+                total += ex["value"]
+            for s_q in should:
+                ex = self._explain(s_q, docid, stats)
+                if ex["value"] > 0:
+                    matched_should += 1
+                    details.append(ex)
+                    total += ex["value"]
+            if should and not must and matched_should == 0:
+                return {"value": 0.0, "description": "no SHOULD clause matched", "details": details}
+            if matched_should < q.minimum_should_match:
+                return {
+                    "value": 0.0,
+                    "description": f"minimumShouldMatch {q.minimum_should_match} not met ({matched_should})",
+                    "details": details,
+                }
+            return {"value": total, "description": "sum of:", "details": details}
+        # generic fallback: evaluate the full scored set for this doc
+        rows = self._score(q, stats).filter(F.col("docid") == docid).collect()
+        v = float(rows[0]["score"]) if rows else 0.0
+        return {"value": v, "description": type(q).__name__, "details": []}
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Autocomplete (Suggest/Analyzing/AnalyzingSuggester.cs:90, FST
         replaced by the sorted term dictionary): terms with the prefix,

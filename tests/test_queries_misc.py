@@ -158,3 +158,28 @@ def test_highlighter(spark):
     assert "<b>fox</b>" in out[1] and "<b>dog</b>" in out[1]
     assert out[2] == "no match here"
     assert out[3] == ""
+
+
+def test_explain_matches_score(searcher):
+    """Explanation.value must equal the scored value exactly — the
+    TestExplanations contract of the reference."""
+    q = BooleanQuery.build(should=[TermQuery("data"), TermQuery("search")])
+    top = searcher.search(q, 5).collect()
+    for r in top:
+        ex = searcher.explain(q, r["docid"])
+        import numpy as np
+
+        assert np.float32(ex["value"]) == np.float32(r["score"]), ex
+        assert ex["details"], "expected per-clause details"
+
+
+def test_explain_non_match(searcher):
+    ex = searcher.explain(TermQuery("zzz_not_a_term"), 0)
+    assert ex["value"] == 0.0
+
+
+def test_explain_must_not_exclusion(searcher):
+    q = BooleanQuery.build(must=[TermQuery("data")], must_not=[TermQuery("data")])
+    hit = searcher.score_df(TermQuery("data")).limit(1).collect()[0]["docid"]
+    ex = searcher.explain(q, hit)
+    assert ex["value"] == 0.0 and "MUST_NOT" in ex["description"]
