@@ -6,9 +6,10 @@ query (row-count + schema + order-insensitive value-hash).
 
 Determinism contract shared by the Spark path and the SQL oracle:
 
-- tokenization: lowercase, split on ``[^a-z0-9]+``, drop empties — one regex
-  with identical semantics in Python re, Java regex (Spark) and RE2 (DuckDB)
-  (see lucenenet_spark/analysis/analyzer.py).
+- tokenization: lowercase, split on ``[^a-z0-9]+``, drop empties — the index
+  is built with the ASCII-restricted analyzer (``IndexConfig.ascii_tokens``,
+  no length cap), whose [a-z0-9]+ runs equal this split on ANY input, ASCII
+  or not (see lucenenet_spark/analysis/analyzer.py TOKEN_RE_PYTHON_ASCII).
 - BM25 scores are computed in IEEE-754 double with a FIXED op order
   ``((idf*(k1+1))*tf) / (tf + k1*((1-b) + (b*dl)/avgdl))`` and scaled to
   integer micro-units ``floor(score*1e6 + 0.5)`` — integers survive any
@@ -58,10 +59,16 @@ _SEARCHERS: dict[str, Searcher] = {}
 
 _ENTRY_CONFIG = IndexConfig(
     num_partitions=16,
-    stop_filter=False,       # oracle SQL has no stop list
-    external_docids=True,    # docid == documents.doc_id, nameable in SQL
+    stop_filter=False,        # oracle SQL has no stop list
+    external_docids=True,     # docid == documents.doc_id, nameable in SQL
     index_positions=True,
     flush_docs=20_000,
+    # exact tokenizer parity with the oracle's [^a-z0-9]+ split on ANY input
+    # (including non-ASCII letters/digits, which the default Unicode
+    # tokenizer would keep but the oracle regex splits on), and no token
+    # length cap (the oracle has none)
+    ascii_tokens=True,
+    max_token_length=1_000_000,
 )
 
 
@@ -375,12 +382,16 @@ def q_dd_minhash_lsh(spark, sf_dir):
     min-hashes -> 4 bands of 2 -> band-bucket self-join. The banding join is
     the scale path: candidate generation never compares all pairs."""
     d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    # guard: a doc with <3 tokens has NO 3-shingles — sequence(0, size-3)
+    # would otherwise produce a descending range and slice() would throw
     sh = d.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, greatest(size(toks)-3, -1)), "
-                "i -> concat_ws(' ', slice(toks, i+1, 3)))"
+                "CASE WHEN size(toks) >= 3 THEN "
+                "transform(sequence(0, size(toks)-3), "
+                "i -> concat_ws(' ', slice(toks, i+1, 3))) "
+                "ELSE array() END"
             )
         ).alias("sh"),
     ).distinct()

@@ -42,7 +42,16 @@ TOKEN_RE_PYTHON = r"[^\W_]+"          # Python re, with re.UNICODE
 TOKEN_RE_SQL = r"[\p{L}\p{N}]+"       # Java (Spark) and RE2 (DuckDB)
 SPLIT_RE_RE2 = r"[^\p{L}\p{N}]+"      # RE2 split form (pyarrow compute)
 
+# ASCII-restricted variant: maximal [a-z0-9] runs of the LOWERCASED text.
+# Identical in every engine's regex dialect (no Unicode classes involved) —
+# used when the index must agree bit-for-bit with an external SQL oracle
+# whose tokenizer is the plain split ``[^a-z0-9]+`` (__spark_entry__.py).
+# On pure-ASCII alphanumeric text it equals the Unicode tokenizer.
+TOKEN_RE_PYTHON_ASCII = r"[a-z0-9]+"
+SPLIT_RE_RE2_ASCII = r"[^a-z0-9]+"
+
 _TOKEN_PATTERN = re.compile(TOKEN_RE_PYTHON, re.UNICODE)
+_TOKEN_PATTERN_ASCII = re.compile(TOKEN_RE_PYTHON_ASCII)
 
 # Reference stop set: StopAnalyzer.cs:52-58 (33 words).
 ENGLISH_STOP_WORDS = frozenset(
@@ -61,16 +70,20 @@ class StandardAnalyzer:
         self,
         stop_words: frozenset[str] = ENGLISH_STOP_WORDS,
         max_token_length: int = MAX_TOKEN_LENGTH,
+        ascii_only: bool = False,
     ):
         self.stop_words = stop_words
         self.max_token_length = max_token_length
+        self.ascii_only = ascii_only
+        self._pattern = _TOKEN_PATTERN_ASCII if ascii_only else _TOKEN_PATTERN
+        self.split_re_re2 = SPLIT_RE_RE2_ASCII if ascii_only else SPLIT_RE_RE2
 
     def tokenize(self, text: str) -> list[str]:
         """Lowercase + split into letter/digit runs; drop over-long tokens.
         No stop filtering (the StringField/keyword analogue of raw terms)."""
         if not text:
             return []
-        toks = _TOKEN_PATTERN.findall(text.lower())
+        toks = self._pattern.findall(text.lower())
         ml = self.max_token_length
         return [t for t in toks if len(t) <= ml]
 
@@ -179,7 +192,7 @@ def analyze_flat(
     n = len(texts)
     s = texts.fillna("").str.lower()
     s.index = pd.RangeIndex(n)
-    tok_lists = s.str.findall(_TOKEN_PATTERN)
+    tok_lists = s.str.findall(analyzer._pattern)
     flat = tok_lists.explode().dropna()
     if len(flat) == 0:
         empty_o = np.array([], dtype=object)
@@ -240,7 +253,7 @@ def analyze_flat_arrow(
         return _analyze_flat_generic(texts, analyzer, encode)
     n = len(texts)
     low = pc.utf8_lower(texts)
-    sp = pc.split_pattern_regex(low, SPLIT_RE_RE2)
+    sp = pc.split_pattern_regex(low, analyzer.split_re_re2)
     lens_all = pc.list_value_length(sp)
     lens_all = pc.fill_null(lens_all, 0).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(sp)

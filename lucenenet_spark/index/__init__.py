@@ -1,5 +1,5 @@
 from .config import IndexConfig
-from .builder import IndexBuilder, append_index, build_index
+from .builder import IndexBuilder, append_index, build_index, compact_index
 from .storage import IndexStorage
 
-__all__ = ["IndexConfig", "IndexBuilder", "IndexStorage", "append_index", "build_index"]
+__all__ = ["IndexConfig", "IndexBuilder", "IndexStorage", "append_index", "build_index", "compact_index"]

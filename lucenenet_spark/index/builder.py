@@ -100,6 +100,7 @@ class IndexBuilder:
         config: IndexConfig | None = None,
         analyzer: StandardAnalyzer | None = None,
         docid_base: int = 0,
+        fingerprint_extra: str = "",
     ):
         #: first docid this build assigns — 0 for a base index; the base's
         #: maxdoc for a delta generation (the docBase scheme of
@@ -108,14 +109,31 @@ class IndexBuilder:
         self.spark = spark
         self.storage = storage
         self.config = config or IndexConfig()
+        #: input-identity component mixed into every stage commit marker's
+        #: fingerprint (append/streaming: batch id or input hash) — resume
+        #: skips a committed stage only when BOTH the config and the input
+        #: batch match, so a crashed generation can never be "resumed" with
+        #: a different batch's documents
+        self.fingerprint_extra = fingerprint_extra
         if analyzer is None:
             from ..analysis.analyzer import ENGLISH_STOP_WORDS
 
             analyzer = StandardAnalyzer(
                 stop_words=ENGLISH_STOP_WORDS if self.config.stop_filter else frozenset(),
                 max_token_length=self.config.max_token_length,
+                ascii_only=self.config.ascii_tokens,
             )
         self.analyzer = analyzer
+
+    def _fp(self) -> str:
+        """Stage-commit fingerprint: config identity + (optional) input
+        identity. See ``fingerprint_extra``."""
+        fp = self.config.fingerprint()
+        if not self.fingerprint_extra:
+            return fp
+        import hashlib
+
+        return hashlib.sha256((fp + "|" + self.fingerprint_extra).encode()).hexdigest()[:16]
 
     # ------------------------------------------------------------------ #
     def build(self, pages: DataFrame, overwrite: bool = False) -> dict:
@@ -123,7 +141,7 @@ class IndexBuilder:
         marker matches the config fingerprint are skipped (resume)."""
         if overwrite:
             self.storage.drop()
-        fp = self.config.fingerprint()
+        fp = self._fp()
         summary = {"fingerprint": fp, "stages": {}}
 
         def run(stage: str, fn):
@@ -156,7 +174,7 @@ class IndexBuilder:
     def finish_from_partials(self) -> dict:
         """Run every stage downstream of an externally-written partials
         table (compaction path)."""
-        fp = self.config.fingerprint()
+        fp = self._fp()
         summary = {"fingerprint": fp, "stages": {}}
 
         def run(stage: str, fn):
@@ -185,7 +203,7 @@ class IndexBuilder:
         full["docid_base"] = full["cnt"].cumsum().shift(1, fill_value=0) + self.docid_base
         df = self.spark.createDataFrame(full[["pid", "cnt", "docid_base"]])
         return self.storage.write_stage(
-            df, "docoffsets", self.config.fingerprint(),
+            df, "docoffsets", self._fp(),
             meta={"maxdoc": int(full["cnt"].sum())},
         )
 
@@ -325,7 +343,7 @@ class IndexBuilder:
             )
         partials = prepared.mapInArrow(build_partials, schema=PARTIALS_SCHEMA)
         return self.storage.write_stage(
-            partials, "partials", cfg.fingerprint(), partition_by=["row_type"],
+            partials, "partials", self._fp(), partition_by=["row_type"],
             # zstd: ~12%% smaller than snappy on posting blocks (measured),
             # decompression still stream-fast — the byte-budget lever at 100 TB
             compression="zstd",
@@ -339,7 +357,7 @@ class IndexBuilder:
             .select("docid", "url", "doclen", "norm_byte", "text_bytes", "pid")
         )
         return self.storage.write_stage(
-            df, "docmap", self.config.fingerprint(),
+            df, "docmap", self._fp(),
             range_partition_column="docid", sort_columns=["docid"],
         )
 
@@ -354,7 +372,7 @@ class IndexBuilder:
             [("text", maxdoc, sum_ttf, avgdl)], "field string, maxdoc long, sum_ttf long, avgdl float"
         )
         return self.storage.write_stage(
-            df, "stats", self.config.fingerprint(),
+            df, "stats", self._fp(),
             meta={"maxdoc": maxdoc, "sum_ttf": sum_ttf, "avgdl": avgdl},
         )
 
@@ -562,7 +580,7 @@ class IndexBuilder:
             self.spark.conf.set(k, v)
         try:
             return self.storage.write_stage(
-                postings, "postings", cfg.fingerprint(), compression="zstd",
+                postings, "postings", self._fp(), compression="zstd",
                 meta={"index_positions": cfg.index_positions},
             )
         finally:
@@ -595,7 +613,7 @@ class IndexBuilder:
             )
         )
         return self.storage.write_stage(
-            ts, "termstats", self.config.fingerprint(),
+            ts, "termstats", self._fp(),
             range_partition_column="term", sort_columns=["term"],
         )
 
@@ -622,7 +640,7 @@ class IndexBuilder:
             )
         )
         lineage = docs.join(posts, "pid", "left")
-        return self.storage.write_stage(lineage, "lineage", self.config.fingerprint())
+        return self.storage.write_stage(lineage, "lineage", self._fp())
 
 
 def _arrow_partials_schema():
@@ -780,6 +798,7 @@ def append_index(
     pages: DataFrame,
     index_dir: str,
     config: IndexConfig | None = None,
+    batch_id: str | int | None = None,
 ) -> dict:
     """Incremental indexing — the commit-generation analogue of Lucene's
     near-real-time refresh (DirectoryReader.Open(writer),
@@ -789,17 +808,36 @@ def append_index(
     ``Searcher`` unions base + committed deltas and recomputes collection
     statistics at query time, so the appended docs are searchable without
     touching the base tables. A crash mid-append leaves an uncommitted
-    generation that the searcher ignores and a re-run resumes."""
+    generation that the searcher ignores; a re-run with the SAME batch
+    resumes it, while a different batch rebuilds from scratch — each stage
+    commit marker carries an input-identity fingerprint (count + url hash),
+    so a crashed generation's committed stages are never reused for a
+    different batch's documents. ``batch_id``: caller-supplied exact input
+    identity (the streaming path passes its micro-batch id); when omitted,
+    a one-pass count + order-insensitive xxhash64 over ``url`` is used."""
     import os
 
     base = IndexStorage(index_dir)
+    deltas0 = base.delta_dirs()
     # composite maxdoc = base + all committed deltas (sequential docBase)
     next_base = int(base.commit_meta("stats")["maxdoc"])
-    for d in base.delta_dirs():
+    for d in deltas0:
         next_base += int(IndexStorage(d).commit_meta("stats")["maxdoc"])
-    gen = len(base.delta_dirs())
+    gen = len(deltas0)
     delta_dir = os.path.join(index_dir, "deltas", f"{gen:06d}")
-    builder = IndexBuilder(spark, IndexStorage(delta_dir), config, docid_base=next_base)
+    if batch_id is not None:
+        extra = f"batch:{batch_id}"
+    else:
+        # bit_xor: order-insensitive and overflow-free (ANSI-safe) combine
+        row = pages.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(url))").alias("h"),
+        ).collect()[0]
+        extra = f"input:{int(row['n'])}:{int(row['h'] or 0)}"
+    builder = IndexBuilder(
+        spark, IndexStorage(delta_dir), config, docid_base=next_base,
+        fingerprint_extra=extra,
+    )
     summary = builder.build(pages)
     summary["delta_dir"] = delta_dir
     summary["docid_base"] = next_base
@@ -846,16 +884,19 @@ def compact_index(
     st.write_stage(merged, "partials", cfg.fingerprint(), partition_by=["row_type"])
     summary = builder.finish_from_partials()
 
-    # publish: swap stage dirs, then drop the deltas (Iceberg: one snapshot)
-    for stage in ("partials", "docmap", "stats", "postings", "termstats", "lineage"):
-        dst = os.path.join(index_dir, stage)
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        os.rename(os.path.join(tmp_root, stage), dst)
-    old_offsets = os.path.join(index_dir, "docoffsets")
-    if os.path.exists(old_offsets):
-        shutil.rmtree(old_offsets)  # stale after compaction (docids kept as-is)
-    shutil.rmtree(os.path.join(index_dir, "deltas"))
-    shutil.rmtree(tmp_root, ignore_errors=True)
+    # publish: visibility flips on ONE atomic action — the manifest rename.
+    # Before it, readers see base+deltas (old state); after it, every reader
+    # rolls the stage swaps forward via recover_pending_compaction() before
+    # listing deltas, so a crash anywhere mid-swap can never double-count
+    # delta docs (the old failure mode: stages renamed but deltas still
+    # listed). On Iceberg this whole block is one snapshot commit.
+    base.begin_compaction_publish(
+        tmp_root,
+        stages=["partials", "docmap", "stats", "postings", "termstats", "lineage"],
+        # docoffsets is stale after compaction (docids kept as-is); deltas
+        # are merged into the base
+        drop=["docoffsets", "deltas"],
+    )
+    base.recover_pending_compaction()
     summary["compacted_generations"] = len(deltas) + 1
     return summary

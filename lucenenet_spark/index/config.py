@@ -52,6 +52,10 @@ class IndexConfig:
     # False -> keyword-style chain (tokenize+lowercase only), used when the
     # index must agree with an external SQL oracle that has no stop list.
     stop_filter: bool = True
+    # tokenize as maximal [a-z0-9] runs instead of Unicode letter/digit runs
+    # — exact parity with SQL oracles that split on [^a-z0-9]+ regardless of
+    # input script (see analysis/analyzer.py TOKEN_RE_PYTHON_ASCII).
+    ascii_tokens: bool = False
     # bump on any change to the stage schemas / on-disk layout: the value is
     # part of the fingerprint, so committed stages from an older layout are
     # rebuilt instead of misread on resume

@@ -27,6 +27,15 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 COMMIT_MARKER = "_COMMIT.json"
+# Write-ahead manifest for the compaction publish (builder.compact_index):
+# written atomically (tmp + rename) BEFORE any stage swap, removed after the
+# last one. Its presence means "roll the publish forward" — the single-
+# atomic-action visibility flip Iceberg gets from a snapshot commit.
+COMPACT_MANIFEST = "_COMPACT_MANIFEST.json"
+# The LAST stage the build commits (builder._finish order: docmap, stats,
+# postings, termstats, lineage). A generation is visible only once this
+# stage's marker exists — every stage the Searcher reads commits before it.
+FINAL_STAGE = "lineage"
 
 
 @dataclass
@@ -115,16 +124,60 @@ class IndexStorage:
         """Committed delta generations under <root>/deltas/<gen>, in
         generation order — the ``segments_N`` commit-generation list of the
         composite index (SegmentInfos.cs:55-119). A generation counts only
-        if its postings stage published a commit marker."""
+        once its FINAL stage (lineage) published a commit marker: the build
+        commits docmap/stats/postings/termstats before it, so everything the
+        Searcher reads exists by then. (Keying on an earlier stage left a
+        crash window where a half-built generation was visible.)"""
+        self.recover_pending_compaction()
         base = os.path.join(self.root, "deltas")
         if not os.path.isdir(base):
             return []
         out = []
         for name in sorted(os.listdir(base)):
             d = os.path.join(base, name)
-            if os.path.exists(os.path.join(d, "postings", COMMIT_MARKER)):
+            if os.path.exists(os.path.join(d, FINAL_STAGE, COMMIT_MARKER)):
                 out.append(d)
         return out
+
+    def recover_pending_compaction(self) -> bool:
+        """Roll forward a compaction publish that crashed mid-swap.
+
+        ``compact_index`` writes COMPACT_MANIFEST (atomic rename) before the
+        first stage swap and deletes it after the deltas are dropped; every
+        step in between is idempotent, so replaying the manifest completes
+        the publish exactly. Called from ``delta_dirs()`` — the choke point
+        every reader (Searcher) and writer (append/compact) goes through —
+        so a half-published index is never observed. Returns True if a
+        pending publish was completed."""
+        mpath = os.path.join(self.root, COMPACT_MANIFEST)
+        if not os.path.exists(mpath):
+            return False
+        with open(mpath) as f:
+            m = json.load(f)
+        tmp_root = m["tmp_root"]
+        for stage in m["stages"]:
+            src = os.path.join(tmp_root, stage)
+            if os.path.exists(src):  # not yet swapped
+                dst = os.path.join(self.root, stage)
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.rename(src, dst)
+        for rel in m.get("drop", []):
+            p = os.path.join(self.root, rel)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        os.remove(mpath)
+        return True
+
+    def begin_compaction_publish(self, tmp_root: str, stages: list[str], drop: list[str]) -> None:
+        """Atomically record the publish intent (tmp file + rename), then
+        execute it via the same roll-forward path recovery uses."""
+        mpath = os.path.join(self.root, COMPACT_MANIFEST)
+        tmp = mpath + ".__tmp__"
+        with open(tmp, "w") as f:
+            json.dump({"tmp_root": tmp_root, "stages": stages, "drop": drop}, f)
+        os.rename(tmp, mpath)
 
     def drop(self) -> None:
         if os.path.exists(self.root):

@@ -190,18 +190,21 @@ class Searcher:
         return out
 
     # ---------------- decode + score kernel ----------------------------- #
-    def _decode_score(self, blocks: DataFrame, st: TermStat) -> DataFrame:
+    def _decode_score(self, blocks: DataFrame, st: TermStat, boost: float = 1.0) -> DataFrame:
         """Posting blocks -> (docid, score float64-holding-float32-value).
         The vectorized analogue of Lucene41PostingsReader.RefillDocs
         (Lucene41PostingsReader.cs:385-404) fused with BM25DocScorer.Score
         (BM25Similarity.cs:259-264). In exact_int mode the kernel computes
         the double-precision BM25 on exact doclens and emits integer
         micro-scores (see __init__ docstring); op order mirrors the SQL
-        oracle exactly: ((idf*(k1+1))*tf) / (tf + k1*((1-b) + (b*dl)/avgdl))."""
+        oracle exactly: ((idf*(k1+1))*tf) / (tf + k1*((1-b) + (b*dl)/avgdl)).
+        ``boost`` applies only on the exact path (folded into the weight as
+        a double multiply BEFORE the micro-int floor, keeping integers
+        exact); the float32 path applies boost in _score_term instead."""
         exact = self.scoring == "exact_int"
         cache = self.cache
         w = np.float32(st.idf) * (self.k1 + np.float32(1.0))
-        w_exact = self._idf_exact(st.df) * (self.k1d + 1.0)
+        w_exact = self._idf_exact(st.df) * (self.k1d + 1.0) * float(boost)
         k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
         one_minus_b = 1.0 - bd
 
@@ -286,8 +289,8 @@ class Searcher:
         if st is None:
             return self._empty()
         blocks = self.postings.filter(F.col("term") == q.term)
-        scored = self._decode_score(blocks, st)
-        if q.boost != 1.0:
+        scored = self._decode_score(blocks, st, boost=q.boost)
+        if q.boost != 1.0 and self.scoring != "exact_int":
             scored = scored.withColumn(
                 "score",
                 (F.col("score").cast("float") * F.lit(float(np.float32(q.boost))).cast("float"))
@@ -377,11 +380,14 @@ class Searcher:
         w = idf_sum * (self.k1 + np.float32(1.0))
         boost = np.float32(q.boost)
         exact = self.scoring == "exact_int"
-        # exact mode: phrase idf = sum of constituent exact idfs in term order
+        # exact mode: phrase idf = sum of constituent exact idfs in term
+        # order; boost folds into the weight as a double multiply (the
+        # float32 path applies it per-score below), so boosted phrases keep
+        # the reproducible-integer contract instead of silently dropping it
         idf_sum_exact = 0.0
         for t in q.terms:
             idf_sum_exact = idf_sum_exact + self._idf_exact(stats[t].df)
-        w_exact = idf_sum_exact * (self.k1d + 1.0)
+        w_exact = idf_sum_exact * (self.k1d + 1.0) * float(q.boost)
         k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
         one_minus_b = 1.0 - bd
 

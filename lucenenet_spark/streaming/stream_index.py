@@ -36,7 +36,11 @@ def _append_batch(
     base = IndexStorage(index_dir)
     delta_dir = os.path.join(index_dir, "deltas", f"b{batch_id:012d}")
     st = IndexStorage(delta_dir)
-    if st.is_committed("postings", config.fingerprint()):
+    # replay short-circuits on the FINAL stage's marker (lineage — the last
+    # stage _finish commits): a generation whose earlier stages committed but
+    # whose build crashed before lineage is invisible to the Searcher AND
+    # gets repaired here instead of being skipped forever
+    if st.is_committed("lineage", config.fingerprint()):
         return None  # replayed batch — already fully committed
     next_base = int(base.commit_meta("stats")["maxdoc"])
     for d in base.delta_dirs():
