@@ -426,57 +426,82 @@ def q_dd_minhash_lsh(spark, sf_dir):
 
 def q_dd_simhash(spark, sf_dir):
     """SimHash document fingerprint: 32-bit md5-derived token hashes,
-    per-bit +/-1 vote over all token occurrences, sign -> bit."""
+    per-bit +/-1 vote over all token occurrences, sign -> bit.
+
+    Computed per-doc in ONE ``mapInArrow`` pass (numpy bit votes): zero
+    shuffle and shuffle-free scan volume ∝ tokens — not tokens×32 as the
+    naive explode(bit)-groupBy shape would cost. md5 runs once per UNIQUE
+    token per batch (Arrow dictionary_encode), matching the DuckDB oracle's
+    ``md5(t)[:8]`` hex-prefix integer exactly."""
+    import numpy as np  # noqa: PLC0415
+
+    def kernel(batches):
+        import hashlib  # noqa: PLC0415
+
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        bitpos = np.arange(32, dtype=np.int64)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            doc_ids = rb.column("doc_id").to_numpy(zero_copy_only=False)
+            toks = rb.column("toks")
+            lens = (
+                pc.fill_null(pc.list_value_length(toks), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            enc = pc.dictionary_encode(pc.list_flatten(toks))
+            uniq = enc.dictionary.to_pylist()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uh = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "big")
+                    for u in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            h = uh[codes]
+            # (n_tokens, 32) ±1 votes; per-doc sums via reduceat on the
+            # row-start offsets of docs that have tokens
+            votes = (((h[:, None] >> bitpos) & 1) * 2 - 1).astype(np.int32)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            nz = lens > 0
+            if not nz.any():
+                continue
+            sums = np.add.reduceat(votes, starts[nz], axis=0)
+            bits = (sums > 0).astype(np.int64)
+            sim = (bits << bitpos).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids[nz]), pa.array(sim)],
+                schema=pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())]),
+            )
+
     d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
-    tok = d.select("doc_id", F.explode("toks").alias("t"))
-    tok = tok.withColumn(
-        "h", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
-    )
-    bits = tok.select(
-        "doc_id", "h", F.explode(F.expr("sequence(0, 31)")).alias("b")
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(shiftright(h, b) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1)),
-    )
-    per_bit = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
-    return (
-        per_bit.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
-            ).cast("long").alias("simhash")
-        )
-        .orderBy("doc_id")
-    )
+    return d.mapInArrow(kernel, schema="doc_id long, simhash long").orderBy("doc_id")
 
 
-def q_nd_jaccard(spark, sf_dir):
-    """Token-set Jaccard near-dup within source groups — the exact-verify
-    stage that follows LSH candidate generation. Shaped as an inverted-index
-    join (explode -> equi-join on token -> count per pair), NOT a quadratic
-    self-join carrying token arrays through the shuffle: pair rows only
-    materialize for docs that actually share a token, which is what survives
-    a 100 TB corpus. Pairs with intersection 0 have Jaccard 0 and can never
-    pass the threshold, so dropping them matches the oracle."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", "source", F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("t")
-    )
-    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = d.alias("a"), d.alias("b")
+def _jaccard_verify(tok: DataFrame, cand: DataFrame, tau_x1m: int = 600000) -> DataFrame:
+    """Exact Jaccard over a CANDIDATE pair set: count shared tokens per pair
+    by routing each candidate's token lists through two equi-joins (rows ∝
+    Σ over candidates of doc size — bounded by the candidate count, never by
+    token df), then apply the integer-micro threshold. ``tok``: (doc_id, t)
+    distinct tokens; ``cand``: (a, b) pairs."""
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col("doc_id").alias("a"), "t")
+    tb = tok.select(F.col("doc_id").alias("b"), "t")
     inter = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        cand.join(ta, "a")        # candidate pairs × a's tokens
+        .join(tb, ["b", "t"])     # keep tokens b also has
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
-    j = (
-        inter.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+    return (
+        inter.join(sa, "a").join(sb, "b")
         .withColumn(
             "j_x1m",
             F.floor(
@@ -485,11 +510,64 @@ def q_nd_jaccard(spark, sf_dir):
                 + 0.5
             ).cast("long"),
         )
-        .filter(F.col("j_x1m") >= 600000)
+        .filter(F.col("j_x1m") >= tau_x1m)
         .select("a", "b", "j_x1m")
         .orderBy("a", "b")
     )
-    return j
+
+
+def q_nd_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup within source groups at τ=0.6, via PPJoin
+    prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07): order each doc's distinct tokens by global rarity
+    (df asc, token asc) and join only on each doc's PREFIX — the first
+    ``|d| - ⌈τ·|d|⌉ + 1`` rarest tokens. Two docs with J ≥ τ must share a
+    prefix token (overlap ≥ ⌈τ·max(|a|,|b|)⌉), so the candidate set is
+    EXACT (no false negatives) while a stopword shared by k docs no longer
+    yields O(k²) pair rows — only its (rare-token) prefix occurrences join.
+    Candidates are then verified exactly (_jaccard_verify). This is the
+    shape that survives a 100 TB corpus; the naive inverted-index join is
+    quadratic in per-token df."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("t")
+    )
+    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_t = d.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("t"))
+    ranked = (
+        d.join(df_t, "t")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        # prefix length |d| - ceil(0.6|d|) + 1; ceil(3n/5) = (3n+4) div 5
+        .filter(F.col("rk") <= F.col("n") - F.floor((3 * F.col("n") + 4) / 5) + 1)
+        .select("doc_id", "source", "t")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    return _jaccard_verify(d.select("doc_id", "t"), cand)
+
+
+def q_dd_lsh_verify(spark, sf_dir):
+    """The full two-stage near-dup pipeline: MinHash-LSH candidate
+    generation (q_dd_minhash_lsh) chained into exact Jaccard verification —
+    band-bucket join proposes, token-intersection join disposes. Output:
+    candidate pairs whose TRUE token-set Jaccard ≥ 0.5 (sub-τ threshold on
+    purpose: LSH at 4 bands × 2 rows has partial recall at 0.6, so the
+    verify stage is doing real filtering here, not rubber-stamping)."""
+    cand = q_dd_minhash_lsh(spark, sf_dir)
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("t")
+    )
+    return _jaccard_verify(tok, cand, tau_x1m=500000)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -710,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_spell": q_ft_spell,
         "dd_exact": q_dd_exact,
         "dd_minhash_lsh": q_dd_minhash_lsh,
+        "dd_lsh_verify": q_dd_lsh_verify,
         "dd_simhash": q_dd_simhash,
         "nd_jaccard": q_nd_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -907,7 +986,7 @@ scored AS (
         "FROM documents GROUP BY md5(text) ORDER BY text_hash"
     )
 
-    o["dd_minhash_lsh"] = f"""
+    minhash_ctes = f"""
 WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
 tokp AS (SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos FROM d),
 sh AS (
@@ -925,11 +1004,34 @@ bands AS (
   SELECT doc_id, CAST(j // 2 AS INT) AS band,
          string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
   FROM hs GROUP BY doc_id, CAST(j // 2 AS INT)
-)
+)"""
+
+    o["dd_minhash_lsh"] = (
+        minhash_ctes
+        + """
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ORDER BY a, b
 """
+    )
+
+    o["dd_lsh_verify"] = (
+        minhash_ctes
+        + f""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+ts AS (SELECT doc_id, list_sort(list_distinct({_TOKS_DUCK})) AS ts FROM documents)
+SELECT c.a, c.b,
+       CAST(floor(len(list_intersect(x.ts, y.ts))::DOUBLE * 1000000.0
+            / len(list_distinct(list_concat(x.ts, y.ts)))::DOUBLE + 0.5) AS BIGINT) AS j_x1m
+FROM cand c JOIN ts x ON x.doc_id = c.a JOIN ts y ON y.doc_id = c.b
+WHERE CAST(floor(len(list_intersect(x.ts, y.ts))::DOUBLE * 1000000.0
+      / len(list_distinct(list_concat(x.ts, y.ts)))::DOUBLE + 0.5) AS BIGINT) >= 500000
+ORDER BY a, b
+"""
+    )
 
     o["dd_simhash"] = f"""
 WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),

@@ -15,7 +15,6 @@ Invariants (FIXTURES.md §5):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -53,38 +52,70 @@ def verify(spark: SparkSession, index_dir: str) -> dict:
         int(stats["sum_ttf"]) / float(maxdoc)
     )
 
-    # blocks: internal ordering + metadata consistency (vectorized per block)
+    # blocks: internal ordering + metadata consistency — vectorized across
+    # the WHOLE Arrow batch (list columns flattened once, per-block stats
+    # via reduceat on block-start offsets; the same kernel style as the
+    # merge). No per-row Python: CheckIndex over a 100 TB index runs at
+    # memory bandwidth, not interpreter speed.
     def check_blocks(batches):
-        bad_order = 0
-        bad_meta = 0
-        n_entries = 0
-        sum_freq = 0
-        for pdf in batches:
-            for _, r in pdf.iterrows():
-                deltas = np.asarray(r["docid_deltas"], dtype=np.int64)
-                freqs = np.asarray(r["freqs"], dtype=np.int64)
-                d = r["first_docid"] + np.cumsum(deltas)
-                if deltas[0] != 0 or (deltas[1:] <= 0).any():
-                    bad_order += 1
-                if (
-                    d[-1] != r["last_docid"]
-                    or len(d) != r["entry_count"]
-                    or freqs.max(initial=0) != r["block_max_tf"]
-                    or freqs.sum() != r["block_ttf"]
-                    or (freqs <= 0).any()
-                ):
-                    bad_meta += 1
-                n_entries += len(d)
-                sum_freq += int(freqs.sum())
-        yield pd.DataFrame(
-            {"bad_order": [bad_order], "bad_meta": [bad_meta],
-             "n_entries": [n_entries], "sum_freq": [sum_freq]}
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_schema = pa.schema(
+            [("bad_order", pa.int64()), ("bad_meta", pa.int64()),
+             ("n_entries", pa.int64()), ("sum_freq", pa.int64())]
         )
+        for rb in batches:
+            n_blocks = rb.num_rows
+            if n_blocks == 0:
+                continue
+            deltas = pc.list_flatten(rb.column("docid_deltas")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            freqs = pc.list_flatten(rb.column("freqs")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            lens = pc.list_value_length(rb.column("docid_deltas")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            first = rb.column("first_docid").to_numpy(zero_copy_only=False)
+            last = rb.column("last_docid").to_numpy(zero_copy_only=False)
+            entry_count = rb.column("entry_count").to_numpy(zero_copy_only=False)
+            max_tf = rb.column("block_max_tf").to_numpy(zero_copy_only=False)
+            ttf = rb.column("block_ttf").to_numpy(zero_copy_only=False)
+
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            is_start = np.zeros(len(deltas), dtype=bool)
+            is_start[starts] = True
+            # ordering: delta==0 exactly at block starts, >0 elsewhere
+            viol = np.where(is_start, deltas != 0, deltas <= 0)
+            bad_order = int(np.maximum.reduceat(viol, starts).sum())
+            # last_docid: first + sum(deltas) per block
+            blk_last = first + np.add.reduceat(deltas, starts)
+            blk_max_tf = np.maximum.reduceat(freqs, starts)
+            blk_ttf = np.add.reduceat(freqs, starts)
+            freq_viol = np.maximum.reduceat(freqs <= 0, starts)
+            bad_meta = int(
+                (
+                    (blk_last != last)
+                    | (lens != entry_count)
+                    | (blk_max_tf != max_tf)
+                    | (blk_ttf != ttf)
+                    | freq_viol
+                ).sum()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([bad_order]), pa.array([bad_meta]),
+                    pa.array([int(lens.sum())]), pa.array([int(freqs.sum())]),
+                ],
+                schema=out_schema,
+            )
 
     agg = (
         postings.select("first_docid", "last_docid", "entry_count",
                         "docid_deltas", "freqs", "block_max_tf", "block_ttf")
-        .mapInPandas(check_blocks, "bad_order long, bad_meta long, n_entries long, sum_freq long")
+        .mapInArrow(check_blocks, "bad_order long, bad_meta long, n_entries long, sum_freq long")
         .agg(F.sum("bad_order"), F.sum("bad_meta"), F.sum("n_entries"), F.sum("sum_freq"))
         .collect()[0]
     )

@@ -392,46 +392,70 @@ class Searcher:
         one_minus_b = 1.0 - bd
 
         def phrase_score(batches):
+            """Fully vectorized across the batch (the chunked style of
+            ExactPhraseScorer.cs:26-99): each term's per-row position lists
+            are flattened once, and matches are found with searchsorted on
+            composite (row, position) int64 keys — positions within a row
+            are ascending and rows are batch-ordered, so the flat key array
+            is globally sorted. No per-row or per-position Python loops.
+
+            Semantics are IDENTICAL to the row-at-a-time form: slop==0
+            needs position p0+i present in term i's list; slop>0 needs any
+            position of term i within [p0+i-slop, p0+i+slop] (an existence
+            range probe: left/right searchsorted bounds differ)."""
+            M = np.int64(1) << 33  # > 2*max position; rows separated safely
+
+            def flat_keys(col):
+                lens = col.map(len).to_numpy(np.int64)
+                vals = (
+                    np.concatenate([np.asarray(x, dtype=np.int64) for x in col])
+                    if lens.sum()
+                    else np.array([], dtype=np.int64)
+                )
+                rows = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+                return rows * M + vals, rows
+
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                out_doc, out_score = [], []
-                pos_cols = [pdf[f"pos_{i}"] for i in range(nterms)]
-                for r in range(len(pdf)):
-                    base = np.asarray(pos_cols[0].iloc[r], dtype=np.int64)
+                base_keys, base_rows = flat_keys(pdf["pos_0"])
+                match = np.ones(len(base_keys), dtype=bool)
+                for i in range(1, nterms):
+                    keys_i, _ = flat_keys(pdf[f"pos_{i}"])
                     if slop == 0:
-                        match = np.ones(len(base), dtype=bool)
-                        for i in range(1, nterms):
-                            match &= np.isin(
-                                base + i, np.asarray(pos_cols[i].iloc[r], dtype=np.int64)
-                            )
-                        freq = int(match.sum())
+                        cand = base_keys + i
+                        idx = np.searchsorted(keys_i, cand)
+                        np.minimum(idx, max(len(keys_i) - 1, 0), out=idx)
+                        found = (
+                            keys_i[idx] == cand
+                            if len(keys_i)
+                            else np.zeros(len(cand), dtype=bool)
+                        )
                     else:
-                        freq = 0
-                        others = [
-                            np.asarray(pos_cols[i].iloc[r], dtype=np.int64)
-                            for i in range(1, nterms)
-                        ]
-                        for p0 in base:
-                            if all(
-                                np.any(np.abs(o - i - p0) <= slop)
-                                for i, o in enumerate(others, 1)
-                            ):
-                                freq += 1
-                    if freq > 0:
-                        if exact:
-                            fd = float(freq)
-                            dl = float(pdf["doclen"].iloc[r])
-                            denom = fd + k1d * (one_minus_b + (bd * dl) / avgdl_exact)
-                            s = float(np.floor((w_exact * fd) / denom * 1e6 + 0.5))
-                        else:
-                            f = np.float32(freq)
-                            nb = int(pdf["norm_byte"].iloc[r]) & 0xFF
-                            s = float(np.float32(boost * np.float32((w * f) / (f + cache[nb]))))
-                        out_doc.append(int(pdf["docid"].iloc[r]))
-                        out_score.append(s)
-                yield pd.DataFrame({"docid": pd.Series(out_doc, dtype="int64"),
-                                    "score": pd.Series(out_score, dtype="float64")})
+                        lo = np.searchsorted(keys_i, base_keys + (i - slop), "left")
+                        hi = np.searchsorted(keys_i, base_keys + (i + slop), "right")
+                        found = hi > lo
+                    match &= found
+                freqs = np.bincount(base_rows[match], minlength=len(pdf)).astype(np.int64)
+                hit = freqs > 0
+                if not hit.any():
+                    continue
+                f = freqs[hit]
+                docids = pdf["docid"].to_numpy(np.int64)[hit]
+                if exact:
+                    fd = f.astype(np.float64)
+                    dl = pdf["doclen"].to_numpy(np.float64)[hit]
+                    denom = fd + k1d * (one_minus_b + (bd * dl) / avgdl_exact)
+                    score = np.floor((w_exact * fd) / denom * 1e6 + 0.5)
+                else:
+                    f32 = f.astype(np.float32)
+                    nb = pdf["norm_byte"].to_numpy(np.int64)[hit] & 0xFF
+                    score = (boost * ((w * f32) / (f32 + cache[nb])).astype(np.float32)).astype(
+                        np.float32
+                    )
+                yield pd.DataFrame(
+                    {"docid": docids, "score": score.astype(np.float64)}
+                )
 
         return joined.mapInPandas(phrase_score, schema=_EMPTY_SCHEMA)
 
