@@ -69,6 +69,9 @@ _ENTRY_CONFIG = IndexConfig(
     # length cap (the oracle has none)
     ascii_tokens=True,
     max_token_length=1_000_000,
+    # StringField analogue: lang + source indexed as keyword fields
+    # (namespaced "<field>:<value>" postings; see IndexConfig.keyword_fields)
+    keyword_fields=("lang", "source"),
 )
 
 
@@ -76,17 +79,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _entry_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table shaped for the index build: caller-assigned
+    docids + the keyword-field columns of _ENTRY_CONFIG."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"),
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        "text",
+        "lang",
+        "source",
+    )
+
+
 def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     key = os.path.basename(os.path.normpath(sf_dir)) or "default"
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     idx = os.path.join(_INDEX_ROOT, key)
-    pages = _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("docid"),
-        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
-        "text",
-    )
-    build_index(spark, pages, idx, _ENTRY_CONFIG)  # resumes if committed
+    build_index(spark, _entry_pages(spark, sf_dir), idx, _ENTRY_CONFIG)  # resumes
     s = Searcher(spark, idx, scoring="exact_int")
     _SEARCHERS[key] = s
     return s
@@ -328,7 +338,8 @@ def q_ft_term_dictionary(spark, sf_dir):
     df + ttf from the merged postings — a whole-index integrity check."""
     s = _searcher(spark, sf_dir)
     return (
-        s.termstats.select(
+        s.termstats.filter(~F.col("term").contains(":"))  # text field only
+        .select(
             "term", F.col("df").cast("long").alias("df"), F.col("ttf").cast("long").alias("ttf")
         )
         .orderBy("term")
@@ -342,6 +353,29 @@ def q_ft_doc_norms(spark, sf_dir):
     return s.docmap.select(
         F.col("docid").alias("doc_id"), F.col("doclen").cast("long").alias("doclen")
     ).orderBy("doc_id")
+
+
+def q_ft_field_keyword(spark, sf_dir):
+    """Field-qualified keyword query (StringField.cs:43 + FieldInfos.cs):
+    TermQuery on the ``lang`` keyword field — postings seek on the
+    namespaced "lang:en" term key, scored with norms omitted (keyword tf is
+    1, so score = idf of the keyword term; BM25Similarity with norms==null).
+    Parsed form: ``lang:en`` (QueryParserBase.cs:188)."""
+    s = _searcher(spark, sf_dir)
+    d = s.score_df(TermQuery("en", field="lang"))
+    return d.select(
+        F.col("docid").alias("doc_id"), F.col("score").cast("long").alias("score")
+    ).orderBy("doc_id")
+
+
+def q_ft_field_mixed(spark, sf_dir):
+    """The everyday real-world query: a scored text clause AND a keyword
+    metadata constraint — MUST(text:data) + MUST(lang:en), i.e.
+    ConjunctionScorer across fields (parsed: ``+data +lang:en``). Scores
+    sum: BM25(text term) + idf(keyword term)."""
+    s = _searcher(spark, sf_dir)
+    q = BooleanQuery.build(must=[TermQuery("data"), TermQuery("en", field="lang")])
+    return _topk_df(s, q, 10)
 
 
 def q_ft_suggest(spark, sf_dir):
@@ -784,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_group_top_source": q_ft_group_top_source,
         "ft_term_dictionary": q_ft_term_dictionary,
         "ft_doc_norms": q_ft_doc_norms,
+        "ft_field_keyword": q_ft_field_keyword,
+        "ft_field_mixed": q_ft_field_mixed,
         "ft_suggest": q_ft_suggest,
         "ft_spell": q_ft_spell,
         "dd_exact": q_dd_exact,
@@ -963,6 +999,27 @@ scored AS (
         + ", c AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) "
         "SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS doclen "
         "FROM documents d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id"
+    )
+
+    # keyword-field score = floor(idf * 1e6 + 0.5), idf over docs with the
+    # value (engine contract: norms omitted, tf == 1 -> score == idf)
+    o["ft_field_keyword"] = (
+        "WITH st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc), "
+        "kdf AS (SELECT count(*)::DOUBLE AS df FROM documents WHERE lang = 'en') "
+        "SELECT doc_id, CAST(floor(ln(1.0 + (st.maxdoc - kdf.df + 0.5)/(kdf.df + 0.5)) "
+        "* 1000000.0 + 0.5) AS BIGINT) AS score "
+        "FROM documents CROSS JOIN st CROSS JOIN kdf WHERE lang = 'en' ORDER BY doc_id"
+    )
+
+    o["ft_field_mixed"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + ", kdf AS (SELECT count(*)::DOUBLE AS df FROM documents WHERE lang = 'en'), "
+        "kw AS (SELECT doc_id, CAST(floor(ln(1.0 + (st.maxdoc - kdf.df + 0.5)/(kdf.df + 0.5)) "
+        "* 1000000.0 + 0.5) AS BIGINT) AS s "
+        "FROM documents CROSS JOIN st CROSS JOIN kdf WHERE lang = 'en'), "
+        "scored AS (SELECT a.doc_id, CAST(a.s + k.s AS BIGINT) AS score "
+        "FROM s0 a JOIN kw k USING (doc_id)) "
+        + _TOPK_TAIL.format(k=10)
     )
 
     o["ft_suggest"] = (

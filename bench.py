@@ -65,11 +65,7 @@ def main() -> None:
     # ---- index build over the sf documents table (fresh, timed) ---------- #
     key = sf_name or "default"
     idx_dir = os.path.join(entrymod._INDEX_ROOT, key)
-    pages = entrymod._docs(spark, sf_dir).select(
-        F.col("doc_id").alias("docid"),
-        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
-        "text",
-    )
+    pages = entrymod._entry_pages(spark, sf_dir)
     n_docs = pages.count()
     t0 = time.time()
     build_index(spark, pages, idx_dir, entrymod._ENTRY_CONFIG, overwrite=True)

@@ -223,6 +223,7 @@ class IndexBuilder:
         offsets = None if external else self._offsets()
         index_positions = cfg.index_positions
         flush_docs = cfg.flush_docs
+        keyword_fields = tuple(cfg.keyword_fields)
 
         def build_partials(batches):
             import pyarrow as pa
@@ -314,6 +315,25 @@ class IndexBuilder:
                     acc_pos.append(flat_pos)
                     acc_norm.append(norm_bytes[flat_docidx])
                     acc_len.append(lens[flat_docidx])
+                # keyword fields (StringField.cs:43 analogue): one
+                # "<field>:<value>" token per non-null value, position 0,
+                # NOT counted in the text field length (norms unchanged)
+                for kf in keyword_fields:
+                    col = rb.column(kf)
+                    valid = pc.is_valid(col)
+                    mask = valid.to_numpy(zero_copy_only=False)
+                    if not mask.any():
+                        continue
+                    vals = pc.cast(col.filter(valid), pa.string())
+                    acc_tok.append(
+                        pc.binary_join_element_wise(
+                            pa.scalar(kf + ":"), vals, pa.scalar("")
+                        )
+                    )
+                    acc_docs.append(docids[mask])
+                    acc_pos.append(np.zeros(int(mask.sum()), dtype=np.int64))
+                    acc_norm.append(norm_bytes[mask])
+                    acc_len.append(lens[mask])
                 docs_in_seg += n
                 if docs_in_seg >= flush_docs:
                     out = flush_seg()
@@ -324,19 +344,20 @@ class IndexBuilder:
                 yield out
 
         P = cfg.num_partitions
+        kw_cols = list(keyword_fields)
         if external:
             # caller-assigned docids: range partitioning keeps each pid's
             # docid range contiguous and pid order == docid order, so the
             # (pid, seg)-ordered concatenation in the merge stays sorted
             prepared = (
-                pages.select("url", "text", "docid")
+                pages.select("url", "text", "docid", *kw_cols)
                 .repartitionByRange(P, "docid")
                 .sortWithinPartitions("docid")
                 .withColumn("pid", F.spark_partition_id())
             )
         else:
             prepared = (
-                pages.select("url", "text")
+                pages.select("url", "text", *kw_cols)
                 .repartition(P, "url")
                 .sortWithinPartitions("url")
                 .withColumn("pid", F.spark_partition_id())

@@ -121,8 +121,16 @@ def verify(spark: SparkSession, index_dir: str) -> dict:
     )
     results["blocks_sorted"] = int(agg[0] or 0) == 0
     results["blocks_metadata"] = int(agg[1] or 0) == 0
-    # Σ freq over all postings == Σ doclen (every token is in exactly one entry)
-    results["sum_freq_equals_sum_doclen"] = int(agg[3] or 0) == int(stats["sum_ttf"])
+    # Σ freq over all postings == Σ doclen + keyword postings (every text
+    # token is in exactly one entry; keyword-field entries — namespaced
+    # "<field>:<value>" terms — carry freq 1 each and are NOT part of the
+    # text field length)
+    kw = postings.filter(F.col("term").contains(":")).agg(
+        F.sum("entry_count")
+    ).collect()[0][0]
+    results["sum_freq_equals_sum_doclen"] = int(agg[3] or 0) == int(
+        stats["sum_ttf"]
+    ) + int(kw or 0)
 
     # termstats df/ttf match the posting blocks
     ts_chk = (

@@ -56,6 +56,16 @@ class IndexConfig:
     # — exact parity with SQL oracles that split on [^a-z0-9]+ regardless of
     # input script (see analysis/analyzer.py TOKEN_RE_PYTHON_ASCII).
     ascii_tokens: bool = False
+    # extra input columns indexed as KEYWORD fields — the StringField
+    # analogue (Document/StringField.cs:43: indexed, NOT analyzed): each
+    # non-null value becomes ONE posting under the namespaced term
+    # "<field>:<value>" (FieldInfos.cs per-field separation, realized as a
+    # term-key prefix so the single term-sorted postings table serves every
+    # field: Parquet min/max seek, merge salting and termstats all apply
+    # unchanged). The ':' namespace cannot collide with text terms (the
+    # analyzer never emits ':'). Keyword postings score with norms omitted
+    # (BM25Similarity with norms==null: score = idf since tf==1).
+    keyword_fields: tuple[str, ...] = ()
     # bump on any change to the stage schemas / on-disk layout: the value is
     # part of the fingerprint, so committed stages from an older layout are
     # rebuilt instead of misread on resume

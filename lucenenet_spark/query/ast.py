@@ -36,8 +36,14 @@ class Occur(Enum):
 
 @dataclass(frozen=True)
 class TermQuery(Query):
+    """``field``: "text" scores BM25 against the analyzed text field; any
+    other name targets a keyword field (StringField.cs:43 analogue) stored
+    under the namespaced term key "<field>:<term>" and scored with norms
+    omitted (score = idf, since keyword tf == 1)."""
+
     term: str
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
@@ -86,18 +92,21 @@ class PhraseQuery(Query):
 class PrefixQuery(Query):
     prefix: str
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
 class WildcardQuery(Query):
     pattern: str  # '*' any run, '?' single char
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
 class RegexpQuery(Query):
     pattern: str
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
@@ -106,6 +115,7 @@ class FuzzyQuery(Query):
     max_edits: int = 2
     prefix_length: int = 0
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
@@ -115,6 +125,7 @@ class TermRangeQuery(Query):
     include_lower: bool = True
     include_upper: bool = True
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)

@@ -58,9 +58,17 @@ from .ast import (
 _EMPTY_SCHEMA = "docid long, score double"
 
 
+def _skey(field: str, term: str) -> str:
+    """Storage key of a (field, term) pair: text terms are stored bare,
+    keyword-field terms under the "<field>:<value>" namespace (the
+    FieldInfos.cs per-field separation realized as a term-key prefix —
+    one term-sorted postings table serves every field)."""
+    return term if field == "text" else f"{field}:{term}"
+
+
 def _collect_terms(q: Query, out: set[str]) -> None:
     if isinstance(q, TermQuery):
-        out.add(q.term)
+        out.add(_skey(q.field, q.term))
     elif isinstance(q, PhraseQuery):
         out.update(q.terms)
     elif isinstance(q, BooleanQuery):
@@ -285,6 +293,8 @@ class Searcher:
         return self.spark.createDataFrame([], _EMPTY_SCHEMA)
 
     def _score_term(self, q: TermQuery, stats: dict[str, TermStat]) -> DataFrame:
+        if q.field != "text":
+            return self._score_keyword_term(q, stats)
         st = stats.get(q.term)
         if st is None:
             return self._empty()
@@ -298,32 +308,82 @@ class Searcher:
             )
         return scored
 
+    def _score_keyword_term(self, q: TermQuery, stats: dict[str, TermStat]) -> DataFrame:
+        """TermQuery on a keyword field (StringField.cs:43): postings seek
+        on the namespaced key, scored with norms omitted — BM25Similarity
+        with norms==null reduces to ``idf * (k1+1) * tf / (tf + k1)`` and
+        keyword tf is 1 by construction, so every match scores boost*idf.
+        The docid decode is the same pushdown-pruned block scan as a text
+        term; the constant score is computed driver-side (no join)."""
+        key = _skey(q.field, q.term)
+        st = stats.get(key)
+        if st is None:
+            return self._empty()
+        blocks = self.postings.filter(F.col("term") == key)
+
+        def decode_docs(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ds = [
+                    fd + np.cumsum(np.asarray(deltas, dtype=np.int64))
+                    for fd, deltas in zip(pdf["first_docid"], pdf["docid_deltas"])
+                ]
+                yield pd.DataFrame({"docid": np.concatenate(ds)})
+
+        docs = blocks.select("first_docid", "docid_deltas").mapInPandas(
+            decode_docs, schema="docid long"
+        )
+        if self.scoring == "exact_int":
+            # op order mirrors the SQL oracle: floor((idf*boost)*1e6 + 0.5)
+            val = float(np.floor(self._idf_exact(st.df) * float(q.boost) * 1e6 + 0.5))
+        else:
+            val = float(np.float32(st.idf) * np.float32(q.boost))
+        return docs.withColumn("score", F.lit(val).cast("double"))
+
     def _expand_terms(self, q: Query) -> DataFrame:
         """Term-dictionary scan for MultiTermQuery shapes — returns a
         DataFrame of matching terms (never collected: scales to huge
-        vocabularies; the constant-score path semi-joins it)."""
+        vocabularies; the constant-score path semi-joins it). Field-aware:
+        a non-text ``field`` rewrites the scan into the "<field>:" key
+        namespace; text-field scans exclude namespaced keys (a text term
+        can never contain ':')."""
         t = F.col("term")
+        field = getattr(q, "field", "text")
+        pfx = "" if field == "text" else field + ":"
         if isinstance(q, PrefixQuery):
-            cond = t.startswith(q.prefix)
+            cond = t.startswith(pfx + q.prefix)
         elif isinstance(q, WildcardQuery):
-            cond = t.rlike("^" + fnmatch.translate(q.pattern).replace("(?s:", "(?:"))
+            import re as _re
+
+            rx = fnmatch.translate(q.pattern).replace("(?s:", "(?:")
+            cond = t.rlike("^" + _re.escape(pfx) + rx if pfx else "^" + rx)
         elif isinstance(q, RegexpQuery):
-            cond = t.rlike(f"^(?:{q.pattern})$")
+            import re as _re
+
+            cond = t.rlike(f"^{_re.escape(pfx)}(?:{q.pattern})$" if pfx else f"^(?:{q.pattern})$")
         elif isinstance(q, FuzzyQuery):
-            cond = F.levenshtein(t, F.lit(q.term)) <= q.max_edits
-            if q.prefix_length:
-                cond = cond & t.startswith(q.term[: q.prefix_length])
+            key = pfx + q.term
+            cond = F.levenshtein(t, F.lit(key)) <= q.max_edits
+            if q.prefix_length or pfx:
+                cond = cond & t.startswith(key[: len(pfx) + q.prefix_length])
             cond = cond & (
-                F.abs(F.length(t) - F.lit(len(q.term))) <= q.max_edits
+                F.abs(F.length(t) - F.lit(len(key))) <= q.max_edits
             )
         elif isinstance(q, TermRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:
-                cond = cond & (t >= q.lower if q.include_lower else t > q.lower)
+                lo = pfx + q.lower
+                cond = cond & (t >= lo if q.include_lower else t > lo)
             if q.upper is not None:
-                cond = cond & (t <= q.upper if q.include_upper else t < q.upper)
+                hi = pfx + q.upper
+                cond = cond & (t <= hi if q.include_upper else t < hi)
+            if pfx:
+                cond = cond & t.startswith(pfx)
         else:
             raise TypeError(q)
+        if not pfx:
+            cond = cond & ~t.contains(":")  # text scans never match keyword keys
         return self.termstats.filter(cond).select("term")
 
     def _score_multiterm(self, q: Query) -> DataFrame:
@@ -508,7 +568,7 @@ class Searcher:
             # conjunction is the classic broadcast-join case.
             def cost(q: Query) -> int:
                 if isinstance(q, TermQuery):
-                    st = stats.get(q.term)
+                    st = stats.get(_skey(q.field, q.term))
                     return st.df if st else 0
                 return 1 << 60
 
@@ -575,13 +635,16 @@ class Searcher:
             # bound — fall back to the unpruned path (a compaction job
             # restores WAND eligibility)
             return None
-        if isinstance(q, TermQuery) and q.boost == 1.0:
+        if isinstance(q, TermQuery) and q.boost == 1.0 and q.field == "text":
             return [q.term]
         if isinstance(q, BooleanQuery) and q.minimum_should_match <= 1:
             must, should, must_not = q.parts()
             if must or must_not:
                 return None
-            if all(isinstance(s, TermQuery) and s.boost == 1.0 for s in should):
+            if all(
+                isinstance(s, TermQuery) and s.boost == 1.0 and s.field == "text"
+                for s in should
+            ):
                 return [s.term for s in should]
         return None
 
@@ -801,6 +864,24 @@ class Searcher:
         return self._explain(q, int(docid), stats)
 
     def _explain(self, q: Query, docid: int, stats: dict[str, TermStat]) -> dict:
+        if isinstance(q, TermQuery) and q.field != "text":
+            key = _skey(q.field, q.term)
+            st = stats.get(key)
+            if st is None:
+                return {"value": 0.0, "description": f"keyword({key!r}): no match", "details": []}
+            rows = self._score_keyword_term(q, stats).filter(F.col("docid") == docid).collect()
+            if not rows:
+                return {"value": 0.0, "description": f"keyword({key!r}): no match", "details": []}
+            idf = (
+                self._idf_exact(st.df) if self.scoring == "exact_int" else float(st.idf)
+            )
+            return {
+                "value": float(rows[0]["score"]),
+                "description": f"weight(keyword={key!r} in {docid}) [norms omitted: score = boost*idf]",
+                "details": [
+                    {"value": idf, "description": f"idf(docFreq={st.df}, maxDocs={self.maxdoc})", "details": []},
+                ],
+            }
         if isinstance(q, TermQuery):
             st = stats.get(q.term)
             if st is None:
@@ -899,7 +980,9 @@ class Searcher:
         replaced by the sorted term dictionary): terms with the prefix,
         ranked by document frequency — a pushdown-pruned dictionary scan."""
         return (
-            self.termstats.filter(F.col("term").startswith(prefix))
+            self.termstats.filter(
+                F.col("term").startswith(prefix) & ~F.col("term").contains(":")
+            )
             .select("term", "df")
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(k)
@@ -913,6 +996,7 @@ class Searcher:
             (F.levenshtein(t, F.lit(term)) <= max_edits)
             & (F.abs(F.length(t) - F.lit(len(term))) <= max_edits)
             & (t != term)
+            & ~t.contains(":")
         )
         return (
             cand.select("term", "df", F.levenshtein(t, F.lit(term)).alias("distance"))

@@ -93,7 +93,21 @@ def parse_query(
             pending_occur = Occur.MUST if m.group("mod") == "+" else Occur.MUST_NOT
         elif m.group("word") is not None:
             w = m.group("word")
-            if w.endswith("*") and len(w) > 1:
+            # field-qualified clause (QueryParserBase.cs:188 grammar):
+            # "lang:en", "lang:e*". Non-text fields are keyword fields
+            # (StringField) — the value is NOT analyzed (exact match),
+            # matching the reference's per-field analyzer convention.
+            fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", w)
+            if fm and fm.group(1) == "text":
+                w = fm.group(2)  # explicit default field: analyze as usual
+                fm = None
+            if fm:
+                fld, rest = fm.group(1), fm.group(2)
+                if rest.endswith("*") and len(rest) > 1:
+                    push(PrefixQuery(rest[:-1], boost, field=fld))
+                else:
+                    push(TermQuery(rest, boost, field=fld))
+            elif w.endswith("*") and len(w) > 1:
                 push(PrefixQuery(w[:-1].lower(), boost))
             elif m.group("edits") is not None or ("~" in s[m.start(): m.end()] and m.group("word")):
                 edits = int(m.group("edits")) if m.group("edits") else 2
