@@ -40,8 +40,11 @@ from lucenenet_spark.index.config import IndexConfig
 from lucenenet_spark.query.ast import (
     BooleanQuery,
     DisjunctionMaxQuery,
+    FilteredQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
+    NumericRangeQuery,
     PhraseQuery,
     PrefixQuery,
     TermQuery,
@@ -375,6 +378,39 @@ def q_ft_field_mixed(spark, sf_dir):
     sum: BM25(text term) + idf(keyword term)."""
     s = _searcher(spark, sf_dir)
     q = BooleanQuery.build(must=[TermQuery("data"), TermQuery("en", field="lang")])
+    return _topk_df(s, q, 10)
+
+
+def q_ft_filtered_range(spark, sf_dir):
+    """FilteredQuery ∧ NumericRangeQuery (FilteredQuery.cs:41,
+    NumericRangeQuery.cs:522-620): BM25-scored text clause restricted to a
+    numeric metadata range — here doclen ∈ [30, 80] — without the filter
+    contributing score. The range compiles to a docmap Parquet predicate
+    (min/max pushdown replaces the reference's trie terms); the scored side
+    semi-joins it."""
+    s = _searcher(spark, sf_dir)
+    q = FilteredQuery(TermQuery("data"), NumericRangeQuery("doclen", 30, 80))
+    return _topk_df(s, q, 10)
+
+
+def q_ft_fuzzy_scored(spark, sf_dir):
+    """FuzzyQuery under SCORING_BOOLEAN_QUERY_REWRITE (MultiTermQuery.cs:65,
+    ScoringRewrite): the expanded terms score as a BM25 disjunction (sum per
+    doc) instead of constant-score — results are RANKED, the reference's
+    default behavior for fuzzy. Fully distributed: expanded terms broadcast
+    into the posting blocks, idf computed per block row from the joined df."""
+    s = _searcher(spark, sf_dir)
+    q = FuzzyQuery("querry", max_edits=1, rewrite_method="scoring_boolean")
+    return _topk_df(s, q, 10)
+
+
+def q_ft_multi_phrase(spark, sf_dir):
+    """MultiPhraseQuery (MultiPhraseQuery.cs:72): "(data|part) filter" —
+    slot 0 admits two alternatives whose position lists are unioned per doc
+    before the ordinary phrase intersection; idf sums over ALL member
+    terms, freq counts distinct slot-0 positions that complete a match."""
+    s = _searcher(spark, sf_dir)
+    q = MultiPhraseQuery(slots=(("data", "part"), ("filter",)))
     return _topk_df(s, q, 10)
 
 
@@ -820,6 +856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_doc_norms": q_ft_doc_norms,
         "ft_field_keyword": q_ft_field_keyword,
         "ft_field_mixed": q_ft_field_mixed,
+        "ft_filtered_range": q_ft_filtered_range,
+        "ft_fuzzy_scored": q_ft_fuzzy_scored,
+        "ft_multi_phrase": q_ft_multi_phrase,
         "ft_suggest": q_ft_suggest,
         "ft_spell": q_ft_spell,
         "dd_exact": q_dd_exact,
@@ -1019,6 +1058,70 @@ scored AS (
         "FROM documents CROSS JOIN st CROSS JOIN kdf WHERE lang = 'en'), "
         "scored AS (SELECT a.doc_id, CAST(a.s + k.s AS BIGINT) AS score "
         "FROM s0 a JOIN kw k USING (doc_id)) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    o["ft_filtered_range"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + ", scored AS (SELECT s0.doc_id, s0.s AS score FROM s0 "
+        "JOIN dl d USING (doc_id) WHERE d.dl BETWEEN 30 AND 80) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # scoring-mode fuzzy: per (doc, expanded term) BM25, summed per doc —
+    # same op order as _term_ctes but with the term set data-driven
+    o["ft_fuzzy_scored"] = (
+        _SQL_PREFIX
+        + """,
+fterm AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+  WHERE levenshtein(term, 'querry') <= 1 AND abs(length(term) - 6) <= 1
+  GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN (SELECT term FROM fterm) GROUP BY doc_id, term
+),
+ps AS (
+  SELECT t.doc_id, CAST(floor(
+    (ln(1.0 + (st.maxdoc - f.df + 0.5)/(f.df + 0.5)) * 2.2 * t.tf)
+    / (t.tf + 1.2*(0.25 + (0.75*d.dl)/(st.sum_ttf/st.maxdoc)))
+    * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM tf t JOIN fterm f USING (term) JOIN dl d USING (doc_id) CROSS JOIN st
+),
+scored AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM ps GROUP BY doc_id)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # multi-phrase "(data|part) filter": freq = DISTINCT slot-0 positions
+    # with a slot-1 hit at pos+1; idf = idf(data)+idf(part)+idf(filter)
+    o["ft_multi_phrase"] = (
+        _SQL_PREFIX + _term_ctes(["data", "part", "filter"])
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+pf AS (
+  SELECT a.doc_id, count(DISTINCT a.pos)::DOUBLE AS pf
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ('data', 'part') AND b.term = 'filter'
+  GROUP BY a.doc_id
+),
+idfs AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)/((SELECT count(*) FROM t1) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t2) + 0.5)/((SELECT count(*) FROM t2) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+scored AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+)
+"""
         + _TOPK_TAIL.format(k=10)
     )
 

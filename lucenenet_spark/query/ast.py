@@ -93,6 +93,12 @@ class PrefixQuery(Query):
     prefix: str
     boost: float = 1.0
     field: str = "text"
+    #: MultiTermQuery.cs:65,95 rewrite mode: "constant_score" (semi-join,
+    #: every match scores boost*1), "scoring_boolean" (BM25 disjunction over
+    #: every expanded term, ScoringRewrite), or "top_terms_scoring"
+    #: (TopTermsRewrite.cs: keep only the best N expanded terms, then score)
+    rewrite_method: str = "constant_score"
+    max_expansions: int = 50
 
 
 @dataclass(frozen=True)
@@ -100,6 +106,11 @@ class WildcardQuery(Query):
     pattern: str  # '*' any run, '?' single char
     boost: float = 1.0
     field: str = "text"
+    #: MultiTermQuery.cs:65,95 rewrite mode: "constant_score" (semi-join,
+    #: every match scores boost*1), "scoring_boolean" (BM25 disjunction over
+    #: every expanded term, ScoringRewrite), or "top_terms_scoring"
+    #: (TopTermsRewrite.cs: keep only the best N expanded terms, then score)
+    rewrite_method: str = "constant_score"
 
 
 @dataclass(frozen=True)
@@ -107,6 +118,11 @@ class RegexpQuery(Query):
     pattern: str
     boost: float = 1.0
     field: str = "text"
+    #: MultiTermQuery.cs:65,95 rewrite mode: "constant_score" (semi-join,
+    #: every match scores boost*1), "scoring_boolean" (BM25 disjunction over
+    #: every expanded term, ScoringRewrite), or "top_terms_scoring"
+    #: (TopTermsRewrite.cs: keep only the best N expanded terms, then score)
+    rewrite_method: str = "constant_score"
 
 
 @dataclass(frozen=True)
@@ -116,6 +132,14 @@ class FuzzyQuery(Query):
     prefix_length: int = 0
     boost: float = 1.0
     field: str = "text"
+    #: MultiTermQuery.cs:65,95 rewrite mode: "constant_score" (semi-join,
+    #: every match scores boost*1), "scoring_boolean" (BM25 disjunction over
+    #: every expanded term, ScoringRewrite), or "top_terms_scoring"
+    #: (TopTermsRewrite.cs: keep only the best N expanded terms, then score)
+    rewrite_method: str = "constant_score"
+    #: top_terms_scoring only: how many best terms to keep (TopTermsRewrite
+    #: "size"; FuzzyQuery.cs defaultMaxExpansions analogue)
+    max_expansions: int = 50
 
 
 @dataclass(frozen=True)
@@ -126,6 +150,53 @@ class TermRangeQuery(Query):
     include_upper: bool = True
     boost: float = 1.0
     field: str = "text"
+    #: MultiTermQuery.cs:65,95 rewrite mode: "constant_score" (semi-join,
+    #: every match scores boost*1), "scoring_boolean" (BM25 disjunction over
+    #: every expanded term, ScoringRewrite), or "top_terms_scoring"
+    #: (TopTermsRewrite.cs: keep only the best N expanded terms, then score)
+    rewrite_method: str = "constant_score"
+
+
+@dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """MultiPhraseQuery.cs:72 — phrase where each position admits
+    alternative terms, e.g. slots (("app","application"), ("store",)) for
+    \"app|application store\". Scored as a pseudo-term whose idf is the sum
+    over ALL member terms (the reference builds its similarity weight from
+    every term's stats) and whose freq counts distinct first-slot positions
+    that complete a match."""
+
+    slots: tuple[tuple[str, ...], ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class NumericRangeQuery(Query):
+    """NumericRangeQuery.cs:522-620 analogue over a numeric docmap column
+    (doclen, docid, or any stored numeric metadata): constant-score match
+    of docs whose value lies in the range. The reference's trie-encoded
+    term ranges are replaced by a pushdownable Parquet predicate on the
+    docmap scan — min/max pruning gives the same skip behavior natively."""
+
+    column: str
+    lower: float | None = None
+    upper: float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FilteredQuery(Query):
+    """FilteredQuery.cs:41: a scored query constrained by a non-scoring
+    filter — the filter restricts the match set but contributes no score
+    (semi-join in the physical plan). ``filter`` is any Query; pair with
+    NumericRangeQuery for the classic scored-text ∧ metadata-range shape."""
+
+    query: Query
+    filter: Query
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -167,6 +238,8 @@ def rewrite(q: Query) -> Query:
             return scoring[0].query
     if isinstance(q, ConstantScoreQuery):
         return ConstantScoreQuery(rewrite(q.query), q.boost)
+    if isinstance(q, FilteredQuery):
+        return FilteredQuery(rewrite(q.query), rewrite(q.filter), q.boost)
     if isinstance(q, DisjunctionMaxQuery):
         return DisjunctionMaxQuery(tuple(rewrite(d) for d in q.disjuncts), q.tie_breaker, q.boost)
     return q

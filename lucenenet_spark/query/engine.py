@@ -42,8 +42,11 @@ from .ast import (
     BooleanQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FilteredQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
+    NumericRangeQuery,
     Occur,
     PhraseQuery,
     PrefixQuery,
@@ -71,6 +74,12 @@ def _collect_terms(q: Query, out: set[str]) -> None:
         out.add(_skey(q.field, q.term))
     elif isinstance(q, PhraseQuery):
         out.update(q.terms)
+    elif isinstance(q, MultiPhraseQuery):
+        for slot in q.slots:
+            out.update(slot)
+    elif isinstance(q, FilteredQuery):
+        _collect_terms(q.query, out)
+        _collect_terms(q.filter, out)
     elif isinstance(q, BooleanQuery):
         for c in q.clauses:
             _collect_terms(c.query, out)
@@ -434,20 +443,35 @@ class Searcher:
             )
             per_term.append(dec)
         joined = reduce(lambda a, b: a.join(b, "docid", "inner"), per_term)
-
-        nterms, slop = len(q.terms), q.slop
-        cache = self.cache
-        w = idf_sum * (self.k1 + np.float32(1.0))
-        boost = np.float32(q.boost)
-        exact = self.scoring == "exact_int"
         # exact mode: phrase idf = sum of constituent exact idfs in term
         # order; boost folds into the weight as a double multiply (the
-        # float32 path applies it per-score below), so boosted phrases keep
-        # the reproducible-integer contract instead of silently dropping it
+        # float32 path applies it per-score in the kernel), so boosted
+        # phrases keep the reproducible-integer contract
         idf_sum_exact = 0.0
         for t in q.terms:
             idf_sum_exact = idf_sum_exact + self._idf_exact(stats[t].df)
-        w_exact = idf_sum_exact * (self.k1d + 1.0) * float(q.boost)
+        return self._positions_kernel(
+            joined, len(q.terms), q.slop, idf_sum, idf_sum_exact, q.boost
+        )
+
+    def _positions_kernel(
+        self,
+        joined: DataFrame,
+        nterms: int,
+        slop: int,
+        idf_sum: np.float32,
+        idf_sum_exact: float,
+        qboost: float,
+    ) -> DataFrame:
+        """Shared position-intersection + pseudo-term BM25 scorer behind
+        PhraseQuery AND MultiPhraseQuery: ``joined`` carries one sorted
+        position array per slot (pos_0..pos_{n-1}) plus docid/norm_byte/
+        doclen; slot i must have a position p0+i (within ±slop)."""
+        cache = self.cache
+        w = idf_sum * (self.k1 + np.float32(1.0))
+        boost = np.float32(qboost)
+        exact = self.scoring == "exact_int"
+        w_exact = idf_sum_exact * (self.k1d + 1.0) * float(qboost)
         k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
         one_minus_b = 1.0 - bd
 
@@ -519,6 +543,164 @@ class Searcher:
 
         return joined.mapInPandas(phrase_score, schema=_EMPTY_SCHEMA)
 
+    def _score_multiphrase(self, q: MultiPhraseQuery, stats: dict[str, TermStat]) -> DataFrame:
+        """MultiPhraseQuery (MultiPhraseQuery.cs:72): per slot, the position
+        lists of ALL alternative terms are unioned per doc (the reference's
+        UnionDocsAndPositionsEnum), then the ordinary phrase kernel runs on
+        the merged streams. idf = sum over every member term present in the
+        index — exactly how the reference builds the weight from all terms'
+        stats. A slot with no indexed alternative can never match."""
+        if not self.has_positions:
+            raise ValueError(
+                "phrase queries need an index built with index_positions=True"
+            )
+        slots: list[list[str]] = []
+        for slot in q.slots:
+            alts = [t for t in slot if t in stats]
+            if not alts:
+                return self._empty()
+            slots.append(alts)
+        all_terms = [t for slot in slots for t in slot]
+        idf_sum = np.float32(sum(float(stats[t].idf) for t in all_terms))
+        idf_sum_exact = 0.0
+        for t in all_terms:
+            idf_sum_exact = idf_sum_exact + self._idf_exact(stats[t].df)
+        per_slot = []
+        for i, alts in enumerate(slots):
+            blocks = self.postings.filter(F.col("term").isin(alts))
+            dec = self._decode_positions(blocks)
+            if len(alts) > 1:
+                # union of alternatives' positions per doc, sorted + deduped
+                # (two alts at one position count a single match site)
+                aggs = [
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("positions")))
+                    ).alias(f"pos_{i}")
+                ]
+                if i == 0:
+                    aggs += [
+                        F.first("norm_byte").alias("norm_byte"),
+                        F.first("doclen").alias("doclen"),
+                    ]
+                dec = dec.groupBy("docid").agg(*aggs)
+            else:
+                dec = dec.select(
+                    "docid",
+                    F.col("positions").alias(f"pos_{i}"),
+                    *([F.col("norm_byte"), F.col("doclen")] if i == 0 else []),
+                )
+            per_slot.append(dec)
+        joined = reduce(lambda a, b: a.join(b, "docid", "inner"), per_slot)
+        return self._positions_kernel(
+            joined, len(slots), q.slop, idf_sum, idf_sum_exact, q.boost
+        )
+
+    def _filter_docids(self, q: Query, stats: dict[str, TermStat]) -> DataFrame:
+        """A filter's match set as a docid-only DataFrame (no scores) —
+        the Filter/DocIdSet side of FilteredQuery.cs:41. NumericRangeQuery
+        compiles to a docmap Parquet predicate (pushdown does the skipping
+        the reference's trie terms did); anything else reuses its scorer
+        and drops the score."""
+        if isinstance(q, NumericRangeQuery):
+            c = F.col(q.column)
+            cond = F.lit(True)
+            if q.lower is not None:
+                cond = cond & (c >= q.lower if q.include_lower else c > q.lower)
+            if q.upper is not None:
+                cond = cond & (c <= q.upper if q.include_upper else c < q.upper)
+            return self.docmap.filter(cond).select("docid")
+        return self._score(q, stats).select("docid")
+
+    def _score_multiterm_scored(self, q: Query) -> DataFrame:
+        """SCORING_BOOLEAN_QUERY_REWRITE / TopTermsRewrite
+        (MultiTermQuery.cs:65, TopTermsRewrite.cs): the expanded terms are
+        scored as a BM25 disjunction instead of constant-score. Stays
+        distributed end-to-end: expanded terms (with their df) broadcast-
+        join INTO the posting blocks, the decode kernel computes idf per
+        block row from the joined df column, and a hash agg sums per doc —
+        no driver-side term collection. ``top_terms_scoring`` caps the
+        expansion at q.max_expansions terms first (fuzzy: fewest edits
+        first — the reference's closest-boost-first; ties by df desc then
+        term asc), which bounds the scan for huge expansions."""
+        import math
+
+        terms = self._expand_terms(q)
+        ts = self.termstats.join(F.broadcast(terms), "term", "left_semi").select("term", "df")
+        if getattr(q, "rewrite_method", "") == "top_terms_scoring":
+            n = int(getattr(q, "max_expansions", 50))
+            if isinstance(q, FuzzyQuery):
+                key = _skey(q.field, q.term) if q.field != "text" else q.term
+                order = [
+                    F.levenshtein(F.col("term"), F.lit(key)).asc(),
+                    F.desc("df"),
+                    F.asc("term"),
+                ]
+            else:
+                order = [F.desc("df"), F.asc("term")]
+            ts = ts.orderBy(*order).limit(n)
+        blocks = self.postings.join(F.broadcast(ts), "term")
+        exact = self.scoring == "exact_int"
+        maxdoc = self.maxdoc
+        k1f, k1d, bd = self.k1, self.k1d, self.bd
+        avgdl_exact = self.avgdl_exact
+        one_minus_b = 1.0 - bd
+        cache = self.cache
+        qboost = float(getattr(q, "boost", 1.0))
+
+        def decode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                row_lens = pdf["docid_deltas"].map(len).to_numpy(np.int64)
+                docids = np.concatenate(
+                    [
+                        fd + np.cumsum(np.asarray(d, dtype=np.int64))
+                        for fd, d in zip(pdf["first_docid"], pdf["docid_deltas"])
+                    ]
+                )
+                freqs = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in pdf["freqs"]]
+                )
+                dfs = pdf["df"].to_numpy(np.int64)
+                # idf per UNIQUE df via libm log (bit-identical to the SQL
+                # oracle's ln; numpy's vectorized log may differ by 1 ulp)
+                uniq = np.unique(dfs)
+                idf_u = np.array(
+                    [
+                        math.log(1.0 + (maxdoc - float(d) + 0.5) / (float(d) + 0.5))
+                        for d in uniq
+                    ]
+                )
+                idf_blk = idf_u[np.searchsorted(uniq, dfs)]
+                idf_e = np.repeat(idf_blk, row_lens)
+                if exact:
+                    w = idf_e * (k1d + 1.0) * qboost
+                    dls = np.concatenate(
+                        [np.asarray(x, dtype=np.int64) for x in pdf["doclens"]]
+                    ).astype(np.float64)
+                    f = freqs.astype(np.float64)
+                    denom = f + k1d * (one_minus_b + (bd * dls) / avgdl_exact)
+                    score = np.floor((w * f) / denom * 1e6 + 0.5)
+                else:
+                    w = (
+                        idf_e.astype(np.float32)
+                        * (k1f + np.float32(1.0))
+                        * np.float32(qboost)
+                    )
+                    norms = np.concatenate(
+                        [np.asarray(x, dtype=np.int64) for x in pdf["norm_bytes"]]
+                    )
+                    f = freqs.astype(np.float32)
+                    score = ((w * f) / (f + cache[norms & 0xFF])).astype(np.float32)
+                yield pd.DataFrame({"docid": docids, "score": score.astype(np.float64)})
+
+        cols = blocks.select(
+            "first_docid", "docid_deltas", "freqs", "df",
+            "doclens" if exact else "norm_bytes",
+        )
+        scored = cols.mapInPandas(decode, schema=_EMPTY_SCHEMA)
+        return scored.groupBy("docid").agg(F.sum("score").alias("score"))
+
     # ---------------- boolean composition -------------------------------- #
     def _score(self, q: Query, stats: dict[str, TermStat]) -> DataFrame:
         if isinstance(q, TermQuery):
@@ -538,7 +720,23 @@ class Searcher:
                 F.lit(float(np.float32(q.boost)) * self.const_score)
                 .cast("double").alias("score"),
             )
+        if isinstance(q, MultiPhraseQuery):
+            return self._score_multiphrase(q, stats)
+        if isinstance(q, FilteredQuery):
+            scored = self._score(q.query, stats)
+            fdocs = self._filter_docids(q.filter, stats)
+            res = scored.join(fdocs, "docid", "left_semi")
+            if q.boost != 1.0:
+                res = res.withColumn("score", F.col("score") * F.lit(float(q.boost)))
+            return res
+        if isinstance(q, NumericRangeQuery):
+            return self._filter_docids(q, stats).withColumn(
+                "score",
+                F.lit(float(np.float32(q.boost)) * self.const_score).cast("double"),
+            )
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)):
+            if getattr(q, "rewrite_method", "constant_score") != "constant_score":
+                return self._score_multiterm_scored(q)
             return self._score_multiterm(q)
         if isinstance(q, DisjunctionMaxQuery):
             scored = [
