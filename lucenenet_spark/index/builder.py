@@ -115,6 +115,13 @@ class IndexBuilder:
         #: batch match, so a crashed generation can never be "resumed" with
         #: a different batch's documents
         self.fingerprint_extra = fingerprint_extra
+        #: whether this build's docids are dense 0..maxdoc-1 (hash-partition
+        #: + offset scheme). False for caller-assigned docids and for
+        #: delete-applying compactions (docids keep their values, gaps
+        #: appear). Recorded in the stats commit meta; CheckIndex gates its
+        #: density invariants on it and append_index allocates new docid
+        #: ranges from next_docid, which stays collision-free either way.
+        self.docids_dense = not (config or IndexConfig()).external_docids
         if analyzer is None:
             from ..analysis.analyzer import ENGLISH_STOP_WORDS
 
@@ -385,16 +392,25 @@ class IndexBuilder:
     def _stage_stats(self) -> dict:
         dm = self.storage.read_stage(self.spark, "docmap", DOCMAP_SCHEMA)
         row = dm.agg(
-            F.count(F.lit(1)).alias("maxdoc"), F.sum("doclen").alias("sum_ttf")
+            F.count(F.lit(1)).alias("maxdoc"),
+            F.sum("doclen").alias("sum_ttf"),
+            F.max("docid").alias("max_docid"),
         ).collect()[0]
         maxdoc, sum_ttf = int(row["maxdoc"]), int(row["sum_ttf"] or 0)
+        # next free docid — NOT maxdoc: after a delete-applying compaction
+        # the docid space has gaps and maxdoc undercounts it; allocating
+        # appends from max(docid)+1 can never collide
+        next_docid = int(row["max_docid"]) + 1 if maxdoc else self.docid_base
         avgdl = float(np.float32(sum_ttf / maxdoc)) if maxdoc and sum_ttf > 0 else 1.0
         df = self.spark.createDataFrame(
             [("text", maxdoc, sum_ttf, avgdl)], "field string, maxdoc long, sum_ttf long, avgdl float"
         )
         return self.storage.write_stage(
             df, "stats", self._fp(),
-            meta={"maxdoc": maxdoc, "sum_ttf": sum_ttf, "avgdl": avgdl},
+            meta={
+                "maxdoc": maxdoc, "sum_ttf": sum_ttf, "avgdl": avgdl,
+                "next_docid": next_docid, "dense_docids": self.docids_dense,
+            },
         )
 
     # ------------------------------------------------------------------ #
@@ -840,10 +856,13 @@ def append_index(
 
     base = IndexStorage(index_dir)
     deltas0 = base.delta_dirs()
-    # composite maxdoc = base + all committed deltas (sequential docBase)
-    next_base = int(base.commit_meta("stats")["maxdoc"])
-    for d in deltas0:
-        next_base += int(IndexStorage(d).commit_meta("stats")["maxdoc"])
+    # next free docid across base + committed deltas (docBase scheme);
+    # next_docid (max docid + 1) rather than maxdoc so the range stays
+    # collision-free after delete-applying compactions leave docid gaps
+    next_base = 0
+    for d in [index_dir, *deltas0]:
+        m = IndexStorage(d).commit_meta("stats")
+        next_base = max(next_base, int(m.get("next_docid", m["maxdoc"])))
     gen = len(deltas0)
     delta_dir = os.path.join(index_dir, "deltas", f"{gen:06d}")
     if batch_id is not None:
@@ -885,10 +904,13 @@ def compact_index(
 
     from functools import reduce as _reduce
 
+    from .deletes import read_tombstones
+
     base = IndexStorage(index_dir)
     deltas = base.delta_dirs()
-    if not deltas:
-        return {"skipped": True, "reason": "no deltas"}
+    tomb = read_tombstones(spark, index_dir)
+    if not deltas and tomb is None:
+        return {"skipped": True, "reason": "no deltas and no tombstones"}
     cfg = config or IndexConfig()
     tmp_root = index_dir + ".__compact__"
     st = IndexStorage(tmp_root)
@@ -902,8 +924,18 @@ def compact_index(
         parts.append(p.withColumn("pid", (F.col("pid") + F.lit(pid_offset)).cast("int")))
         pid_offset += int(p.select(F.max("pid")).collect()[0][0] or 0) + 1
     merged = _reduce(lambda a, b: a.unionAll(b), parts)
+    n_deleted = 0
+    if tomb is not None:
+        # physically apply deletes — the "merged away" step of
+        # Lucene40LiveDocsFormat.cs:64 / IndexWriter.ForceMergeDeletes:
+        # doc rows anti-join out; posting rows drop tombstoned entries in a
+        # vectorized Arrow kernel. Stats/termstats then rebuild WITHOUT the
+        # deleted docs, so df/avgdl and block-max metadata are fresh.
+        merged, n_deleted = _apply_tombstones(merged, tomb)
+        builder.docids_dense = False  # deletion leaves docid gaps
     st.write_stage(merged, "partials", cfg.fingerprint(), partition_by=["row_type"])
     summary = builder.finish_from_partials()
+    summary["deletes_applied"] = n_deleted
 
     # publish: visibility flips on ONE atomic action — the manifest rename.
     # Before it, readers see base+deltas (old state); after it, every reader
@@ -915,9 +947,109 @@ def compact_index(
         tmp_root,
         stages=["partials", "docmap", "stats", "postings", "termstats", "lineage"],
         # docoffsets is stale after compaction (docids kept as-is); deltas
-        # are merged into the base
-        drop=["docoffsets", "deltas"],
+        # are merged into the base; applied tombstones are redundant
+        drop=["docoffsets", "deltas", "tombstones"],
     )
     base.recover_pending_compaction()
     summary["compacted_generations"] = len(deltas) + 1
     return summary
+
+
+def _apply_tombstones(partials: DataFrame, tomb: DataFrame):
+    """Strip tombstoned docs out of a partials table: 'd' rows via a
+    distributed anti-join; 'p' rows via an Arrow kernel that drops the dead
+    entries from every list column (docids/freqs/norm_bytes/doclens) and
+    their position spans (freq == per-entry position count addresses the
+    flat stream). The tombstone set is collected to a sorted numpy array
+    for the kernel — compaction-cycle delete volumes are driver-sized by
+    assumption (the Iceberg merge-on-read contract); shard the compaction
+    if that ever stops holding. Returns (filtered_df, n_tombstones)."""
+    tombs = np.sort(
+        np.array([r["docid"] for r in tomb.collect()], dtype=np.int64)
+    )
+
+    d_rows = partials.filter(F.col("row_type") == "d").join(
+        F.broadcast(tomb), "docid", "left_anti"
+    )
+
+    def strip(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        schema = _partials_pa()
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            dcol = rb.column("docids")
+            lens = (
+                pc.fill_null(pc.list_value_length(dcol), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat_doc = pc.list_flatten(dcol).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(tombs) and len(flat_doc):
+                idx = np.searchsorted(tombs, flat_doc)
+                np.minimum(idx, len(tombs) - 1, out=idx)
+                keep = tombs[idx] != flat_doc
+            else:
+                keep = np.ones(len(flat_doc), dtype=bool)
+            if keep.all():
+                # reorder to the output schema: partition-column reads put
+                # row_type LAST in input batches, and mapInArrow maps the
+                # yielded batch to the declared schema POSITIONALLY
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(n) for n in schema.names], schema=schema
+                )
+                continue
+            row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            new_lens = np.add.reduceat(keep, row_starts) if len(flat_doc) else lens
+            new_lens[lens == 0] = 0  # reduceat artifacts on empty rows
+            row_keep = new_lens > 0
+            rk_arrow = pa.array(row_keep)
+
+            freqs_flat = pc.list_flatten(rb.column("freqs")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            kept_lens = new_lens[row_keep]
+            off = np.concatenate([[0], np.cumsum(kept_lens)]).astype(np.int64)
+
+            def rebuild(name, dtype):
+                flat = pc.list_flatten(rb.column(name)).to_numpy(
+                    zero_copy_only=False
+                ).astype(dtype)
+                return _list_array(off, pa.array(flat[keep]))
+
+            pos_col = rb.column("positions")
+            if pos_col.null_count == rb.num_rows:
+                new_pos = pa.nulls(int(row_keep.sum()), pa.list_(pa.int32()))
+            else:
+                pos_flat = pc.list_flatten(pos_col).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int32)
+                pos_keep = np.repeat(keep, freqs_flat)
+                pos_lens = np.add.reduceat(freqs_flat * keep, row_starts)
+                pos_lens[lens == 0] = 0
+                pos_off = np.concatenate(
+                    [[0], np.cumsum(pos_lens[row_keep])]
+                ).astype(np.int64)
+                new_pos = _list_array(pos_off, pa.array(pos_flat[pos_keep]))
+
+            cols = [
+                rb.column(n).filter(rk_arrow)
+                for n in (
+                    "row_type", "pid", "seg", "docid", "url",
+                    "doclen", "norm_byte", "text_bytes", "term",
+                )
+            ] + [
+                rebuild("docids", np.int64),
+                rebuild("freqs", np.int32),
+                rebuild("norm_bytes", np.int32),
+                rebuild("doclens", np.int32),
+                new_pos,
+            ]
+            yield pa.RecordBatch.from_arrays(cols, schema=schema)
+
+    p_rows = partials.filter(F.col("row_type") == "p").mapInArrow(
+        strip, schema=PARTIALS_SCHEMA
+    )
+    return d_rows.unionByName(p_rows), len(tombs)

@@ -32,8 +32,14 @@ def verify(spark: SparkSession, index_dir: str) -> dict:
 
     results: dict[str, object] = {}
     maxdoc = int(stats["maxdoc"])
+    smeta = st.commit_meta("stats")
+    # density is a property of the build mode (stats commit meta): dense for
+    # the hash-partition + offset scheme, NOT dense for caller-assigned
+    # docids or after a delete-applying compaction (gaps). Uniqueness and
+    # count hold either way.
+    dense = bool(smeta.get("dense_docids", True))
+    max_docid = int(smeta.get("next_docid", maxdoc)) - 1
 
-    # docmap: dense unique docids 0..maxdoc-1
     dm = docmap.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("docid").alias("nd"),
@@ -41,12 +47,13 @@ def verify(spark: SparkSession, index_dir: str) -> dict:
         F.max("docid").alias("hi"),
         F.sum("doclen").alias("sum_ttf"),
     ).collect()[0]
-    results["docmap_dense_docids"] = (
-        int(dm["n"]) == maxdoc
-        and int(dm["nd"]) == maxdoc
-        and int(dm["lo"]) == 0
-        and int(dm["hi"]) == maxdoc - 1
+    results["docmap_unique_docids"] = (
+        int(dm["n"]) == maxdoc and int(dm["nd"]) == maxdoc
     )
+    if dense:
+        results["docmap_dense_docids"] = (
+            maxdoc == 0 or (int(dm["lo"]) == 0 and int(dm["hi"]) == maxdoc - 1)
+        )
     results["stats_sum_ttf"] = int(dm["sum_ttf"] or 0) == int(stats["sum_ttf"])
     results["stats_avgdl_float32"] = np.float32(stats["avgdl"]) == np.float32(
         int(stats["sum_ttf"]) / float(maxdoc)
@@ -166,7 +173,7 @@ def verify(spark: SparkSession, index_dir: str) -> dict:
     # on a sample is overkill at 100TB; the range check is the invariant here)
     rng = postings.agg(F.min("first_docid"), F.max("last_docid")).collect()[0]
     results["posting_docids_in_range"] = (
-        rng[0] is None or (int(rng[0]) >= 0 and int(rng[1]) <= maxdoc - 1)
+        rng[0] is None or (int(rng[0]) >= 0 and int(rng[1]) <= max_docid)
     )
 
     # lineage counters

@@ -123,6 +123,7 @@ class Searcher:
             raise ValueError(scoring)
         self.spark = spark
         storage = IndexStorage(index_dir)
+        self.index_dir = index_dir
         # composite index = base + committed delta generations (the
         # BaseCompositeReader over segments_N commit points; docids are
         # already globally offset at build time, so composition is a union)
@@ -151,6 +152,17 @@ class Searcher:
             sum_ttf += int(srow["sum_ttf"])
         self.maxdoc = maxdoc
         self.sum_ttf = sum_ttf
+        # liveDocs (Lucene40LiveDocsFormat.cs:64 analogue): tombstoned docs
+        # are anti-joined out of every match set and the docmap; collection
+        # stats (maxdoc/avgdl/df) deliberately STILL count them until a
+        # compaction physically removes them — reference semantics
+        from ..index.deletes import read_tombstones
+
+        self.tombstones = read_tombstones(spark, index_dir)
+        if self.tombstones is not None:
+            self.docmap = self.docmap.join(
+                F.broadcast(self.tombstones), "docid", "left_anti"
+            )
         self.has_positions = all(
             st.commit_meta("postings").get("index_positions", True) for st in stores
         )
@@ -827,6 +839,11 @@ class Searcher:
         or None if the shape (or scoring mode) doesn't qualify."""
         if self.scoring != "lucene":
             return None  # block_max_ub bounds the quantized-norm score only
+        if self.tombstones is not None:
+            # a deleted doc in the theta pre-pass would set an unachievable
+            # threshold (over-pruning) — fall back until compaction applies
+            # the tombstones physically
+            return None
         if self.is_composite:
             # stored block_max_ub was computed with each generation's OWN
             # avgdl; under the composite avgdl it is no longer a valid upper
@@ -917,6 +934,8 @@ class Searcher:
         _collect_terms(q, terms)
         stats = self.term_stats(sorted(terms))
         scored = self._score(q, stats)
+        if self.tombstones is not None:
+            scored = scored.join(F.broadcast(self.tombstones), "docid", "left_anti")
         if self.scoring == "exact_int":
             # integer micro-units: sums of exact small ints held in doubles
             # are exact, so the final long cast is lossless
@@ -1055,6 +1074,10 @@ class Searcher:
         as a nested Explanation dict {value, description, details}. The
         docid-targeted posting lookup rides the block metadata: term
         equality + first/last docid range both push into the Parquet scan."""
+        if self.tombstones is not None and self.tombstones.filter(
+            F.col("docid") == int(docid)
+        ).count():
+            return {"value": 0.0, "description": f"doc {docid} is deleted", "details": []}
         q = rewrite(q)
         terms: set[str] = set()
         _collect_terms(q, terms)

@@ -42,9 +42,12 @@ def _append_batch(
     # gets repaired here instead of being skipped forever
     if st.is_committed("lineage", config.fingerprint()):
         return None  # replayed batch — already fully committed
-    next_base = int(base.commit_meta("stats")["maxdoc"])
-    for d in base.delta_dirs():
-        next_base += int(IndexStorage(d).commit_meta("stats")["maxdoc"])
+    # next free docid via stats next_docid (max docid + 1), collision-free
+    # even after a delete-applying compaction leaves docid gaps
+    next_base = 0
+    for d in [index_dir, *base.delta_dirs()]:
+        m = IndexStorage(d).commit_meta("stats")
+        next_base = max(next_base, int(m.get("next_docid", m["maxdoc"])))
     builder = IndexBuilder(spark, st, config, docid_base=next_base)
     return builder.build(batch_df)
 
