@@ -414,6 +414,56 @@ def q_ft_multi_phrase(spark, sf_dir):
     return _topk_df(s, q, 10)
 
 
+def q_ft_lucene_rank(spark, sf_dir):
+    """Driver-visible gate for the FLOAT32 Lucene scoring path (the engine
+    default; every other ft_* entry runs the exact_int oracle mode). Runs
+    the same disjunction twice — unpruned and with block-max WAND — in
+    ``scoring="lucene"`` mode, and verifies BOTH against the in-repo numpy
+    golden oracle (scoring/oracle.py: float32 BM25 in reference op order,
+    float64 accumulation cast once, HitQueue tie-break) computed fresh from
+    the raw documents table at runtime. Any rank or float32-score deviation
+    raises, failing the gate loudly; the returned (doc_id, rank) table gets
+    the driver's rows-only check (float32 scores are not SQL-reproducible —
+    DuckDB has no float32 arithmetic with Lucene's op order, which is
+    exactly why this entry carries its own embedded oracle instead)."""
+    import numpy as np  # noqa: PLC0415
+
+    from lucenenet_spark.analysis.analyzer import StandardAnalyzer  # noqa: PLC0415
+    from lucenenet_spark.scoring.oracle import OracleIndex  # noqa: PLC0415
+
+    key = "lucene:" + (os.path.basename(os.path.normpath(sf_dir)) or "default")
+    if key not in _SEARCHERS:
+        _searcher(spark, sf_dir)  # ensure the index exists
+        idx = os.path.join(_INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+        _SEARCHERS[key] = Searcher(spark, idx, scoring="lucene")
+    s = _SEARCHERS[key]
+    q = BooleanQuery.build(should=[TermQuery("data"), TermQuery("spark")])
+    plain = [(int(r["docid"]), np.float32(r["score"])) for r in s.search(q, 10).collect()]
+    wand = [(int(r["docid"]), np.float32(r["score"])) for r in s.search(q, 10, wand=True).collect()]
+    pdf = _docs(spark, sf_dir).select("doc_id", "text").toPandas()
+    oracle = OracleIndex(
+        list(zip(pdf["doc_id"].astype(int), pdf["text"])),
+        analyzer=StandardAnalyzer(
+            stop_words=frozenset(),
+            max_token_length=1_000_000,
+            ascii_only=True,
+        ),
+    )
+    expected = oracle.search(q, k=10)
+    golden = [(int(d), np.float32(v)) for d, v in expected]
+    if plain != golden:
+        raise AssertionError(
+            f"float32 Lucene path diverged from numpy oracle: {plain} != {golden}"
+        )
+    if wand != golden:
+        raise AssertionError(
+            f"block-max WAND pruned path diverged: {wand} != {golden}"
+        )
+    return spark.createDataFrame(
+        [(d, i + 1) for i, (d, _) in enumerate(plain)], "doc_id long, rank long"
+    )
+
+
 def q_ft_suggest(spark, sf_dir):
     """Autocomplete over the term dictionary (AnalyzingSuggester.cs:90 with
     the FST replaced by the sorted termstats table): prefix scan ranked by
@@ -857,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_field_keyword": q_ft_field_keyword,
         "ft_field_mixed": q_ft_field_mixed,
         "ft_filtered_range": q_ft_filtered_range,
+        "ft_lucene_rank": q_ft_lucene_rank,
         "ft_fuzzy_scored": q_ft_fuzzy_scored,
         "ft_multi_phrase": q_ft_multi_phrase,
         "ft_suggest": q_ft_suggest,
