@@ -37,9 +37,25 @@ import pandas as pd
 
 MAX_TOKEN_LENGTH = 255
 
-# One tokenizer, three dialects (identical semantics on letter/digit runs):
-TOKEN_RE_PYTHON = r"[^\W_]+"          # Python re, with re.UNICODE
-TOKEN_RE_SQL = r"[\p{L}\p{N}]+"       # Java (Spark) and RE2 (DuckDB)
+# Unicode tokenizer, UAX#29-style word classes (StandardTokenizer.cs:54-105):
+# - IDEOGRAPHIC/HIRAGANA (StandardTokenizer.cs:84-102): each Han or Hiragana
+#   character is its OWN single-char token
+# - KATAKANA: maximal Katakana runs are one token, and a run never joins an
+#   adjacent Latin/digit run
+# - everything else: maximal letter/digit runs (ALPHANUM/NUM/HANGUL classes;
+#   underscore excluded)
+# The same semantics are expressed twice: one Python regex (findall), and a
+# two-step Arrow pipeline (space-pad the CJK classes, then split on
+# non-letter/digit) — asserted identical by tests/test_analyzer.py.
+_IDEO_RANGES = "\u3040-\u309f\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"  # Hiragana + Han
+_KATAKANA = "\u30a0-\u30ff"
+TOKEN_RE_PYTHON = (
+    rf"[{_IDEO_RANGES}]|[{_KATAKANA}]+|(?:(?![{_IDEO_RANGES}{_KATAKANA}])[^\W_])+"
+)
+# RE2 (pyarrow) pre-pad pattern: isolate each ideograph / katakana run with
+# spaces so the plain letter/digit split then yields the same tokens
+CJK_PAD_RE2 = f"([{_IDEO_RANGES}]|[{_KATAKANA}]+)"
+TOKEN_RE_SQL = r"[\p{L}\p{N}]+"       # Java (Spark) and RE2 (DuckDB) run form
 SPLIT_RE_RE2 = r"[^\p{L}\p{N}]+"      # RE2 split form (pyarrow compute)
 
 # ASCII-restricted variant: maximal [a-z0-9] runs of the LOWERCASED text.
@@ -253,6 +269,13 @@ def analyze_flat_arrow(
         return _analyze_flat_generic(texts, analyzer, encode)
     n = len(texts)
     low = pc.utf8_lower(texts)
+    if not analyzer.ascii_only:
+        # UAX#29 CJK classes: isolate ideographs / katakana runs so the
+        # letter/digit split emits them as their own tokens (identical to
+        # the TOKEN_RE_PYTHON alternation)
+        low = pc.replace_substring_regex(
+            low, pattern=CJK_PAD_RE2, replacement=" \\1 "
+        )
     sp = pc.split_pattern_regex(low, analyzer.split_re_re2)
     lens_all = pc.list_value_length(sp)
     lens_all = pc.fill_null(lens_all, 0).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -69,7 +69,7 @@ class IndexConfig:
     # bump on any change to the stage schemas / on-disk layout: the value is
     # part of the fingerprint, so committed stages from an older layout are
     # rebuilt instead of misread on resume
-    format_version: int = 2
+    format_version: int = 3  # 3: UAX#29 CJK tokenizer classes
     # docids supplied by the caller in a ``docid`` column of the input
     # (pre-assigned, globally unique, order-meaningful) instead of the
     # hash-partition + offset scheme. The build then range-partitions on

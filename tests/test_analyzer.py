@@ -49,7 +49,8 @@ def test_analyze_series_vectorized():
 
 def test_unicode_tokens():
     a = StandardAnalyzer()
-    assert a.tokenize("Köln Zürich 北京 data") == ["köln", "zürich", "北京", "data"]
+    # IDEOGRAPHIC class (StandardTokenizer.cs:84-102): one token per Han char
+    assert a.tokenize("Köln Zürich 北京 data") == ["köln", "zürich", "北", "京", "data"]
 
 
 def test_analyze_flat_equivalent_to_analyze():

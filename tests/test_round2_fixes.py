@@ -215,3 +215,35 @@ def test_phrase_boost_applied_in_exact_int_mode(spark, tmp_path):
     for r in rows1:
         assert abs(rows3[r["docid"]] - 3 * r["score"]) <= 3  # floor rounding
         assert rows3[r["docid"]] > r["score"]
+
+
+def test_cjk_tokenizer_classes_and_arrow_parity():
+    """UAX#29 CJK classes (StandardTokenizer.cs:84-102): Han/Hiragana are
+    single-char tokens, Katakana runs are their own tokens (never joined to
+    adjacent Latin), and the Arrow pipeline matches the Python regex."""
+    import pyarrow as pa
+
+    from lucenenet_spark.analysis.analyzer import StandardAnalyzer, analyze_flat_arrow
+
+    an = StandardAnalyzer(stop_words=frozenset())
+    cases = [
+        "数学とデータ12abc Science",
+        "日本語のテキスト解析",
+        "カタカナrun42続くmixed",
+        "한글테스트 hangul joins latin한글",
+        "plain ascii 123 only",
+        "",
+    ]
+    assert an.tokenize(cases[0]) == ["数", "学", "と", "データ", "12abc", "science"]
+    assert an.tokenize(cases[2]) == ["カタカナ", "run42", "続", "く", "mixed"]
+    # arrow path == python path (tokens, doc order, positions)
+    flat, _, doc_idx, positions, doclens = analyze_flat_arrow(
+        pa.array(cases), an, encode=False
+    )
+    toks = flat.to_pylist()
+    got = [[] for _ in cases]
+    for t, d in zip(toks, doc_idx):
+        got[d].append(t)
+    for i, c in enumerate(cases):
+        assert got[i] == an.tokenize(c), c
+        assert doclens[i] == len(an.tokenize(c))
