@@ -651,13 +651,14 @@ def q_nd_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         "doc_id", "source", F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("t")
     )
-    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_t = d.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("t"))
+    # doc size rides the SAME doc_id window partitioning as the rank — no
+    # separate sizes join/shuffle on the prefix path
     ranked = (
         d.join(df_t, "t")
         .withColumn("rk", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         # prefix length |d| - ceil(0.6|d|) + 1; ceil(3n/5) = (3n+4) div 5
         .filter(F.col("rk") <= F.col("n") - F.floor((3 * F.col("n") + 4) / 5) + 1)
         .select("doc_id", "source", "t")

@@ -610,7 +610,7 @@ class IndexBuilder:
         #   demand GBs of contiguous heap per task on stopword rows.
         scoped = {
             "spark.sql.adaptive.enabled": "false",
-            "spark.sql.parquet.columnarReaderBatchSize": "256",
+            "spark.sql.parquet.columnarReaderBatchSize": str(cfg.merge_reader_batch_size),
         }
         old = {k: self.spark.conf.get(k, None) for k in scoped}
         for k, v in scoped.items():

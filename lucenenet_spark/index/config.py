@@ -48,6 +48,11 @@ class IndexConfig:
     # corpus; term-range partitioning keeps the output term-sorted at any
     # task count, and bucket salting already bounds any single GROUP.
     merge_partitions: int | None = None
+    # merge-stage scan batch (rows per columnar reader batch while reading
+    # the list-heavy partials): small enough that a batch of stopword rows
+    # (arrays up to flush_docs entries) fits the heap, large enough to
+    # amortize JVM->Arrow dispatch. 256 measured safe at flush_docs=50k.
+    merge_reader_batch_size: int = 256
     # apply the reference's 33-word English StopFilter (StopAnalyzer.cs:52-58).
     # False -> keyword-style chain (tokenize+lowercase only), used when the
     # index must agree with an external SQL oracle that has no stop list.

@@ -16,6 +16,7 @@ from .ast import (
     BooleanClause,
     BooleanQuery,
     FuzzyQuery,
+    MultiPhraseQuery,
     Occur,
     PhraseQuery,
     PrefixQuery,
@@ -73,12 +74,28 @@ def parse_query(
         pos = m.end()
         boost = float(m.group("boost")) if m.group("boost") else 1.0
         if m.group("phrase") is not None:
-            terms = analyzer.analyze_query(m.group("phrase"))
+            raw = m.group("phrase")
             slop = int(m.group("slop") or 0)
-            if len(terms) == 1:
-                push(TermQuery(terms[0], boost))
-            elif terms:
-                push(PhraseQuery(tuple(terms), slop, boost))
+            if "|" in raw:
+                # MultiPhraseQuery alternatives (MultiPhraseQuery.cs:72):
+                # "app|application store" — '|' separates per-slot terms
+                slots = []
+                for word in raw.split():
+                    alts = []
+                    for alt in word.split("|"):
+                        alts.extend(analyzer.analyze_query(alt))
+                    if alts:
+                        slots.append(tuple(dict.fromkeys(alts)))
+                if len(slots) == 1 and len(slots[0]) == 1:
+                    push(TermQuery(slots[0][0], boost))
+                elif slots:
+                    push(MultiPhraseQuery(tuple(slots), slop, boost))
+            else:
+                terms = analyzer.analyze_query(raw)
+                if len(terms) == 1:
+                    push(TermQuery(terms[0], boost))
+                elif terms:
+                    push(PhraseQuery(tuple(terms), slop, boost))
         elif m.group("lo") is not None:
             lo = None if m.group("lo") == "*" else m.group("lo").lower()
             hi = None if m.group("hi") == "*" else m.group("hi").lower()

@@ -96,16 +96,8 @@ def test_parser_field_syntax(kw_index):
 def test_checkindex_with_keyword_fields(kw_index, spark):
     s, _ = kw_index
     # invariants hold with keyword postings present (sum-freq accounting)
-    res = verify(spark, s.postings.sparkSession and _index_dir(s))
+    res = verify(spark, s.index_dir)
     assert res["ok"], res
-
-
-def _index_dir(searcher):
-    # recover the index dir from the docmap file scan (test helper)
-    files = searcher.docmap.inputFiles()
-    import os
-
-    return os.path.dirname(os.path.dirname(files[0].replace("file:", "")))
 
 
 def test_explain_keyword(kw_index):

@@ -130,3 +130,13 @@ def test_multi_phrase_slop(idx):
     sloppy = _scores(s.score_df(MultiPhraseQuery(slots=(("apple",), ("laptops",)), slop=3)))
     assert url2doc["u://0"] in exact
     assert sloppy[url2doc["u://0"]] >= exact[url2doc["u://0"]]
+
+
+def test_parser_multiphrase_alternatives(idx):
+    from lucenenet_spark.query.parser import parse_query
+
+    s, url2doc, _ = idx
+    q = parse_query('"apple|application store"')
+    assert q == MultiPhraseQuery(slots=(("apple", "application"), ("store",)))
+    got = set(_scores(s.score_df(q)))
+    assert got == {url2doc["u://0"], url2doc["u://1"], url2doc["u://4"]}
