@@ -464,6 +464,61 @@ def q_ft_lucene_rank(spark, sf_dir):
     )
 
 
+def q_ft_mlt(spark, sf_dir):
+    """MoreLikeThis (Lucene.Net.Queries/Mlt/MoreLikeThis.cs): rank the input
+    text's terms by tf*idf (min_doc_freq filter), keep the best
+    max_query_terms, run them as a SHOULD disjunction. Term selection is
+    driver-side on the tiny analyzed input; scoring is the normal
+    distributed BM25 path. Tie-break = (tf*idf desc, term desc), mirrored
+    in the oracle's ORDER BY."""
+    s = _searcher(spark, sf_dir)
+    top = s.more_like_this(
+        "data spark merge vector dup hash", k=10, max_query_terms=4, min_doc_freq=2
+    )
+    return top.select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ft_common_terms(spark, sf_dir):
+    """CommonTermsQuery (Lucene.Net.Queries/CommonTermsQuery.cs:69): terms
+    with df/maxDoc above the cutoff demote to an optional clause that can
+    only add score to docs already matched by the rare terms (ReqOpt shape)
+    — query-time stopword-skew protection. Cutoff 0.5 splits this corpus's
+    rare 'dup' from the common terms; the oracle reproduces the split (and
+    the all-common fallback) data-driven."""
+    s = _searcher(spark, sf_dir)
+    top = s.common_terms_query(["dup", "data", "spark"], k=10, max_term_frequency=0.5)
+    return top.select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ft_highlight(spark, sf_dir):
+    """Highlighter (Lucene.Net.Highlighter/Highlight/Highlighter.cs:34):
+    snippet extraction around the first query-term match, term occurrences
+    wrapped — run over the TOP-K rows only (a pandas UDF on k rows, never
+    the corpus). The oracle reproduces the exact fragment arithmetic
+    (first-match position, 120-char window centered 60 back, '...'
+    ellipses) in SQL string functions."""
+    from lucenenet_spark.query.highlight import highlight  # noqa: PLC0415
+
+    s = _searcher(spark, sf_dir)
+    top = s.search(TermQuery("dup"), 5)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    topk = top.select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    ).join(F.broadcast(docs), "doc_id")
+    hl = highlight(topk, ["dup"], text_col="text", fragment_chars=120)
+    return hl.select("doc_id", "score", "rank", "snippet").orderBy("rank")
+
+
 def q_ft_suggest(spark, sf_dir):
     """Autocomplete over the term dictionary (AnalyzingSuggester.cs:90 with
     the FST replaced by the sorted termstats table): prefix scan ranked by
@@ -909,6 +964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_field_mixed": q_ft_field_mixed,
         "ft_filtered_range": q_ft_filtered_range,
         "ft_lucene_rank": q_ft_lucene_rank,
+        "ft_mlt": q_ft_mlt,
+        "ft_highlight": q_ft_highlight,
+        "ft_common_terms": q_ft_common_terms,
         "ft_fuzzy_scored": q_ft_fuzzy_scored,
         "ft_multi_phrase": q_ft_multi_phrase,
         "ft_suggest": q_ft_suggest,
@@ -1175,6 +1233,108 @@ scored AS (
 )
 """
         + _TOPK_TAIL.format(k=10)
+    )
+
+    # MLT: rank input terms by tf*idf (df from data), keep best 4, score as
+    # a BM25 disjunction — same op order as _term_ctes, term set data-driven
+    o["ft_mlt"] = (
+        _SQL_PREFIX
+        + """,
+mltin(term, tf) AS (VALUES ('data', 1.0), ('spark', 1.0), ('merge', 1.0),
+                           ('vector', 1.0), ('dup', 1.0), ('hash', 1.0)),
+cand AS (
+  SELECT m.term, m.tf,
+         (SELECT count(DISTINCT doc_id) FROM tok WHERE term = m.term)::DOUBLE AS df
+  FROM mltin m
+),
+sel AS (
+  SELECT term, df FROM cand CROSS JOIN st
+  WHERE df >= 2
+  ORDER BY tf * ln(1.0 + (st.maxdoc - df + 0.5)/(df + 0.5)) DESC, term DESC
+  LIMIT 4
+),
+tfm AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+ps AS (
+  SELECT t.doc_id, CAST(floor(
+    (ln(1.0 + (st.maxdoc - f.df + 0.5)/(f.df + 0.5)) * 2.2 * t.tf)
+    / (t.tf + 1.2*(0.25 + (0.75*d.dl)/(st.sum_ttf/st.maxdoc)))
+    * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM tfm t JOIN sel f USING (term) JOIN dl d USING (doc_id) CROSS JOIN st
+),
+scored AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM ps GROUP BY doc_id)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # CommonTerms: df-driven low/high split at 0.5*maxdoc; docs must match a
+    # LOW term, every matched query term adds score; all-common fallback =
+    # plain disjunction over the high terms (both branches expressed, the
+    # populated one selected by EXISTS)
+    o["ft_common_terms"] = (
+        _SQL_PREFIX
+        + """,
+ct(term) AS (VALUES ('dup'), ('data'), ('spark')),
+ctdf AS (
+  SELECT c.term,
+         (SELECT count(DISTINCT doc_id) FROM tok WHERE term = c.term)::DOUBLE AS df
+  FROM ct c
+),
+lows AS (SELECT term FROM ctdf CROSS JOIN st WHERE df <= 0.5 * st.maxdoc),
+tfm AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN (SELECT term FROM ct) GROUP BY doc_id, term
+),
+ps AS (
+  SELECT t.doc_id, t.term, CAST(floor(
+    (ln(1.0 + (st.maxdoc - f.df + 0.5)/(f.df + 0.5)) * 2.2 * t.tf)
+    / (t.tf + 1.2*(0.25 + (0.75*d.dl)/(st.sum_ttf/st.maxdoc)))
+    * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM tfm t JOIN ctdf f USING (term) JOIN dl d USING (doc_id) CROSS JOIN st
+),
+lowdocs AS (SELECT DISTINCT doc_id FROM ps WHERE term IN (SELECT term FROM lows)),
+scored_req AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM ps
+  WHERE doc_id IN (SELECT doc_id FROM lowdocs) GROUP BY doc_id
+),
+scored_plain AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM ps
+  WHERE term NOT IN (SELECT term FROM lows) GROUP BY doc_id
+),
+scored AS (
+  SELECT * FROM scored_req WHERE EXISTS (SELECT 1 FROM lows)
+  UNION ALL
+  SELECT * FROM scored_plain WHERE NOT EXISTS (SELECT 1 FROM lows)
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # highlighter: same fragment arithmetic as query/highlight.py —
+    # start0 = first match (0-based), lo = max(0, start0-60),
+    # hi = min(len, lo+120), wrap matches, ellipses at cut edges
+    o["ft_highlight"] = (
+        _SQL_PREFIX + _term_ctes(["dup"])
+        + """,
+topk AS (
+  SELECT doc_id, s AS score,
+         CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM s0 ORDER BY s DESC, doc_id ASC LIMIT 5
+),
+frag AS (
+  SELECT t.doc_id, t.score, t.rank, d.text,
+         greatest(0, position('dup' IN d.text) - 1 - 60) AS lo,
+         least(length(d.text), greatest(0, position('dup' IN d.text) - 1 - 60) + 120) AS hi
+  FROM topk t JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score, rank,
+       (CASE WHEN lo > 0 THEN '...' ELSE '' END)
+       || regexp_replace(substr(text, lo + 1, hi - lo), '(?i)\\b(dup)\\b', '<b>\\1</b>', 'g')
+       || (CASE WHEN hi < length(text) THEN '...' ELSE '' END) AS snippet
+FROM frag ORDER BY rank
+"""
     )
 
     o["ft_suggest"] = (
