@@ -519,6 +519,44 @@ def q_ft_highlight(spark, sf_dir):
     return hl.select("doc_id", "score", "rank", "snippet").orderBy("rank")
 
 
+def q_ft_rescore(spark, sf_dir):
+    """QueryRescorer (QueryRescorer.cs): re-rank the top-20 of a first-pass
+    query with a second query; combined = first + weight*second. The top-k
+    side broadcasts, so the second query only ever scores the k candidate
+    docids."""
+    s = _searcher(spark, sf_dir)
+    top = s.search(TermQuery("data"), 20).select("docid", "score")
+    r = s.rescore(top, TermQuery("spark"), weight=2.0)
+    return r.select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ft_sort_by_field(spark, sf_dir):
+    """TopFieldCollector / Sort (TopFieldCollector.cs:37, Sort.cs): top-k of
+    a match set ordered by a stored field instead of relevance — matches of
+    'dup' sorted by (doclen asc, docid asc)."""
+    s = _searcher(spark, sf_dir)
+    top = s.search_sorted(TermQuery("dup"), [F.asc("doclen"), F.asc("docid")], 10)
+    return top.select(
+        F.col("docid").alias("doc_id"), F.col("doclen").cast("long").alias("doclen")
+    )
+
+
+def q_ft_regexp(spark, sf_dir):
+    """RegexpQuery (RegexpQuery.cs:52): full-match regex scan of the term
+    dictionary, CONSTANT_SCORE rewrite."""
+    from lucenenet_spark.query.ast import RegexpQuery  # noqa: PLC0415
+
+    s = _searcher(spark, sf_dir)
+    d = s.score_df(RegexpQuery("s(park|ort)"))
+    return d.select(
+        F.col("docid").alias("doc_id"), F.col("score").cast("long").alias("score")
+    ).orderBy("doc_id")
+
+
 def q_ft_suggest(spark, sf_dir):
     """Autocomplete over the term dictionary (AnalyzingSuggester.cs:90 with
     the FST replaced by the sorted termstats table): prefix scan ranked by
@@ -802,6 +840,129 @@ def q_ann_lsh_bucket(spark, sf_dir):
     return emb.select("vec_id", bucket.cast("long").alias("bucket")).orderBy("vec_id")
 
 
+def _bucket4_col():
+    """4-plane (16-bucket) coarse LSH bucket expression — the blocking
+    table for composed bucket-local top-k and embedding near-dup."""
+    cols = []
+    exprs = []
+    for j in range(4):
+        lit = "array(" + ", ".join(repr(w) for w in _PLANES[j]) + ")"
+        dot = (
+            f"aggregate(zip_with(embedding, {lit}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        exprs.append(f"CASE WHEN {dot} > 0.0 THEN {1 << j} ELSE 0 END")
+    return F.expr(" + ".join(exprs))
+
+
+_COS_X1M = (
+    "CAST(floor("
+    "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    " / (sqrt(aggregate(transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    " * sqrt(aggregate(transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """The COMPOSED ANN scale path (the missing piece beyond bucket
+    assignment): query vector -> its coarse LSH bucket -> exact cosine
+    top-5 WITHIN the bucket only. At scale the bucketed table is
+    partitioned by bucket, so the probe touches one partition instead of
+    the corpus; multiprobe = union of a few neighboring buckets."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    b = emb.withColumn("bucket", _bucket4_col())
+    qb = b.filter(F.col("vec_id") == 0).select("bucket", "embedding").collect()[0]
+    qv = [float(x) for x in qb["embedding"]]
+    cand = b.filter((F.col("bucket") == int(qb["bucket"])) & (F.col("vec_id") != 0))
+    cand = cand.withColumn("qv", F.array(*[F.lit(x) for x in qv]))
+    cand = cand.withColumn(
+        "cos_x1m",
+        F.expr(_COS_X1M.replace("ea", "embedding").replace("eb", "qv")),
+    )
+    top = cand.orderBy(F.desc("cos_x1m"), F.asc("vec_id")).limit(5)
+    w = Window.orderBy(F.desc("cos_x1m"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "vec_id", "cos_x1m", "rank"
+    )
+
+
+def q_dd_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup — LSH-banded candidate generation (2-bit
+    bands over 8 hyperplane sign bits: a pair is a candidate iff ANY band
+    matches, never an all-pairs join) followed by exact cosine verification
+    at τ=0.4 (integer-micro threshold)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    bits = emb
+    for j in range(_N_PLANES):
+        lit = "array(" + ", ".join(repr(w) for w in _PLANES[j]) + ")"
+        dot = (
+            f"aggregate(zip_with(embedding, {lit}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits = bits.withColumn(f"b{j}", F.expr(f"CASE WHEN {dot} > 0.0 THEN 1 ELSE 0 END"))
+    bands = bits.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (F.col(f"b{2*i}") * 2 + F.col(f"b{2*i+1}")).alias("key"),
+                    )
+                    for i in range(_N_PLANES // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    verified = (
+        cand.join(ea, "a").join(eb, "b")
+        .withColumn("cos_x1m", F.expr(_COS_X1M))
+        .filter(F.col("cos_x1m") >= 400000)
+        .select("a", "b", "cos_x1m")
+        .orderBy("a", "b")
+    )
+    return verified
+
+
+def q_nd_shingle_jaccard(spark, sf_dir):
+    """n-gram (3-token shingle) Jaccard near-dup: MinHash-LSH candidates
+    (q_dd_minhash_lsh) verified exactly on the DISTINCT SHINGLE sets at
+    τ=0.8 — the full n-gram dedup pipeline (candidates are proposed and
+    verified on the same shingle universe, unlike dd_lsh_verify which
+    verifies on token sets)."""
+    cand = q_dd_minhash_lsh(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN "
+                "transform(sequence(0, size(toks)-3), "
+                "i -> concat_ws(' ', slice(toks, i+1, 3))) "
+                "ELSE array() END"
+            )
+        ).alias("t"),
+    ).distinct()
+    return _jaccard_verify(sh, cand, tau_x1m=800000)
+
+
 def q_txt_quality(spark, sf_dir):
     """Quality scoring: token count, type count, type-token ratio and mean
     token length (integer-scaled) — the doc-quality features of a training
@@ -966,6 +1127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_lucene_rank": q_ft_lucene_rank,
         "ft_mlt": q_ft_mlt,
         "ft_highlight": q_ft_highlight,
+        "ft_rescore": q_ft_rescore,
+        "ft_sort_by_field": q_ft_sort_by_field,
+        "ft_regexp": q_ft_regexp,
         "ft_common_terms": q_ft_common_terms,
         "ft_fuzzy_scored": q_ft_fuzzy_scored,
         "ft_multi_phrase": q_ft_multi_phrase,
@@ -978,6 +1142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nd_jaccard": q_nd_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucket": q_ann_lsh_bucket,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dd_embed_cosine": q_dd_embed_cosine,
+        "nd_shingle_jaccard": q_nd_shingle_jaccard,
         "txt_quality": q_txt_quality,
         "txt_token_count": q_txt_token_count,
         "txt_langid": q_txt_langid,
@@ -1337,6 +1504,33 @@ FROM frag ORDER BY rank
 """
     )
 
+    o["ft_rescore"] = (
+        _SQL_PREFIX + _term_ctes(["data", "spark"])
+        + """,
+topk AS (SELECT doc_id, s FROM s0 ORDER BY s DESC, doc_id ASC LIMIT 20),
+scored AS (
+  SELECT t.doc_id, CAST(t.s + 2.0 * COALESCE(u.s, 0) AS BIGINT) AS score
+  FROM topk t LEFT JOIN s1 u USING (doc_id)
+)
+SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scored ORDER BY score DESC, doc_id ASC
+"""
+    )
+
+    o["ft_sort_by_field"] = (
+        _SQL_PREFIX
+        + ", m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup') "
+        "SELECT m.doc_id, CAST(d.dl AS BIGINT) AS doclen "
+        "FROM m JOIN dl d USING (doc_id) "
+        "ORDER BY d.dl ASC, m.doc_id ASC LIMIT 10"
+    )
+
+    o["ft_regexp"] = (
+        _SQL_PREFIX
+        + "SELECT DISTINCT doc_id, CAST(1000000 AS BIGINT) AS score FROM tok "
+        "WHERE regexp_full_match(term, 's(park|ort)') ORDER BY doc_id"
+    )
+
     o["ft_suggest"] = (
         _SQL_PREFIX
         + "SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok "
@@ -1458,6 +1652,67 @@ FROM s ORDER BY cos_x1m DESC, vec_id ASC LIMIT 10
     o["ann_lsh_bucket"] = (
         "SELECT vec_id, CAST(" + " + ".join(plane_exprs) + " AS BIGINT) AS bucket "
         "FROM embeddings ORDER BY vec_id"
+    )
+
+    # 4-plane coarse bucket (16 buckets) for composed bucket-local top-k
+    b4 = " + ".join(plane_exprs[:4])
+    o["ann_lsh_topk"] = f"""
+WITH b AS (SELECT vec_id, embedding, {b4} AS bucket FROM embeddings),
+q AS (SELECT bucket, embedding AS qv FROM b WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id,
+         CAST(floor(list_reduce(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x, y) -> x + y))) * 1000000.0 + 0.5) AS BIGINT) AS cos_x1m
+  FROM b e CROSS JOIN q
+  WHERE e.bucket = q.bucket AND e.vec_id != 0
+)
+SELECT vec_id, cos_x1m,
+       CAST(row_number() OVER (ORDER BY cos_x1m DESC, vec_id ASC) AS BIGINT) AS rank
+FROM cand ORDER BY cos_x1m DESC, vec_id ASC LIMIT 5
+"""
+
+    bitsel = ", ".join(
+        f"CASE WHEN list_reduce(list_transform(range(1, {_DIM} + 1), "
+        f"i -> embedding[i]::DOUBLE * ([" + ", ".join(repr(w) for w in _PLANES[j]) + f"])[i]), (a, b) -> a + b) > 0.0 "
+        f"THEN 1 ELSE 0 END AS b{j}"
+        for j in range(_N_PLANES)
+    )
+    bandrows = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, b{2*i} * 2 + b{2*i+1} AS key FROM bits"
+        for i in range(_N_PLANES // 2)
+    )
+    o["dd_embed_cosine"] = f"""
+WITH bits AS (SELECT vec_id, embedding, {bitsel} FROM embeddings),
+bands AS ({bandrows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+v AS (
+  SELECT c.a, c.b,
+         CAST(floor(list_reduce(list_transform(range(1, 65), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(range(1, 65), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(range(1, 65), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (x, y) -> x + y))) * 1000000.0 + 0.5) AS BIGINT) AS cos_x1m
+  FROM cand c
+  JOIN embeddings x ON x.vec_id = c.a
+  JOIN embeddings y ON y.vec_id = c.b
+)
+SELECT a, b, cos_x1m FROM v WHERE cos_x1m >= 400000 ORDER BY a, b
+"""
+
+    o["nd_shingle_jaccard"] = (
+        minhash_ctes
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+ss AS (SELECT doc_id, list_sort(list(sh)) AS shs FROM sh GROUP BY doc_id)
+SELECT c.a, c.b,
+       CAST(floor(len(list_intersect(x.shs, y.shs))::DOUBLE * 1000000.0
+            / len(list_distinct(list_concat(x.shs, y.shs)))::DOUBLE + 0.5) AS BIGINT) AS j_x1m
+FROM cand c JOIN ss x ON x.doc_id = c.a JOIN ss y ON y.doc_id = c.b
+WHERE CAST(floor(len(list_intersect(x.shs, y.shs))::DOUBLE * 1000000.0
+      / len(list_distinct(list_concat(x.shs, y.shs)))::DOUBLE + 0.5) AS BIGINT) >= 800000
+ORDER BY a, b
+"""
     )
 
     o["txt_quality"] = f"""
