@@ -1061,6 +1061,147 @@ def q_mm_decode_stub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling over ``mapInPandas``: every 2nd frame of
+    the (stubbed) decoded stream becomes its own output row with a
+    deterministic frame signature — the Arrow-batched explode shape a real
+    video pipeline uses (decode is the same honest stub as mm_decode_stub:
+    frame count derived from byte length; media libs absent here)."""
+    import hashlib as _hl  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").cast("binary").alias("blob"))
+
+    def sample(batches):
+        for pdf in batches:
+            rows_id, rows_fi, rows_sig = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n = len(blob)
+                n_frames = 1 + (n % 7)
+                sha = _hl.sha256(bytes(blob)).hexdigest()
+                for fi in range(0, n_frames, 2):
+                    rows_id.append(doc_id)
+                    rows_fi.append(fi)
+                    rows_sig.append(_hl.md5(f"{sha}:{fi}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": rows_id, "frame_idx": rows_fi, "frame_sig": rows_sig}
+            )
+
+    return d.mapInPandas(
+        sample, schema="doc_id long, frame_idx long, frame_sig string"
+    ).orderBy("doc_id", "frame_idx")
+
+
+def q_mm_resize_stub(spark, sf_dir):
+    """Multimodal resize-to-thumbnail stub over ``mapInPandas``: source
+    dimensions from the deterministic decode stub, fixed 32x32 target,
+    integer-micro scale factors — the schema/batching layer of an image
+    resize stage (the pixel work is the stub; the Spark plumbing is real)."""
+    import pandas as pd  # noqa: PLC0415
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").cast("binary").alias("blob"))
+
+    def resize(batches):
+        for pdf in batches:
+            n = pdf["blob"].map(len)
+            w = 16 + (n % 97)
+            h = 16 + (n * 31 % 89)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "out_w": 32,
+                    "out_h": 32,
+                    "scale_x_x1m": (32.0 * 1000000.0 / w + 0.5).astype("int64"),
+                    "scale_y_x1m": (32.0 * 1000000.0 / h + 0.5).astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        resize,
+        schema="doc_id long, width long, height long, out_w long, out_h long, "
+        "scale_x_x1m long, scale_y_x1m long",
+    ).orderBy("doc_id")
+
+
+_LANG_MARKERS = {
+    "de": ("der", "die", "das", "und"),
+    "en": ("the", "of", "with", "this"),
+    "es": ("el", "los", "las", "una"),
+    "fr": ("le", "la", "les", "des"),
+}
+
+
+def q_txt_langid_ngram(spark, sf_dir):
+    """Language-ID by function-word profile (the n-gram-heuristic family):
+    per-language marker-token hit counts, argmax with lexicographic
+    tie-break, 'und' when nothing hits — the classifier shape of a real
+    langid stage with deterministic profiles."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    hit_cols = {}
+    for lang, marks in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in marks)
+        hit_cols[lang] = F.expr(f"size(filter(toks, x -> x IN ({lst})))")
+    best = None
+    for lang in sorted(_LANG_MARKERS):  # lexicographic tie-break: first wins ties
+        c = hit_cols[lang]
+        if best is None:
+            best = F.when(c > 0, F.lit(lang)).otherwise(F.lit("und"))
+            best_n = c
+        else:
+            best = F.when(c > best_n, F.lit(lang)).otherwise(best)
+            best_n = F.greatest(best_n, c)
+    return d.select(
+        "doc_id",
+        *[hit_cols[lang].cast("long").alias(f"{lang}_hits") for lang in sorted(_LANG_MARKERS)],
+        best.alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+# GPT2-style pre-tokenizer regex, restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB)
+_BPE_RE = r"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def q_txt_token_bpe(spark, sf_dir):
+    """Token counting two ways (the budget estimators of a training
+    pipeline): whitespace tokens and a BPE-ish pre-tokenizer regex count
+    (GPT2-family shape), both as JVM-side regexp_extract_all — no Python
+    in the path."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").alias("n_ws"),
+        F.expr(f'size(regexp_extract_all(text, "{_BPE_RE}", 0))').cast("long").alias("n_bpe"),
+    ).orderBy("doc_id")
+
+
+def q_txt_quality_ratios(spark, sf_dir):
+    """Quality-score ratio features: stopword ratio, alphabetic-character
+    ratio, whitespace ratio (integer-micro) — the punct/stopword family of
+    doc-quality filters."""
+    stop = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'"
+    d = _docs(spark, sf_dir).select("doc_id", "text", F.expr(_TOKS_SPARK).alias("toks"))
+    d = d.filter(F.size("toks") > 0)
+    return d.select(
+        "doc_id",
+        F.floor(
+            F.expr(f"size(filter(toks, x -> x IN ({stop})))").cast("double")
+            * 1000000.0 / F.size("toks").cast("double") + 0.5
+        ).cast("long").alias("stop_ratio_x1m"),
+        F.floor(
+            F.expr("length(regexp_replace(text, '[^a-z]', ''))").cast("double")
+            * 1000000.0 / F.length("text").cast("double") + 0.5
+        ).cast("long").alias("alpha_ratio_x1m"),
+        F.floor(
+            F.expr("length(regexp_replace(text, '[^ ]', ''))").cast("double")
+            * 1000000.0 / F.length("text").cast("double") + 0.5
+        ).cast("long").alias("space_ratio_x1m"),
+    ).orderBy("doc_id")
+
+
 # ---- relational module analogues (Join / faceting over other tables) ------ #
 
 
@@ -1151,6 +1292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint": q_txt_fingerprint,
         "mm_meta": q_mm_meta,
         "mm_decode_stub": q_mm_decode_stub,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_resize_stub": q_mm_resize_stub,
+        "txt_langid_ngram": q_txt_langid_ngram,
+        "txt_token_bpe": q_txt_token_bpe,
+        "txt_quality_ratios": q_txt_quality_ratios,
         "rel_join_customers": q_rel_join_customers,
         "rel_facet_events": q_rel_facet_events,
     }
@@ -1761,6 +1907,63 @@ FROM d ORDER BY doc_id
         "CAST(16 + (n * 31 % 89) AS BIGINT) AS height, "
         "CAST(1 + (n % 7) AS BIGINT) AS n_frames FROM d ORDER BY doc_id"
     )
+
+    o["mm_frame_sample"] = (
+        "WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n, sha256(text) AS sha FROM documents), "
+        "f AS (SELECT doc_id, sha, unnest(range(0, 1 + (n % 7), 2)) AS frame_idx FROM d) "
+        "SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
+        "md5(sha || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sig "
+        "FROM f ORDER BY doc_id, frame_idx"
+    )
+
+    o["mm_resize_stub"] = (
+        "WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents) "
+        "SELECT doc_id, CAST(16 + (n % 97) AS BIGINT) AS width, "
+        "CAST(16 + (n * 31 % 89) AS BIGINT) AS height, "
+        "CAST(32 AS BIGINT) AS out_w, CAST(32 AS BIGINT) AS out_h, "
+        "CAST(floor(32.0 * 1000000.0 / (16 + (n % 97)) + 0.5) AS BIGINT) AS scale_x_x1m, "
+        "CAST(floor(32.0 * 1000000.0 / (16 + (n * 31 % 89)) + 0.5) AS BIGINT) AS scale_y_x1m "
+        "FROM d ORDER BY doc_id"
+    )
+
+    o["txt_langid_ngram"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS BIGINT) AS de_hits,
+    CAST(len(list_filter(toks, x -> x IN ('the','of','with','this'))) AS BIGINT) AS en_hits,
+    CAST(len(list_filter(toks, x -> x IN ('el','los','las','una'))) AS BIGINT) AS es_hits,
+    CAST(len(list_filter(toks, x -> x IN ('le','la','les','des'))) AS BIGINT) AS fr_hits
+  FROM d
+)
+SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+  CASE
+    WHEN fr_hits > greatest(de_hits, en_hits, es_hits) THEN 'fr'
+    WHEN es_hits > greatest(de_hits, en_hits) THEN 'es'
+    WHEN en_hits > de_hits THEN 'en'
+    WHEN de_hits > 0 THEN 'de'
+    ELSE 'und' END AS pred_lang
+FROM h ORDER BY doc_id
+"""
+
+    o["txt_token_bpe"] = (
+        "SELECT doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws, "
+        "CAST(len(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS BIGINT) AS n_bpe "
+        "FROM documents ORDER BY doc_id"
+    )
+
+    o["txt_quality_ratios"] = f"""
+WITH d AS (SELECT doc_id, text, {_TOKS_DUCK} AS toks FROM documents)
+SELECT doc_id,
+  CAST(floor(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+       * 1000000.0 / len(toks)::DOUBLE + 0.5) AS BIGINT) AS stop_ratio_x1m,
+  CAST(floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+       * 1000000.0 / length(text)::DOUBLE + 0.5) AS BIGINT) AS alpha_ratio_x1m,
+  CAST(floor(length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE
+       * 1000000.0 / length(text)::DOUBLE + 0.5) AS BIGINT) AS space_ratio_x1m
+FROM d WHERE len(toks) > 0 ORDER BY doc_id
+"""
 
     o["rel_join_customers"] = (
         "WITH a AS (SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders GROUP BY o_custkey) "
