@@ -78,7 +78,14 @@ def main() -> None:
     if synth_docs > 0:
         from lucenenet_spark.data.pages import pages_spark_df_distributed
 
-        cfg = IndexConfig(num_partitions=max(cpus, 16), flush_docs=50_000)
+        # merge partitions sized by DATA, not cluster width (the 100 TB
+        # lesson): 32 tasks over ~36M posting entries at 1M docs gives the
+        # range partitioner balanced waves at ANY slot count — with
+        # merge tasks == slots, range imbalance makes the largest task
+        # dominate the stage (measured: 28 s -> 14.7 s at local[4], 1M docs)
+        cfg = IndexConfig(
+            num_partitions=max(cpus, 16), flush_docs=50_000, merge_partitions=32
+        )
         # generation partition count is FIXED (not cpu-dependent) so the
         # corpus is byte-identical across parallelism levels — required for
         # the N-vs-4N scaling comparison to be apples-to-apples
