@@ -891,10 +891,10 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_dd_embed_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup — LSH-banded candidate generation (2-bit
-    bands over 8 hyperplane sign bits: a pair is a candidate iff ANY band
-    matches, never an all-pairs join) followed by exact cosine verification
-    at τ=0.4 (integer-micro threshold)."""
+    """Embedding-cosine near-dup — LSH-banded candidate generation (2 bands
+    of 4 hyperplane sign bits: a pair is a candidate iff ANY band matches,
+    never an all-pairs join; 1/16 random-pair collision per band) followed
+    by exact cosine verification at τ=0.4 (integer-micro threshold)."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     bits = emb
     for j in range(_N_PLANES):
@@ -904,6 +904,10 @@ def q_dd_embed_cosine(spark, sf_dir):
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         bits = bits.withColumn(f"b{j}", F.expr(f"CASE WHEN {dot} > 0.0 THEN 1 ELSE 0 END"))
+    # 2 bands x 4 sign bits: random-pair band collision = 1/16 (a 2-bit
+    # band's 1/4 would make candidates quadratic at scale; band WIDTH is
+    # the knob that grows with corpus size — ~2 log16(n) bits keeps the
+    # candidate set near-linear)
     bands = bits.select(
         "vec_id",
         F.explode(
@@ -911,9 +915,14 @@ def q_dd_embed_cosine(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        (F.col(f"b{2*i}") * 2 + F.col(f"b{2*i+1}")).alias("key"),
+                        (
+                            F.col(f"b{4*i}") * 8
+                            + F.col(f"b{4*i+1}") * 4
+                            + F.col(f"b{4*i+2}") * 2
+                            + F.col(f"b{4*i+3}")
+                        ).alias("key"),
                     )
-                    for i in range(_N_PLANES // 2)
+                    for i in range(_N_PLANES // 4)
                 ]
             )
         ).alias("bk"),
@@ -1823,8 +1832,9 @@ FROM cand ORDER BY cos_x1m DESC, vec_id ASC LIMIT 5
         for j in range(_N_PLANES)
     )
     bandrows = " UNION ALL ".join(
-        f"SELECT vec_id, {i} AS band, b{2*i} * 2 + b{2*i+1} AS key FROM bits"
-        for i in range(_N_PLANES // 2)
+        f"SELECT vec_id, {i} AS band, "
+        f"b{4*i} * 8 + b{4*i+1} * 4 + b{4*i+2} * 2 + b{4*i+3} AS key FROM bits"
+        for i in range(_N_PLANES // 4)
     )
     o["dd_embed_cosine"] = f"""
 WITH bits AS (SELECT vec_id, embedding, {bitsel} FROM embeddings),
