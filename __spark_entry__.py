@@ -1183,7 +1183,11 @@ def q_txt_token_bpe(spark, sf_dir):
     return d.select(
         "doc_id",
         F.expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").alias("n_ws"),
-        F.expr(f'size(regexp_extract_all(text, "{_BPE_RE}", 0))').cast("long").alias("n_bpe"),
+        # F.lit passes the pattern verbatim — an F.expr string literal would
+        # swallow the \s escape (Spark SQL literals drop unknown escapes).
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe"),
     ).orderBy("doc_id")
 
 
@@ -1959,7 +1963,7 @@ FROM h ORDER BY doc_id
     o["txt_token_bpe"] = (
         "SELECT doc_id, "
         "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws, "
-        "CAST(len(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS BIGINT) AS n_bpe "
+        r"CAST(len(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS BIGINT) AS n_bpe "
         "FROM documents ORDER BY doc_id"
     )
 

@@ -830,6 +830,27 @@ def build_index(
     return builder.build(pages, overwrite=overwrite)
 
 
+def next_docid_base(index_dir: str) -> int:
+    """Next free docid across base + committed deltas (docBase scheme).
+
+    Format-3+ stats metas persist ``next_docid`` (max docid + 1), which stays
+    collision-free even after a delete-applying compaction leaves docid gaps.
+    Pre-format-3 metas only carry ``maxdoc`` — which for a DELTA generation is
+    that generation's own doc count, NOT an absolute bound — so the fallback
+    is the original cumulative-sum semantics (generations were stacked
+    contiguously, so sum of maxdocs bounds every allocated docid). Taking the
+    max of both is safe in mixed-format indexes: it can waste docid range,
+    never collide."""
+    maxdoc_sum = 0
+    next_max = 0
+    for d in [index_dir, *IndexStorage(index_dir).delta_dirs()]:
+        m = IndexStorage(d).commit_meta("stats")
+        maxdoc_sum += int(m["maxdoc"])
+        if "next_docid" in m:
+            next_max = max(next_max, int(m["next_docid"]))
+    return max(maxdoc_sum, next_max)
+
+
 def append_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -856,13 +877,7 @@ def append_index(
 
     base = IndexStorage(index_dir)
     deltas0 = base.delta_dirs()
-    # next free docid across base + committed deltas (docBase scheme);
-    # next_docid (max docid + 1) rather than maxdoc so the range stays
-    # collision-free after delete-applying compactions leave docid gaps
-    next_base = 0
-    for d in [index_dir, *deltas0]:
-        m = IndexStorage(d).commit_meta("stats")
-        next_base = max(next_base, int(m.get("next_docid", m["maxdoc"])))
+    next_base = next_docid_base(index_dir)
     gen = len(deltas0)
     delta_dir = os.path.join(index_dir, "deltas", f"{gen:06d}")
     if batch_id is not None:

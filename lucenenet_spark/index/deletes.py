@@ -28,6 +28,7 @@ it to zero.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,27 +36,34 @@ from pyspark.sql import functions as F
 TOMBSTONES_DIR = "tombstones"
 TOMB_SCHEMA = "docid long"
 
+# Published ops only — a crash between write and rename leaves an
+# "op-NNNNNN.__tmp__" dir, which must stay invisible to readers (the
+# atomic-publish contract) and to the op-numbering counter.
+_OP_RE = re.compile(r"op-\d{6}")
+
 
 def tombstone_dir(index_dir: str) -> str:
     return os.path.join(index_dir, TOMBSTONES_DIR)
 
 
-def has_tombstones(index_dir: str) -> bool:
+def _published_ops(index_dir: str) -> list[str]:
     base = tombstone_dir(index_dir)
     if not os.path.isdir(base):
-        return False
-    return any(n.startswith("op-") for n in os.listdir(base))
+        return []
+    return sorted(n for n in os.listdir(base) if _OP_RE.fullmatch(n))
+
+
+def has_tombstones(index_dir: str) -> bool:
+    return bool(_published_ops(index_dir))
 
 
 def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """Distinct deleted docids across all published delete ops, or None."""
-    if not has_tombstones(index_dir):
-        return None
     ops = [
-        os.path.join(tombstone_dir(index_dir), n)
-        for n in sorted(os.listdir(tombstone_dir(index_dir)))
-        if n.startswith("op-")
+        os.path.join(tombstone_dir(index_dir), n) for n in _published_ops(index_dir)
     ]
+    if not ops:
+        return None
     return spark.read.schema(TOMB_SCHEMA).parquet(*ops).select("docid").distinct()
 
 
@@ -70,8 +78,16 @@ def delete_docs(spark: SparkSession, index_dir: str, docids) -> dict:
     base = tombstone_dir(index_dir)
     os.makedirs(base, exist_ok=True)
     n = int(df.count())
-    ops = [x for x in os.listdir(base) if x.startswith("op-")]
-    op = os.path.join(base, f"op-{len(ops):06d}")
+    # Garbage-collect tmp dirs from crashed earlier attempts; next op number
+    # comes from the max published op, so a stale tmp can't shadow it.
+    import shutil
+
+    for stale in os.listdir(base):
+        if stale.endswith(".__tmp__"):
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+    ops = _published_ops(index_dir)
+    next_n = (max(int(x[3:]) for x in ops) + 1) if ops else 0
+    op = os.path.join(base, f"op-{next_n:06d}")
     tmp = op + ".__tmp__"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     os.rename(tmp, op)  # atomic publish

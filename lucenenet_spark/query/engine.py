@@ -652,6 +652,8 @@ class Searcher:
             ts = ts.orderBy(*order).limit(n)
         blocks = self.postings.join(F.broadcast(ts), "term")
         exact = self.scoring == "exact_int"
+        if getattr(q, "field", "text") != "text":
+            return self._scored_rewrite_keyword(blocks, q, exact)
         maxdoc = self.maxdoc
         k1f, k1d, bd = self.k1, self.k1d, self.bd
         avgdl_exact = self.avgdl_exact
@@ -710,6 +712,50 @@ class Searcher:
             "first_docid", "docid_deltas", "freqs", "df",
             "doclens" if exact else "norm_bytes",
         )
+        scored = cols.mapInPandas(decode, schema=_EMPTY_SCHEMA)
+        return scored.groupBy("docid").agg(F.sum("score").alias("score"))
+
+    def _scored_rewrite_keyword(self, blocks: DataFrame, q: Query, exact: bool) -> DataFrame:
+        """Scored rewrite over a KEYWORD field: norms are omitted and tf is 1
+        by construction (StringField contract, same as _score_keyword_term),
+        so each expanded-term match scores boost*idf — NOT the text-field
+        BM25 kernel with doclen norms. Disjunction-sums per doc, so a
+        multi-valued doc matching several expanded terms adds their idfs."""
+        import math
+
+        maxdoc = self.maxdoc
+        qboost = float(getattr(q, "boost", 1.0))
+
+        def decode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                row_lens = pdf["docid_deltas"].map(len).to_numpy(np.int64)
+                docids = np.concatenate(
+                    [
+                        fd + np.cumsum(np.asarray(d, dtype=np.int64))
+                        for fd, d in zip(pdf["first_docid"], pdf["docid_deltas"])
+                    ]
+                )
+                dfs = pdf["df"].to_numpy(np.int64)
+                uniq = np.unique(dfs)
+                idf_u = np.array(
+                    [
+                        math.log(1.0 + (maxdoc - float(d) + 0.5) / (float(d) + 0.5))
+                        for d in uniq
+                    ]
+                )
+                idf_blk = idf_u[np.searchsorted(uniq, dfs)]
+                idf_e = np.repeat(idf_blk, row_lens)
+                if exact:
+                    score = np.floor(idf_e * qboost * 1e6 + 0.5)
+                else:
+                    score = (idf_e.astype(np.float32) * np.float32(qboost)).astype(
+                        np.float32
+                    )
+                yield pd.DataFrame({"docid": docids, "score": score.astype(np.float64)})
+
+        cols = blocks.select("first_docid", "docid_deltas", "df")
         scored = cols.mapInPandas(decode, schema=_EMPTY_SCHEMA)
         return scored.groupBy("docid").agg(F.sum("score").alias("score"))
 

@@ -21,7 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..index.builder import IndexBuilder, compact_index
+from ..index.builder import IndexBuilder, compact_index, next_docid_base
 from ..index.config import IndexConfig
 from ..index.storage import IndexStorage
 
@@ -33,7 +33,6 @@ def _append_batch(
     config: IndexConfig,
     batch_id: int,
 ) -> dict | None:
-    base = IndexStorage(index_dir)
     delta_dir = os.path.join(index_dir, "deltas", f"b{batch_id:012d}")
     st = IndexStorage(delta_dir)
     # replay short-circuits on the FINAL stage's marker (lineage — the last
@@ -42,13 +41,10 @@ def _append_batch(
     # gets repaired here instead of being skipped forever
     if st.is_committed("lineage", config.fingerprint()):
         return None  # replayed batch — already fully committed
-    # next free docid via stats next_docid (max docid + 1), collision-free
-    # even after a delete-applying compaction leaves docid gaps
-    next_base = 0
-    for d in [index_dir, *base.delta_dirs()]:
-        m = IndexStorage(d).commit_meta("stats")
-        next_base = max(next_base, int(m.get("next_docid", m["maxdoc"])))
-    builder = IndexBuilder(spark, st, config, docid_base=next_base)
+    # next free docid (stats next_docid with pre-format-3 cumulative-sum
+    # fallback — see next_docid_base), collision-free even after a
+    # delete-applying compaction leaves docid gaps
+    builder = IndexBuilder(spark, st, config, docid_base=next_docid_base(index_dir))
     return builder.build(batch_df)
 
 
