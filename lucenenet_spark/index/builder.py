@@ -80,6 +80,16 @@ DOCMAP_SCHEMA = (
     "docid long, url string, doclen int, norm_byte int, text_bytes long, pid int"
 )
 
+
+def widen_ddl(base: str, dv_ddl: str) -> str:
+    """Append the doc-values columns (recorded as ``dv_ddl`` in the stage
+    commit metas) to a core stage DDL."""
+    return f"{base}, {dv_ddl}" if dv_ddl else base
+
+
+def ddl_names(dv_ddl: str) -> list[str]:
+    return [c.strip().split()[0] for c in dv_ddl.split(",") if c.strip()]
+
 TERMSTATS_SCHEMA = "term string, df long, ttf long, max_ub float, idf float"
 
 STAGES = ("docoffsets", "partials", "docmap", "stats", "postings", "termstats", "lineage")
@@ -218,6 +228,25 @@ class IndexBuilder:
         pdf = self.storage.read_stage(self.spark, "docoffsets").toPandas()
         return dict(zip(pdf["pid"].astype(int), pdf["docid_base"].astype(int)))
 
+    def _dv_ddl(self, pages: DataFrame) -> str:
+        """DDL for the configured doc-values columns, typed from the input
+        schema (e.g. ``"warc_ts timestamp, lang string"``)."""
+        fields = self.config.docvalue_fields
+        if not fields:
+            return ""
+        core = {c.strip().split()[0] for c in PARTIALS_SCHEMA.split(",")}
+        input_cols = set(pages.columns)
+        parts = []
+        for f in fields:
+            if f in core:
+                raise ValueError(
+                    f"docvalue field {f!r} collides with an index-internal column"
+                )
+            if f not in input_cols:
+                raise ValueError(f"docvalue field {f!r} not in input columns")
+            parts.append(f"{f} {pages.schema[f].dataType.simpleString()}")
+        return ", ".join(parts)
+
     # ------------------------------------------------------------------ #
     def _stage_partials(self, pages: DataFrame) -> dict:
         """The DWPT pass: one ``mapInPandas`` over hash-partitioned,
@@ -231,6 +260,8 @@ class IndexBuilder:
         index_positions = cfg.index_positions
         flush_docs = cfg.flush_docs
         keyword_fields = tuple(cfg.keyword_fields)
+        dv_ddl = self._dv_ddl(pages)
+        dv_names = ddl_names(dv_ddl)
 
         def build_partials(batches):
             import pyarrow as pa
@@ -241,6 +272,10 @@ class IndexBuilder:
             doc_null_cols = _null_cols(
                 ["term", "docids", "freqs", "norm_bytes", "doclens", "positions"]
             )
+            # doc-values columns: pass-through on 'd' rows, typed nulls on
+            # 'p' rows; arrow types captured from the first input batch
+            out_schema = None
+            dv_types: list = []
             state_pid = None
             next_docid = 0
             seg = 0
@@ -275,6 +310,12 @@ class IndexBuilder:
                 out = _invert_codes(
                     rk[codes], uniq[order], d, p, nb, dl, state_pid, seg, index_positions
                 )
+                if dv_types:
+                    out = pa.RecordBatch.from_arrays(
+                        list(out.columns)
+                        + [pa.nulls(out.num_rows, t) for t in dv_types],
+                        schema=out_schema,
+                    )
                 seg += 1
                 acc_tok, acc_docs, acc_pos, acc_norm, acc_len = [], [], [], [], []
                 docs_in_seg = 0
@@ -289,6 +330,12 @@ class IndexBuilder:
                     state_pid = pid
                     if not external:
                         next_docid = offsets[pid]
+                if out_schema is None:
+                    dv_types = [rb.schema.field(f).type for f in dv_names]
+                    out_schema = pa.schema(
+                        list(_partials_pa())
+                        + [pa.field(f, t) for f, t in zip(dv_names, dv_types)]
+                    )
                 texts = rb.column("text")
                 flat_tok, _, flat_docidx, flat_pos, lens = analyze_flat_arrow(
                     texts, analyzer, encode=False
@@ -312,8 +359,9 @@ class IndexBuilder:
                         pa.array(norm_bytes.astype(np.int32)),
                         pc.cast(pc.fill_null(pc.binary_length(texts), 0), pa.int64()),
                     ]
-                    + doc_null_cols(n),
-                    schema=_partials_pa(),
+                    + doc_null_cols(n)
+                    + [rb.column(f) for f in dv_names],
+                    schema=out_schema,
                 )
 
                 if len(flat_docidx):
@@ -351,42 +399,54 @@ class IndexBuilder:
                 yield out
 
         P = cfg.num_partitions
-        kw_cols = list(keyword_fields)
+        # keyword + doc-values columns ride the same select (dedupe: a field
+        # can be both a keyword field and a doc-value)
+        extra_cols = list(dict.fromkeys([*keyword_fields, *dv_names]))
         if external:
             # caller-assigned docids: range partitioning keeps each pid's
             # docid range contiguous and pid order == docid order, so the
             # (pid, seg)-ordered concatenation in the merge stays sorted
             prepared = (
-                pages.select("url", "text", "docid", *kw_cols)
+                pages.select("url", "text", "docid", *extra_cols)
                 .repartitionByRange(P, "docid")
                 .sortWithinPartitions("docid")
                 .withColumn("pid", F.spark_partition_id())
             )
         else:
             prepared = (
-                pages.select("url", "text", *kw_cols)
+                pages.select("url", "text", *extra_cols)
                 .repartition(P, "url")
                 .sortWithinPartitions("url")
                 .withColumn("pid", F.spark_partition_id())
             )
-        partials = prepared.mapInArrow(build_partials, schema=PARTIALS_SCHEMA)
+        partials = prepared.mapInArrow(
+            build_partials, schema=widen_ddl(PARTIALS_SCHEMA, dv_ddl)
+        )
         return self.storage.write_stage(
             partials, "partials", self._fp(), partition_by=["row_type"],
             # zstd: ~12%% smaller than snappy on posting blocks (measured),
             # decompression still stream-fast — the byte-budget lever at 100 TB
             compression="zstd",
+            meta={"dv_ddl": dv_ddl},
         )
 
     # ------------------------------------------------------------------ #
     def _stage_docmap(self) -> dict:
+        dv_ddl = self.storage.commit_meta("partials").get("dv_ddl", "")
         df = (
-            self.storage.read_stage(self.spark, "partials", PARTIALS_SCHEMA)
+            self.storage.read_stage(
+                self.spark, "partials", widen_ddl(PARTIALS_SCHEMA, dv_ddl)
+            )
             .filter(F.col("row_type") == "d")
-            .select("docid", "url", "doclen", "norm_byte", "text_bytes", "pid")
+            .select(
+                "docid", "url", "doclen", "norm_byte", "text_bytes", "pid",
+                *ddl_names(dv_ddl),
+            )
         )
         return self.storage.write_stage(
             df, "docmap", self._fp(),
             range_partition_column="docid", sort_columns=["docid"],
+            meta={"dv_ddl": dv_ddl},
         )
 
     def _stage_stats(self) -> dict:
@@ -932,10 +992,15 @@ def compact_index(
     st.drop()
     builder = IndexBuilder(spark, st, cfg)
 
+    # doc-values ride the 'd' partial rows; every generation shares the
+    # base's config (enforced by per-generation fingerprints), so the base's
+    # recorded dv_ddl describes them all
+    dv_ddl = base.commit_meta("partials").get("dv_ddl", "")
+    p_schema = widen_ddl(PARTIALS_SCHEMA, dv_ddl)
     parts = []
     pid_offset = 0
     for d in [index_dir, *deltas]:
-        p = IndexStorage(d).read_stage(spark, "partials", PARTIALS_SCHEMA)
+        p = IndexStorage(d).read_stage(spark, "partials", p_schema)
         parts.append(p.withColumn("pid", (F.col("pid") + F.lit(pid_offset)).cast("int")))
         pid_offset += int(p.select(F.max("pid")).collect()[0][0] or 0) + 1
     merged = _reduce(lambda a, b: a.unionAll(b), parts)
@@ -946,9 +1011,12 @@ def compact_index(
         # doc rows anti-join out; posting rows drop tombstoned entries in a
         # vectorized Arrow kernel. Stats/termstats then rebuild WITHOUT the
         # deleted docs, so df/avgdl and block-max metadata are fresh.
-        merged, n_deleted = _apply_tombstones(merged, tomb)
+        merged, n_deleted = _apply_tombstones(merged, tomb, dv_ddl)
         builder.docids_dense = False  # deletion leaves docid gaps
-    st.write_stage(merged, "partials", cfg.fingerprint(), partition_by=["row_type"])
+    st.write_stage(
+        merged, "partials", cfg.fingerprint(), partition_by=["row_type"],
+        meta={"dv_ddl": dv_ddl},
+    )
     summary = builder.finish_from_partials()
     summary["deletes_applied"] = n_deleted
 
@@ -970,7 +1038,7 @@ def compact_index(
     return summary
 
 
-def _apply_tombstones(partials: DataFrame, tomb: DataFrame):
+def _apply_tombstones(partials: DataFrame, tomb: DataFrame, dv_ddl: str = ""):
     """Strip tombstoned docs out of a partials table: 'd' rows via a
     distributed anti-join; 'p' rows via an Arrow kernel that drops the dead
     entries from every list column (docids/freqs/norm_bytes/doclens) and
@@ -987,14 +1055,21 @@ def _apply_tombstones(partials: DataFrame, tomb: DataFrame):
         F.broadcast(tomb), "docid", "left_anti"
     )
 
+    dv_names = ddl_names(dv_ddl)
+
     def strip(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        schema = _partials_pa()
+        schema = None
         for rb in batches:
             if rb.num_rows == 0:
                 continue
+            if schema is None:
+                schema = pa.schema(
+                    list(_partials_pa())
+                    + [pa.field(f, rb.schema.field(f).type) for f in dv_names]
+                )
             dcol = rb.column("docids")
             lens = (
                 pc.fill_null(pc.list_value_length(dcol), 0)
@@ -1061,10 +1136,10 @@ def _apply_tombstones(partials: DataFrame, tomb: DataFrame):
                 rebuild("norm_bytes", np.int32),
                 rebuild("doclens", np.int32),
                 new_pos,
-            ]
+            ] + [rb.column(n).filter(rk_arrow) for n in dv_names]
             yield pa.RecordBatch.from_arrays(cols, schema=schema)
 
     p_rows = partials.filter(F.col("row_type") == "p").mapInArrow(
-        strip, schema=PARTIALS_SCHEMA
+        strip, schema=widen_ddl(PARTIALS_SCHEMA, dv_ddl)
     )
     return d_rows.unionByName(p_rows), len(tombs)

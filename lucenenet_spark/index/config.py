@@ -71,6 +71,17 @@ class IndexConfig:
     # analyzer never emits ':'). Keyword postings score with norms omitted
     # (BM25Similarity with norms==null: score = idf since tf==1).
     keyword_fields: tuple[str, ...] = ()
+    # extra input columns stored as DOC-VALUES in the docmap — the
+    # NumericDocValuesField / SortedDocValuesField analogue
+    # (Index/DocValues.cs, Document/Field.cs doc-values kinds): the column
+    # rides the 'd' partial rows into the docid-sorted docmap Parquet, where
+    # NumericRangeQuery (NumericRangeQuery.cs:97-166) compiles to a pushed-
+    # down scan predicate and Searcher.search_sorted (Sort.cs:100-112)
+    # orders by it. Types come from the input schema at build time and are
+    # recorded in the stage commit metas (``dv_ddl``), so readers
+    # reconstruct the widened schema without re-inference. Typical webtext
+    # fields: warc_ts (crawl time range filters), lang.
+    docvalue_fields: tuple[str, ...] = ()
     # bump on any change to the stage schemas / on-disk layout: the value is
     # part of the fingerprint, so committed stages from an older layout are
     # rebuilt instead of misread on resume

@@ -132,7 +132,14 @@ class Searcher:
         stores = [IndexStorage(d) for d in dirs]
         posts = [st.read_stage(spark, "postings", POSTINGS_SCHEMA) for st in stores]
         self.postings = reduce(lambda a, b: a.unionAll(b), posts)
-        dms = [st.read_stage(spark, "docmap", DOCMAP_SCHEMA) for st in stores]
+        # docmap widened by the doc-values columns recorded at build time
+        # (dv_ddl in the stage meta); the base's DDL binds all generations —
+        # they are built with the same config by construction
+        from ..index.builder import widen_ddl
+
+        self.dv_ddl = stores[0].commit_meta("docmap").get("dv_ddl", "")
+        dm_schema = widen_ddl(DOCMAP_SCHEMA, self.dv_ddl)
+        dms = [st.read_stage(spark, "docmap", dm_schema) for st in stores]
         self.docmap = reduce(lambda a, b: a.unionAll(b), dms)
         tss = [st.read_stage(spark, "termstats", TERMSTATS_SCHEMA).select("term", "df", "ttf", "max_ub") for st in stores]
         ts = reduce(lambda a, b: a.unionAll(b), tss)
