@@ -428,19 +428,29 @@ def q_ft_multi_phrase(spark, sf_dir):
 
 def q_ft_lucene_rank(spark, sf_dir):
     """Driver-visible gate for the FLOAT32 Lucene scoring path (the engine
-    default; every other ft_* entry runs the exact_int oracle mode). Runs
-    the same disjunction twice — unpruned and with block-max WAND — in
-    ``scoring="lucene"`` mode, and verifies BOTH against the in-repo numpy
-    golden oracle (scoring/oracle.py: float32 BM25 in reference op order,
-    float64 accumulation cast once, HitQueue tie-break) computed fresh from
-    the raw documents table at runtime. Any rank or float32-score deviation
-    raises, failing the gate loudly; the returned (doc_id, rank) table gets
-    the driver's rows-only check (float32 scores are not SQL-reproducible —
-    DuckDB has no float32 arithmetic with Lucene's op order, which is
-    exactly why this entry carries its own embedded oracle instead)."""
+    default; every other ft_* entry runs the exact_int oracle mode). Runs a
+    FOUR-SHAPE battery — disjunction, conjunction, exact phrase, and
+    minimum-should-match — each twice (unpruned and with block-max WAND,
+    which falls back where pruning doesn't apply) in ``scoring="lucene"``
+    mode, and verifies ALL runs against the in-repo numpy golden oracle
+    (scoring/oracle.py: float32 BM25 in reference op order, float64
+    accumulation cast once, HitQueue tie-break). Any rank or float32-score
+    deviation raises, failing the gate loudly; the returned
+    (shape, doc_id, rank) table gets the driver's rows-only check (float32
+    scores are not SQL-reproducible — DuckDB has no float32 arithmetic with
+    Lucene's op order, which is exactly why this entry embeds its own
+    oracle).
+
+    Driver memory is BOUNDED: instead of materializing the corpus, the
+    oracle pulls only docs whose token sets overlap the battery terms
+    (complete tf/positions/df for those terms by construction) and overrides
+    maxdoc/sum_ttf with globally-aggregated values — so idf/avgdl are exact
+    while the pull scales with term df, not corpus size. A hard guard raises
+    before an oversized pull rather than OOMing the driver."""
     import numpy as np  # noqa: PLC0415
 
     from lucenenet_spark.analysis.analyzer import StandardAnalyzer  # noqa: PLC0415
+    from lucenenet_spark.scoring.bm25 import CollectionStats  # noqa: PLC0415
     from lucenenet_spark.scoring.oracle import OracleIndex  # noqa: PLC0415
 
     key = "lucene:" + (os.path.basename(os.path.normpath(sf_dir)) or "default")
@@ -449,10 +459,38 @@ def q_ft_lucene_rank(spark, sf_dir):
         idx = os.path.join(_INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)))
         _SEARCHERS[key] = Searcher(spark, idx, scoring="lucene")
     s = _SEARCHERS[key]
-    q = BooleanQuery.build(should=[TermQuery("data"), TermQuery("spark")])
-    plain = [(int(r["docid"]), np.float32(r["score"])) for r in s.search(q, 10).collect()]
-    wand = [(int(r["docid"]), np.float32(r["score"])) for r in s.search(q, 10, wand=True).collect()]
-    pdf = _docs(spark, sf_dir).select("doc_id", "text").toPandas()
+
+    battery = [
+        ("disj", BooleanQuery.build(should=[TermQuery("data"), TermQuery("spark")])),
+        ("conj", BooleanQuery.build(must=[TermQuery("data"), TermQuery("spark")])),
+        ("phrase", PhraseQuery(("part", "filter"))),
+        (
+            "msm",
+            BooleanQuery.build(
+                should=[TermQuery("data"), TermQuery("spark"), TermQuery("merge")],
+                minimum_should_match=2,
+            ),
+        ),
+    ]
+    terms = ["data", "spark", "part", "filter", "merge"]
+
+    # global collection stats (exact idf/avgdl) + term-filtered doc pull
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.expr(_TOKS_SPARK).alias("toks")
+    )
+    grow = docs.agg(
+        F.count(F.lit(1)).alias("maxdoc"), F.sum(F.size("toks")).alias("sum_ttf")
+    ).collect()[0]
+    hit = docs.filter(
+        F.arrays_overlap("toks", F.array(*[F.lit(t) for t in terms]))
+    ).select("doc_id", "text")
+    n_hit = hit.count()
+    if n_hit > 500_000:
+        raise AssertionError(
+            f"lucene-rank oracle pull would be {n_hit} docs — refusing to "
+            "collect; narrow the battery terms for this corpus"
+        )
+    pdf = hit.toPandas()
     oracle = OracleIndex(
         list(zip(pdf["doc_id"].astype(int), pdf["text"])),
         analyzer=StandardAnalyzer(
@@ -460,20 +498,26 @@ def q_ft_lucene_rank(spark, sf_dir):
             max_token_length=1_000_000,
             ascii_only=True,
         ),
+        stats=CollectionStats(
+            maxdoc=int(grow["maxdoc"]), sum_ttf=int(grow["sum_ttf"] or 0)
+        ),
     )
-    expected = oracle.search(q, k=10)
-    golden = [(int(d), np.float32(v)) for d, v in expected]
-    if plain != golden:
-        raise AssertionError(
-            f"float32 Lucene path diverged from numpy oracle: {plain} != {golden}"
-        )
-    if wand != golden:
-        raise AssertionError(
-            f"block-max WAND pruned path diverged: {wand} != {golden}"
-        )
-    return spark.createDataFrame(
-        [(d, i + 1) for i, (d, _) in enumerate(plain)], "doc_id long, rank long"
-    )
+
+    out = []
+    for shape, q in battery:
+        golden = [(int(d), np.float32(v)) for d, v in oracle.search(q, k=10)]
+        for wand in (False, True):
+            got = [
+                (int(r["docid"]), np.float32(r["score"]))
+                for r in s.search(q, 10, wand=wand).collect()
+            ]
+            if got != golden:
+                raise AssertionError(
+                    f"float32 Lucene path diverged on {shape} "
+                    f"(wand={wand}): {got} != {golden}"
+                )
+        out.extend((shape, d, i + 1) for i, (d, _) in enumerate(golden))
+    return spark.createDataFrame(out, "shape string, doc_id long, rank long")
 
 
 def q_ft_mlt(spark, sf_dir):
@@ -935,45 +979,80 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
-def q_dd_embed_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup — LSH-banded candidate generation (2 bands
-    of 4 hyperplane sign bits: a pair is a candidate iff ANY band matches,
-    never an all-pairs join; 1/16 random-pair collision per band) followed
-    by exact cosine verification at τ=0.4 (integer-micro threshold)."""
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    bits = emb
-    for j in range(_N_PLANES):
-        lit = "array(" + ", ".join(repr(w) for w in _PLANES[j]) + ")"
-        dot = (
-            f"aggregate(zip_with(embedding, {lit}, (x, y) -> CAST(x AS DOUBLE) * y), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+# scale-aware embedding LSH: 2 bands, each of w sign bits where
+# w = clamp(4, 24, ceil(log2 n)) — random-pair band collision is 2^-w, so
+# expected random candidates ≈ bands * n^2 / 2^w ≈ bands * n stays LINEAR in
+# corpus size (the fixed 4-bit bands of the old version were Θ(n²/16)).
+# The oracle reproduces w in-SQL (substr truncation of a max-width bit
+# string), so both engines derive it from the same table count.
+_EMB_BANDS = 2
+_EMB_MAX_BITS = 24
+
+
+def _emb_band_bits(n: int) -> int:
+    return min(_EMB_MAX_BITS, max(4, math.ceil(math.log2(max(n, 2)))))
+
+
+def _emb_bands_df(emb: DataFrame, w: int) -> DataFrame:
+    """(vec_id, band, key) — band keys as '0'/'1' strings of width w. One
+    zero-shuffle mapInPandas pass: hyperplanes are regenerated inside the
+    kernel (pure function of (plane, dim) via md5) and the dot products are
+    a sequential-in-d double fold, the exact op order of the oracle's
+    list_reduce left fold — sign decisions match bit-for-bit. No literal
+    arrays in the plan (the old 8x64-literal version spent seconds in plan
+    compile)."""
+    import numpy as np
+    import pandas as pd
+
+    # plane index space is banded at _EMB_MAX_BITS stride (band b's bits are
+    # planes b*MAX_BITS .. b*MAX_BITS+w-1), so widening w extends each band's
+    # key without renumbering the other band's planes — the oracle's substr
+    # truncation relies on this
+    plane_ids = [
+        band * _EMB_MAX_BITS + c for band in range(_EMB_BANDS) for c in range(w)
+    ]
+    nplanes = len(plane_ids)
+
+    def band_keys(batches):
+        P = np.array(
+            [[_plane_weight(j, d) for d in range(_DIM)] for j in plane_ids],
+            dtype=np.float64,
         )
-        bits = bits.withColumn(f"b{j}", F.expr(f"CASE WHEN {dot} > 0.0 THEN 1 ELSE 0 END"))
-    # 2 bands x 4 sign bits: random-pair band collision = 1/16 (a 2-bit
-    # band's 1/4 would make candidates quadratic at scale; band WIDTH is
-    # the knob that grows with corpus size — ~2 log16(n) bits keeps the
-    # candidate set near-linear)
-    bands = bits.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        (
-                            F.col(f"b{4*i}") * 8
-                            + F.col(f"b{4*i+1}") * 4
-                            + F.col(f"b{4*i+2}") * 2
-                            + F.col(f"b{4*i+3}")
-                        ).alias("key"),
-                    )
-                    for i in range(_N_PLANES // 4)
-                ]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # strict left fold over dims (acc + v_d*p_d), matching DuckDB's
+            # list_reduce order so borderline signs can never diverge
+            acc = np.zeros((len(pdf), nplanes), dtype=np.float64)
+            for d in range(_DIM):
+                acc += V[:, d : d + 1] * P[:, d]
+            bits = np.where(acc > 0.0, "1", "0").astype("U1")
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            out_ids = np.tile(vec_ids, _EMB_BANDS)
+            out_band = np.repeat(np.arange(_EMB_BANDS, dtype=np.int32), len(pdf))
+            keys = []
+            for band in range(_EMB_BANDS):
+                seg = bits[:, band * w : (band + 1) * w]
+                key = seg[:, 0]
+                for c in range(1, w):
+                    key = np.char.add(key, seg[:, c])
+                keys.append(key)
+            yield pd.DataFrame(
+                {"vec_id": out_ids, "band": out_band, "key": np.concatenate(keys)}
             )
-        ).alias("bk"),
-    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        band_keys, schema="vec_id long, band int, key string"
+    )
+
+
+def _emb_candidates(emb: DataFrame, w: int) -> DataFrame:
+    """Banded self-join: a pair is a candidate iff ANY band key matches —
+    never an all-pairs join."""
+    bands = _emb_bands_df(emb, w)
     a, b2 = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b2,
             (F.col("a.band") == F.col("b.band"))
@@ -983,6 +1062,18 @@ def q_dd_embed_cosine(spark, sf_dir):
         .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"))
         .distinct()
     )
+
+
+def q_dd_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup — scale-aware LSH-banded candidate
+    generation (2 bands of w = clamp(4, 24, ceil(log2 n)) hyperplane sign
+    bits, so expected random candidates stay LINEAR in corpus size) followed
+    by exact cosine verification at τ=0.4 (integer-micro threshold). The
+    band width the oracle derives in-SQL from count(*) equals the one
+    computed here from emb.count()."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    w = _emb_band_bits(emb.count())
+    cand = _emb_candidates(emb, w)
     ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
     verified = (
@@ -1127,19 +1218,31 @@ def q_mm_frame_sample(spark, sf_dir):
 
     d = _docs(spark, sf_dir).select("doc_id", F.col("text").cast("binary").alias("blob"))
 
+    import numpy as np  # noqa: PLC0415
+
     def sample(batches):
         for pdf in batches:
-            rows_id, rows_fi, rows_sig = [], [], []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                n = len(blob)
-                n_frames = 1 + (n % 7)
-                sha = _hl.sha256(bytes(blob)).hexdigest()
-                for fi in range(0, n_frames, 2):
-                    rows_id.append(doc_id)
-                    rows_fi.append(fi)
-                    rows_sig.append(_hl.md5(f"{sha}:{fi}".encode()).hexdigest())
+            if len(pdf) == 0:
+                continue
+            # vectorized explode: np.repeat doc rows by their kept-frame
+            # count, flat arange minus per-doc start offsets gives the
+            # 0,2,4,... frame indices — no per-row Python loop; only the
+            # per-item hash calls remain (irreducibly per-value)
+            lens = pdf["blob"].map(len).to_numpy(np.int64)
+            n_frames = 1 + (lens % 7)
+            n_out = (n_frames + 1) // 2  # frames 0,2,4,...
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), n_out)
+            starts = np.concatenate([[0], np.cumsum(n_out)[:-1]])
+            fi = (np.arange(int(n_out.sum())) - np.repeat(starts, n_out)) * 2
+            shas = np.array(
+                [_hl.sha256(bytes(b)).hexdigest() for b in pdf["blob"]], dtype=object
+            )
+            sigs = [
+                _hl.md5(f"{s}:{f}".encode()).hexdigest()
+                for s, f in zip(np.repeat(shas, n_out), fi)
+            ]
             yield pd.DataFrame(
-                {"doc_id": rows_id, "frame_idx": rows_fi, "frame_sig": rows_sig}
+                {"doc_id": doc_ids, "frame_idx": fi, "frame_sig": sigs}
             )
 
     return d.mapInPandas(
@@ -1904,19 +2007,35 @@ SELECT vec_id, cos_x1m,
 FROM cand ORDER BY cos_x1m DESC, vec_id ASC LIMIT 5
 """
 
+    # scale-aware band width, mirrored in-SQL: all _EMB_BANDS*_EMB_MAX_BITS
+    # sign bits are computed as '0'/'1' chars, concatenated per band, and
+    # TRUNCATED to w = least(24, greatest(4, ceil(log2(count(*))))) — the
+    # same width q_dd_embed_cosine derives from emb.count()
+    n_emb_planes = _EMB_BANDS * _EMB_MAX_BITS
     bitsel = ", ".join(
         f"CASE WHEN list_reduce(list_transform(range(1, {_DIM} + 1), "
-        f"i -> embedding[i]::DOUBLE * ([" + ", ".join(repr(w) for w in _PLANES[j]) + f"])[i]), (a, b) -> a + b) > 0.0 "
-        f"THEN 1 ELSE 0 END AS b{j}"
-        for j in range(_N_PLANES)
+        f"i -> embedding[i]::DOUBLE * (["
+        + ", ".join(repr(w) for w in [_plane_weight(j, d) for d in range(_DIM)])
+        + f"])[i]), (a, b) -> a + b) > 0.0 "
+        f"THEN '1' ELSE '0' END AS b{j}"
+        for j in range(n_emb_planes)
+    )
+    bandstrs = ", ".join(
+        "concat("
+        + ", ".join(f"b{band * _EMB_MAX_BITS + c}" for c in range(_EMB_MAX_BITS))
+        + f") AS s{band}"
+        for band in range(_EMB_BANDS)
     )
     bandrows = " UNION ALL ".join(
-        f"SELECT vec_id, {i} AS band, "
-        f"b{4*i} * 8 + b{4*i+1} * 4 + b{4*i+2} * 2 + b{4*i+3} AS key FROM bits"
-        for i in range(_N_PLANES // 4)
+        f"SELECT vec_id, {band} AS band, "
+        f"substr(s{band}, 1, (SELECT w FROM wsel)) AS key FROM strs"
+        for band in range(_EMB_BANDS)
     )
     o["dd_embed_cosine"] = f"""
-WITH bits AS (SELECT vec_id, embedding, {bitsel} FROM embeddings),
+WITH wsel AS (SELECT least({_EMB_MAX_BITS}, greatest(4,
+  CAST(ceil(log2((SELECT count(*) FROM embeddings))) AS INT))) AS w),
+bits AS (SELECT vec_id, embedding, {bitsel} FROM embeddings),
+strs AS (SELECT vec_id, {bandstrs} FROM bits),
 bands AS ({bandrows}),
 cand AS (
   SELECT DISTINCT a.vec_id AS a, b.vec_id AS b

@@ -882,6 +882,11 @@ class Searcher:
         for mn in must_not:
             excl = self._score(mn, stats).select("docid")
             res = res.join(excl, "docid", "left_anti")  # ReqExclScorer
+        if q.boost != 1.0:
+            # group boost: "(a OR b)^2" — scales the combined clause score
+            res = res.withColumn(
+                "score", F.col("score") * F.lit(float(np.float32(q.boost)))
+            )
         return res
 
     # ---------------- block-max WAND pruning ------------------------------ #

@@ -1,10 +1,21 @@
-"""Minimal query-string parser -> Query AST.
+"""Query-string parser -> Query AST (recursive descent).
 
 Covers the subset of the reference's classic QueryParser grammar
-(src/Lucene.Net.QueryParser/Classic/QueryParserBase.cs:188) needed by the
-reference-style query sets: bare terms, AND/OR/NOT, +/- prefixes, quoted
-phrases (with ~slop), trailing-* prefix terms, term~N fuzzy, [a TO b] ranges,
-and ^boost. Terms pass through the same analyzer as indexing.
+(src/Lucene.Net.QueryParser/Classic/QueryParserBase.cs:188,
+Classic/QueryParser.cs) needed by the reference-style query sets:
+
+- bare terms, AND/OR/NOT, +/- prefixes, ^boost
+- quoted phrases (with ~slop) and '|'-alternative multi-phrases
+- trailing-* prefix terms, term~N fuzzy
+- [a TO b] ranges (term ranges on text; NumericRange on any other field —
+  the doc-values path, so ``warc_ts:[2020-01-01 TO 2020-06-01]`` compiles
+  to a pushed-down timestamp range)
+- parentheses grouping: ``(a OR b) AND c`` nests a BooleanQuery clause
+- field-qualified clauses: ``lang:en``, ``lang:e*``, ``lang:en~1``,
+  ``lang:"north korea"`` (keyword fields take the quoted value as ONE
+  unanalyzed term — the StringField contract), ``text:"a b"~2``
+
+Terms pass through the same analyzer as indexing.
 """
 
 from __future__ import annotations
@@ -17,6 +28,7 @@ from .ast import (
     BooleanQuery,
     FuzzyQuery,
     MultiPhraseQuery,
+    NumericRangeQuery,
     Occur,
     PhraseQuery,
     PrefixQuery,
@@ -29,116 +41,201 @@ from .ast import (
 _TOKEN_RX = re.compile(
     r"""
     \s*(
-        "(?P<phrase>[^"]*)"(~(?P<slop>\d+))?
-      | \[(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\]
-      | (?P<op>AND|OR|NOT)
+        (?P<lparen>\()
+      | (?P<rparen>\))
+      | ((?P<field>[A-Za-z_][A-Za-z0-9_]*):(?=["\[]))?  # field:"..." / field:[..]
+        (
+          "(?P<phrase>[^"]*)"(~(?P<slop>\d+))?
+        | \[(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\]
+        )
+      | (?P<op>AND|OR|NOT)(?=[\s()]|$)
       | (?P<mod>[+-])
-      | (?P<word>[^\s^~]+)(~(?P<edits>\d+)?)?
+      | (?P<word>[^\s^~()]+)(~(?P<edits>\d+)?)?
     )(\^(?P<boost>[0-9.]+))?
     """,
     re.VERBOSE,
 )
 
+_FIELD_WORD_RX = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+
+
+def _range_value(v: str):
+    """Range endpoint for a non-text field: int/float if numeric, else the
+    raw string (Spark casts string literals against timestamp/date columns,
+    so ISO timestamps work unquoted)."""
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
+class _Parser:
+    def __init__(self, s: str, analyzer: StandardAnalyzer, default_operator: str):
+        self.s = s
+        self.analyzer = analyzer
+        self.default_operator = default_operator
+        self.pos = 0
+
+    def parse(self, depth: int = 0) -> BooleanQuery:
+        """One clause sequence; recurses on '(' and returns at ')' (which the
+        caller consumes) or end of input."""
+        clauses: list[BooleanClause] = []
+        pending_occur: Occur | None = None
+        pending_op: str | None = None
+
+        def push(q: Query):
+            nonlocal pending_occur, pending_op
+            occur = pending_occur
+            if occur is None:
+                if pending_op == "AND" and clauses:
+                    # retroactively promote the previous clause to MUST
+                    prev = clauses[-1]
+                    if prev.occur is Occur.SHOULD:
+                        clauses[-1] = BooleanClause(prev.query, Occur.MUST)
+                    occur = Occur.MUST
+                elif self.default_operator == "AND":
+                    occur = Occur.MUST
+                else:
+                    occur = Occur.SHOULD
+            clauses.append(BooleanClause(q, occur))
+            pending_occur = None
+            pending_op = None
+
+        while self.pos < len(self.s):
+            m = _TOKEN_RX.match(self.s, self.pos)
+            if not m or m.end() == self.pos:
+                break
+            boost = float(m.group("boost")) if m.group("boost") else 1.0
+            if m.group("rparen"):
+                if depth == 0:
+                    self.pos = m.end()  # stray ')': skip it
+                    continue
+                break  # leave ')' for the caller to consume
+            self.pos = m.end()
+            if m.group("lparen"):
+                sub = self.parse(depth + 1)
+                # consume the matching ')' (+ optional ^boost on the group)
+                rm = re.match(r'\s*\)(\^(?P<boost>[0-9.]+))?', self.s[self.pos:])
+                gboost = 1.0
+                if rm:
+                    self.pos += rm.end()
+                    if rm.group("boost"):
+                        gboost = float(rm.group("boost"))
+                if sub.clauses:
+                    if gboost != 1.0:
+                        sub = BooleanQuery(
+                            sub.clauses, sub.minimum_should_match, gboost
+                        )
+                    push(sub)
+            elif m.group("phrase") is not None:
+                self._push_phrase(
+                    push, m.group("field"), m.group("phrase"),
+                    int(m.group("slop") or 0), boost,
+                )
+            elif m.group("lo") is not None:
+                lo = None if m.group("lo") == "*" else m.group("lo")
+                hi = None if m.group("hi") == "*" else m.group("hi")
+                fld = m.group("field")
+                if fld and fld != "text":
+                    # non-text field range -> doc-values NumericRangeQuery
+                    # (pushed-down docmap predicate; timestamps compare as
+                    # ISO strings)
+                    push(NumericRangeQuery(
+                        fld,
+                        None if lo is None else _range_value(lo),
+                        None if hi is None else _range_value(hi),
+                        boost=boost,
+                    ))
+                else:
+                    push(TermRangeQuery(
+                        None if lo is None else lo.lower(),
+                        None if hi is None else hi.lower(),
+                        boost=boost,
+                    ))
+            elif m.group("op"):
+                if m.group("op") == "NOT":
+                    pending_occur = Occur.MUST_NOT
+                else:
+                    pending_op = m.group("op")
+            elif m.group("mod"):
+                pending_occur = Occur.MUST if m.group("mod") == "+" else Occur.MUST_NOT
+            elif m.group("word") is not None:
+                self._push_word(push, m, boost)
+
+        return BooleanQuery(tuple(clauses))
+
+    def _push_phrase(self, push, fld, raw, slop, boost):
+        if fld and fld != "text":
+            # keyword-field quoted value: ONE unanalyzed term (StringField
+            # values are indexed verbatim, spaces included)
+            push(TermQuery(raw, boost, field=fld))
+            return
+        if "|" in raw:
+            # MultiPhraseQuery alternatives (MultiPhraseQuery.cs:72):
+            # "app|application store" — '|' separates per-slot terms
+            slots = []
+            for word in raw.split():
+                alts = []
+                for alt in word.split("|"):
+                    alts.extend(self.analyzer.analyze_query(alt))
+                if alts:
+                    slots.append(tuple(dict.fromkeys(alts)))
+            if len(slots) == 1 and len(slots[0]) == 1:
+                push(TermQuery(slots[0][0], boost))
+            elif slots:
+                push(MultiPhraseQuery(tuple(slots), slop, boost))
+            return
+        terms = self.analyzer.analyze_query(raw)
+        if len(terms) == 1:
+            push(TermQuery(terms[0], boost))
+        elif terms:
+            push(PhraseQuery(tuple(terms), slop, boost))
+
+    def _push_word(self, push, m, boost):
+        w = m.group("word")
+        # field-qualified clause (QueryParserBase.cs:188 grammar):
+        # "lang:en", "lang:e*", "lang:en~1". Non-text fields are keyword
+        # fields (StringField) — the value is NOT analyzed (exact match),
+        # matching the reference's per-field analyzer convention.
+        fm = _FIELD_WORD_RX.match(w)
+        if fm and fm.group(1) == "text":
+            w = fm.group(2)  # explicit default field: analyze as usual
+            fm = None
+        has_fuzzy = m.group("edits") is not None or "~" in self.s[m.start(): m.end()]
+        if fm:
+            fld, rest = fm.group(1), fm.group(2)
+            if rest.endswith("*") and len(rest) > 1:
+                push(PrefixQuery(rest[:-1], boost, field=fld))
+            elif has_fuzzy:
+                edits = int(m.group("edits")) if m.group("edits") else 2
+                push(FuzzyQuery(rest, max_edits=edits, boost=boost, field=fld))
+            else:
+                push(TermQuery(rest, boost, field=fld))
+        elif w.endswith("*") and len(w) > 1:
+            push(PrefixQuery(w[:-1].lower(), boost))
+        elif has_fuzzy:
+            edits = int(m.group("edits")) if m.group("edits") else 2
+            terms = self.analyzer.analyze_query(w)
+            if terms:
+                push(FuzzyQuery(terms[0], max_edits=edits, boost=boost))
+        else:
+            terms = self.analyzer.analyze_query(w)
+            if len(terms) == 1:
+                push(TermQuery(terms[0], boost))
+            elif len(terms) > 1:
+                push(PhraseQuery(tuple(terms), 0, boost))
+            # fully-stopworded term: drop clause (StopFilter behavior)
+
 
 def parse_query(
     s: str, analyzer: StandardAnalyzer | None = None, default_operator: str = "OR"
 ) -> Query:
-    analyzer = analyzer or StandardAnalyzer()
-    pos = 0
-    clauses: list[BooleanClause] = []
-    pending_occur: Occur | None = None
-    pending_op: str | None = None
-
-    def push(q: Query):
-        nonlocal pending_occur, pending_op
-        occur = pending_occur
-        if occur is None:
-            if pending_op == "AND" and clauses:
-                # retroactively promote the previous clause to MUST
-                prev = clauses[-1]
-                if prev.occur is Occur.SHOULD:
-                    clauses[-1] = BooleanClause(prev.query, Occur.MUST)
-                occur = Occur.MUST
-            elif default_operator == "AND":
-                occur = Occur.MUST
-            else:
-                occur = Occur.SHOULD
-        clauses.append(BooleanClause(q, occur))
-        pending_occur = None
-        pending_op = None
-
-    while pos < len(s):
-        m = _TOKEN_RX.match(s, pos)
-        if not m or m.end() == pos:
-            break
-        pos = m.end()
-        boost = float(m.group("boost")) if m.group("boost") else 1.0
-        if m.group("phrase") is not None:
-            raw = m.group("phrase")
-            slop = int(m.group("slop") or 0)
-            if "|" in raw:
-                # MultiPhraseQuery alternatives (MultiPhraseQuery.cs:72):
-                # "app|application store" — '|' separates per-slot terms
-                slots = []
-                for word in raw.split():
-                    alts = []
-                    for alt in word.split("|"):
-                        alts.extend(analyzer.analyze_query(alt))
-                    if alts:
-                        slots.append(tuple(dict.fromkeys(alts)))
-                if len(slots) == 1 and len(slots[0]) == 1:
-                    push(TermQuery(slots[0][0], boost))
-                elif slots:
-                    push(MultiPhraseQuery(tuple(slots), slop, boost))
-            else:
-                terms = analyzer.analyze_query(raw)
-                if len(terms) == 1:
-                    push(TermQuery(terms[0], boost))
-                elif terms:
-                    push(PhraseQuery(tuple(terms), slop, boost))
-        elif m.group("lo") is not None:
-            lo = None if m.group("lo") == "*" else m.group("lo").lower()
-            hi = None if m.group("hi") == "*" else m.group("hi").lower()
-            push(TermRangeQuery(lo, hi, boost=boost))
-        elif m.group("op"):
-            op = m.group("op")
-            if op == "NOT":
-                pending_occur = Occur.MUST_NOT
-            else:
-                pending_op = op
-        elif m.group("mod"):
-            pending_occur = Occur.MUST if m.group("mod") == "+" else Occur.MUST_NOT
-        elif m.group("word") is not None:
-            w = m.group("word")
-            # field-qualified clause (QueryParserBase.cs:188 grammar):
-            # "lang:en", "lang:e*". Non-text fields are keyword fields
-            # (StringField) — the value is NOT analyzed (exact match),
-            # matching the reference's per-field analyzer convention.
-            fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", w)
-            if fm and fm.group(1) == "text":
-                w = fm.group(2)  # explicit default field: analyze as usual
-                fm = None
-            if fm:
-                fld, rest = fm.group(1), fm.group(2)
-                if rest.endswith("*") and len(rest) > 1:
-                    push(PrefixQuery(rest[:-1], boost, field=fld))
-                else:
-                    push(TermQuery(rest, boost, field=fld))
-            elif w.endswith("*") and len(w) > 1:
-                push(PrefixQuery(w[:-1].lower(), boost))
-            elif m.group("edits") is not None or ("~" in s[m.start(): m.end()] and m.group("word")):
-                edits = int(m.group("edits")) if m.group("edits") else 2
-                terms = analyzer.analyze_query(w)
-                if terms:
-                    push(FuzzyQuery(terms[0], max_edits=edits, boost=boost))
-            else:
-                terms = analyzer.analyze_query(w)
-                if len(terms) == 1:
-                    push(TermQuery(terms[0], boost))
-                elif len(terms) > 1:
-                    push(PhraseQuery(tuple(terms), 0, boost))
-                # fully-stopworded term: drop clause (StopFilter behavior)
-
-    if not clauses:
+    p = _Parser(s, analyzer or StandardAnalyzer(), default_operator)
+    q = p.parse()
+    if not q.clauses:
         return BooleanQuery(())
-    return rewrite(BooleanQuery(tuple(clauses)))
+    return rewrite(q)

@@ -66,7 +66,14 @@ class OracleIndex:
         analyzer: StandardAnalyzer | None = None,
         k1: float = 1.2,
         b: float = 0.75,
+        stats: "CollectionStats | None" = None,
     ):
+        """``stats``: override the collection statistics (maxdoc/sum_ttf)
+        with externally-computed GLOBAL values. Lets the oracle score a
+        term-filtered SUBSET of a corpus exactly: pull only the docs
+        containing the query's terms (their tf/positions/df are complete by
+        construction) while idf/avgdl use the full-corpus stats — bounded
+        memory instead of a whole-corpus materialization."""
         self.analyzer = analyzer or StandardAnalyzer()
         self.bm25 = BM25(k1, b)
         # postings: term -> {docid: (freq, positions)}
@@ -82,7 +89,7 @@ class OracleIndex:
                 pos_by_term[t].append(p)
             for t, plist in pos_by_term.items():
                 self.postings[t][docid] = (len(plist), plist)
-        self.stats = CollectionStats(
+        self.stats = stats or CollectionStats(
             maxdoc=len(self.docids), sum_ttf=sum(self.doclen.values())
         )
         self.norm_byte = {

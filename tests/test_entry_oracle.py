@@ -66,7 +66,14 @@ def test_every_query_has_oracle():
 
 
 def test_lucene_rank_gate_runs(spark):
+    """The embedded float32 oracle gate: 4 query shapes x top-10, each
+    verified (plain + WAND) inside the entry — any divergence raises there."""
     df = entrymod.q_ft_lucene_rank(spark, SF_DIR)
     rows = df.collect()
-    assert len(rows) == 10
-    assert [r["rank"] for r in rows] == list(range(1, 11))
+    assert len(rows) == 40
+    by_shape = {}
+    for r in rows:
+        by_shape.setdefault(r["shape"], []).append(r["rank"])
+    assert set(by_shape) == {"disj", "conj", "phrase", "msm"}
+    for ranks in by_shape.values():
+        assert ranks == list(range(1, 11))

@@ -1,0 +1,97 @@
+"""QueryParser grammar extensions (QueryParserBase.cs:188, Classic/
+QueryParser.cs): parentheses grouping, field-qualified range/fuzzy/quoted
+values, group boost — parsed into the existing AST and, where an index is
+handy, matched against the engine."""
+
+import pytest
+
+from lucenenet_spark.analysis import StandardAnalyzer
+from lucenenet_spark.data.pages import pages_spark_df
+from lucenenet_spark.index import IndexConfig, build_index
+from lucenenet_spark.query import parse_query
+from lucenenet_spark.query.ast import (
+    BooleanQuery,
+    FuzzyQuery,
+    NumericRangeQuery,
+    Occur,
+    PhraseQuery,
+    TermQuery,
+)
+from lucenenet_spark.query.engine import Searcher
+from lucenenet_spark.scoring.oracle import OracleIndex
+
+AZ = StandardAnalyzer(stop_words=frozenset())  # no stop list: terse queries
+
+
+def test_parens_grouping():
+    q = parse_query("(x OR y) AND z", analyzer=AZ)
+    assert isinstance(q, BooleanQuery)
+    occurs = [c.occur for c in q.clauses]
+    assert occurs == [Occur.MUST, Occur.MUST]
+    group = q.clauses[0].query
+    assert isinstance(group, BooleanQuery)
+    assert {c.query.term for c in group.clauses} == {"x", "y"}
+    assert all(c.occur is Occur.SHOULD for c in group.clauses)
+    assert q.clauses[1].query == TermQuery("z")
+
+
+def test_nested_parens_and_group_boost():
+    q = parse_query("((x OR y) AND z)^2", analyzer=AZ)
+    assert isinstance(q, BooleanQuery)
+    assert q.boost == 2.0
+    q2 = parse_query("(p (q (r))) s", analyzer=AZ)
+    assert len(q2.clauses) == 2  # the group and 's'
+
+
+def test_field_keyword_plus_phrase():
+    q = parse_query('lang:en "data merge"', analyzer=AZ)
+    kinds = {type(c.query) for c in q.clauses}
+    assert kinds == {TermQuery, PhraseQuery}
+    kw = next(c.query for c in q.clauses if isinstance(c.query, TermQuery))
+    assert (kw.field, kw.term) == ("lang", "en")
+
+
+def test_field_range_compiles_to_numeric_range():
+    q = parse_query("warc_ts:[2020-01-01 TO 2020-06-01]", analyzer=AZ)
+    assert q == NumericRangeQuery("warc_ts", "2020-01-01", "2020-06-01")
+    qn = parse_query("doclen:[30 TO 80]", analyzer=AZ)
+    assert qn == NumericRangeQuery("doclen", 30, 80)
+
+
+def test_field_quoted_value_is_one_keyword_term():
+    q = parse_query('source:"web crawl"', analyzer=AZ)
+    assert q == TermQuery("web crawl", field="source")
+
+
+def test_field_fuzzy():
+    q = parse_query("lang:en~1", analyzer=AZ)
+    assert isinstance(q, FuzzyQuery)
+    assert (q.field, q.term, q.max_edits) == ("lang", "en", 1)
+
+
+def test_stray_parens_do_not_crash():
+    q = parse_query(") x (", analyzer=AZ)
+    assert isinstance(q, TermQuery) and q.term == "x"
+
+
+def test_parens_query_matches_oracle(spark, tmp_path):
+    """(tiger OR heart) AND NOT lamb through engine == numpy oracle."""
+    out = str(tmp_path / "idx")
+    pages = pages_spark_df(spark, 120, seed=3)
+    build_index(
+        spark, pages, out,
+        IndexConfig(num_partitions=4, bucket_width=2, flush_docs=64),
+        overwrite=True,
+    )
+    s = Searcher(spark, out)
+    pdf = pages.select("url", "text").toPandas()
+    dm = s.docmap.select("docid", "url").toPandas()
+    url2id = dict(zip(dm["url"], dm["docid"]))
+    oracle = OracleIndex(
+        [(int(url2id[u]), t) for u, t in zip(pdf["url"], pdf["text"])]
+    )
+    q = parse_query("(tiger OR heart) AND NOT lamb")
+    got = [(int(r["docid"]), round(float(r["score"]), 4))
+           for r in s.search(q, 10).collect()]
+    exp = [(d, round(float(v), 4)) for d, v in oracle.search(q, k=10)]
+    assert got == exp and got
