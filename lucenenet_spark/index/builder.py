@@ -56,6 +56,7 @@ from ..analysis import StandardAnalyzer
 from ..scoring.bm25 import BM25
 from ..scoring.smallfloat import doclen_to_norm_byte_fast
 from .config import IndexConfig
+from .snapshot_storage import SnapshotStorage, get_storage
 from .storage import IndexStorage
 
 # positions are stored FLAT (concatenated across entries in entry order);
@@ -885,8 +886,22 @@ def build_index(
     out_dir: str,
     config: IndexConfig | None = None,
     overwrite: bool = False,
+    backend: str = "auto",
 ) -> dict:
-    builder = IndexBuilder(spark, IndexStorage(out_dir), config)
+    """``backend``: "dirs" (per-stage directory swaps + _COMMIT.json),
+    "snapshot" (Iceberg-shaped atomic snapshot commits — see
+    snapshot_storage.SnapshotStorage), or "auto" (default: keep an existing
+    index's backend, dirs for a fresh path). Readers always auto-detect via
+    get_storage(), so append/compact/search work on either."""
+    if backend == "snapshot":
+        storage: IndexStorage = SnapshotStorage(out_dir)
+    elif backend == "dirs":
+        storage = IndexStorage(out_dir)
+    elif backend == "auto":
+        storage = get_storage(out_dir)
+    else:
+        raise ValueError(backend)
+    builder = IndexBuilder(spark, storage, config)
     return builder.build(pages, overwrite=overwrite)
 
 
@@ -903,8 +918,8 @@ def next_docid_base(index_dir: str) -> int:
     never collide."""
     maxdoc_sum = 0
     next_max = 0
-    for d in [index_dir, *IndexStorage(index_dir).delta_dirs()]:
-        m = IndexStorage(d).commit_meta("stats")
+    for d in [index_dir, *get_storage(index_dir).delta_dirs()]:
+        m = get_storage(d).commit_meta("stats")
         maxdoc_sum += int(m["maxdoc"])
         if "next_docid" in m:
             next_max = max(next_max, int(m["next_docid"]))
@@ -935,7 +950,7 @@ def append_index(
     a one-pass count + order-insensitive xxhash64 over ``url`` is used."""
     import os
 
-    base = IndexStorage(index_dir)
+    base = get_storage(index_dir)
     deltas0 = base.delta_dirs()
     next_base = next_docid_base(index_dir)
     gen = len(deltas0)
@@ -950,7 +965,7 @@ def append_index(
         ).collect()[0]
         extra = f"input:{int(row['n'])}:{int(row['h'] or 0)}"
     builder = IndexBuilder(
-        spark, IndexStorage(delta_dir), config, docid_base=next_base,
+        spark, get_storage(delta_dir, like=base), config, docid_base=next_base,
         fingerprint_extra=extra,
     )
     summary = builder.build(pages)
@@ -981,14 +996,14 @@ def compact_index(
 
     from .deletes import read_tombstones
 
-    base = IndexStorage(index_dir)
+    base = get_storage(index_dir)
     deltas = base.delta_dirs()
     tomb = read_tombstones(spark, index_dir)
     if not deltas and tomb is None:
         return {"skipped": True, "reason": "no deltas and no tombstones"}
     cfg = config or IndexConfig()
     tmp_root = index_dir + ".__compact__"
-    st = IndexStorage(tmp_root)
+    st = get_storage(tmp_root, like=base)
     st.drop()
     builder = IndexBuilder(spark, st, cfg)
 
@@ -1000,7 +1015,7 @@ def compact_index(
     parts = []
     pid_offset = 0
     for d in [index_dir, *deltas]:
-        p = IndexStorage(d).read_stage(spark, "partials", p_schema)
+        p = get_storage(d).read_stage(spark, "partials", p_schema)
         parts.append(p.withColumn("pid", (F.col("pid") + F.lit(pid_offset)).cast("int")))
         pid_offset += int(p.select(F.max("pid")).collect()[0][0] or 0) + 1
     merged = _reduce(lambda a, b: a.unionAll(b), parts)

@@ -99,11 +99,11 @@ def delete_by_urls(spark: SparkSession, index_dir: str, urls: list[str]) -> dict
     DeleteDocuments(Term): the re-crawl/update path — tombstone every doc
     whose url matches, across base and delta generations)."""
     from .builder import DOCMAP_SCHEMA
-    from .storage import IndexStorage
+    from .snapshot_storage import get_storage
 
-    st = IndexStorage(index_dir)
+    st = get_storage(index_dir)
     dirs = [index_dir, *st.delta_dirs()]
-    dms = [IndexStorage(d).read_stage(spark, "docmap", DOCMAP_SCHEMA) for d in dirs]
+    dms = [get_storage(d).read_stage(spark, "docmap", DOCMAP_SCHEMA) for d in dirs]
     from functools import reduce
 
     dm = reduce(lambda a, b: a.unionAll(b), dms)

@@ -36,7 +36,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.builder import DOCMAP_SCHEMA, POSTINGS_SCHEMA, TERMSTATS_SCHEMA
-from ..index.storage import IndexStorage
 from ..scoring.bm25 import BM25
 from .ast import (
     BooleanQuery,
@@ -122,14 +121,16 @@ class Searcher:
         if scoring not in ("lucene", "exact_int"):
             raise ValueError(scoring)
         self.spark = spark
-        storage = IndexStorage(index_dir)
+        from ..index.snapshot_storage import get_storage
+
+        storage = get_storage(index_dir)
         self.index_dir = index_dir
         # composite index = base + committed delta generations (the
         # BaseCompositeReader over segments_N commit points; docids are
         # already globally offset at build time, so composition is a union)
         dirs = [index_dir, *storage.delta_dirs()]
         self.is_composite = len(dirs) > 1
-        stores = [IndexStorage(d) for d in dirs]
+        stores = [get_storage(d) for d in dirs]
         posts = [st.read_stage(spark, "postings", POSTINGS_SCHEMA) for st in stores]
         self.postings = reduce(lambda a, b: a.unionAll(b), posts)
         # docmap widened by the doc-values columns recorded at build time
