@@ -3,7 +3,12 @@ from .analyzer import (
     MAX_TOKEN_LENGTH,
     TOKEN_RE_PYTHON,
     TOKEN_RE_SQL,
+    EnglishAnalyzer,
+    KeywordAnalyzer,
+    SimpleAnalyzer,
     StandardAnalyzer,
+    StopAnalyzer,
+    WhitespaceAnalyzer,
     analyze_series,
     tokenize_series,
 )
@@ -13,7 +18,12 @@ __all__ = [
     "MAX_TOKEN_LENGTH",
     "TOKEN_RE_PYTHON",
     "TOKEN_RE_SQL",
+    "EnglishAnalyzer",
+    "KeywordAnalyzer",
+    "SimpleAnalyzer",
     "StandardAnalyzer",
+    "StopAnalyzer",
+    "WhitespaceAnalyzer",
     "analyze_series",
     "tokenize_series",
 ]

@@ -82,6 +82,14 @@ class Analyzed(NamedTuple):
 
 
 class StandardAnalyzer:
+    #: chains whose tokenize/stop semantics are expressible as ONE re2
+    #: split (split_re_re2 + optional CJK pad) ride the Arrow C++ kernel in
+    #: analyze_flat_arrow; others drop to the row-at-a-time fallback
+    arrow_fast_path = True
+    #: pad CJK classes before the split (UAX#29 single-char ideograph
+    #: tokens) — letter-run analyzers (Simple/Stop) switch this off
+    cjk_pad = True
+
     def __init__(
         self,
         stop_words: frozenset[str] = ENGLISH_STOP_WORDS,
@@ -93,6 +101,14 @@ class StandardAnalyzer:
         self.ascii_only = ascii_only
         self._pattern = _TOKEN_PATTERN_ASCII if ascii_only else _TOKEN_PATTERN
         self.split_re_re2 = SPLIT_RE_RE2_ASCII if ascii_only else SPLIT_RE_RE2
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray | None:
+        """Vectorized-over-VOCABULARY term rewrite hook (TokenFilter
+        analogue for filters that map token -> token, e.g. a stemmer).
+        Called with the batch's UNIQUE terms after dictionary encoding, so
+        per-term Python cost amortizes over term frequency. None = no
+        rewrite (the default chain)."""
+        return None
 
     def tokenize(self, text: str) -> list[str]:
         """Lowercase + split into letter/digit runs; drop over-long tokens.
@@ -121,9 +137,42 @@ class StandardAnalyzer:
         return self.analyze(text).tokens
 
 
+class EnglishAnalyzer(StandardAnalyzer):
+    """EnglishAnalyzer (Analysis/En/EnglishAnalyzer.cs chain minus the
+    possessive filter): StandardTokenizer -> LowerCase -> StopFilter ->
+    PorterStemFilter (Analysis/En/PorterStemFilter.cs). Divergence note:
+    the reference's UAX#29 tokenizer keeps "dog's" as one token for the
+    possessive filter to strip; our tokenizer already splits on the
+    apostrophe ("dog", "s"), so no possessive filter exists or is needed.
+
+    Indexing stays on the Arrow fast path: tokenize/lower/stop run in C++
+    and the stemmer applies per UNIQUE term at dictionary-encode time
+    (term_filter_unique), so Python cost is per vocabulary entry per
+    segment, not per token."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .porter import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .porter import porter_stem
+
+        a = super().analyze(text)
+        return Analyzed(
+            [
+                porter_stem(t) if t.isascii() and t.isalpha() else t
+                for t in a.tokens
+            ],
+            a.positions,
+        )
+
+
 class KeywordAnalyzer(StandardAnalyzer):
     """KeywordAnalyzer (Analysis/Core/KeywordAnalyzer.cs): the entire input
     is ONE token, unanalyzed — the StringField chain."""
+
+    arrow_fast_path = False
 
     def __init__(self):
         super().__init__(stop_words=frozenset())
@@ -138,7 +187,11 @@ class KeywordAnalyzer(StandardAnalyzer):
 
 class WhitespaceAnalyzer(StandardAnalyzer):
     """WhitespaceAnalyzer (Analysis/Core/WhitespaceAnalyzer.cs): split on
-    whitespace only, no lowercasing, no stop filter."""
+    whitespace only, no lowercasing, no stop filter. Stays on the generic
+    path: Python str.split() splits on UNICODE whitespace while re2's \\s
+    is ASCII — one re2 split cannot reproduce it exactly."""
+
+    arrow_fast_path = False
 
     def __init__(self, max_token_length: int = MAX_TOKEN_LENGTH):
         super().__init__(stop_words=frozenset(), max_token_length=max_token_length)
@@ -152,12 +205,16 @@ class WhitespaceAnalyzer(StandardAnalyzer):
 
 class SimpleAnalyzer(StandardAnalyzer):
     """SimpleAnalyzer (Analysis/Core/SimpleAnalyzer.cs): maximal letter runs,
-    lowercased — digits split tokens (unlike StandardAnalyzer)."""
+    lowercased — digits split tokens (unlike StandardAnalyzer). Arrow fast
+    path: ONE re2 split on non-letters (no CJK pad — letter runs join
+    ideographs, matching the Python pattern)."""
 
     _LETTERS = re.compile(r"[^\W\d_]+", re.UNICODE)
+    cjk_pad = False
 
     def __init__(self, max_token_length: int = MAX_TOKEN_LENGTH):
         super().__init__(stop_words=frozenset(), max_token_length=max_token_length)
+        self.split_re_re2 = r"[^\p{L}]+"
 
     def tokenize(self, text: str) -> list[str]:
         if not text:
@@ -168,9 +225,18 @@ class SimpleAnalyzer(StandardAnalyzer):
 
 class StopAnalyzer(StandardAnalyzer):
     """StopAnalyzer (Analysis/Core/StopAnalyzer.cs): SimpleAnalyzer letter
-    runs + the English stop set."""
+    runs + the English stop set. Same Arrow fast path as SimpleAnalyzer."""
 
     _LETTERS = SimpleAnalyzer._LETTERS
+    cjk_pad = False
+
+    def __init__(
+        self,
+        stop_words: frozenset[str] = ENGLISH_STOP_WORDS,
+        max_token_length: int = MAX_TOKEN_LENGTH,
+    ):
+        super().__init__(stop_words=stop_words, max_token_length=max_token_length)
+        self.split_re_re2 = r"[^\p{L}]+"
 
     def tokenize(self, text: str) -> list[str]:
         if not text:
@@ -179,7 +245,40 @@ class StopAnalyzer(StandardAnalyzer):
         return [t for t in self._LETTERS.findall(text.lower()) if len(t) <= ml]
 
 
+# chains whose tokenize/stop are expressible as one re2 split — these ride
+# the Arrow C++ kernel, with the term filter (stemmer) applied at the
+# dictionary-encode step. Any OTHER chain runs the generic per-row
+# analyze() path, where the full chain (including any stemming) is already
+# applied — encode_terms skips the term filter for those to avoid
+# double-application.
+_ARROW_FAST = (StandardAnalyzer, EnglishAnalyzer, SimpleAnalyzer, StopAnalyzer)
+
 _DEFAULT = StandardAnalyzer()
+
+
+def analyzer_for(
+    name: str,
+    stop_words: frozenset[str],
+    max_token_length: int,
+    ascii_only: bool,
+) -> StandardAnalyzer:
+    """Construct a chain by its config name (IndexConfig.analyzer). Used by
+    BOTH the index builder and the Searcher (from the stats commit meta),
+    so query-side analysis always matches the chain the index was built
+    with — the PerFieldAnalyzerWrapper consistency contract."""
+    if name == "standard":
+        return StandardAnalyzer(stop_words, max_token_length, ascii_only)
+    if name == "english":
+        return EnglishAnalyzer(stop_words, max_token_length, ascii_only)
+    if name == "simple":
+        return SimpleAnalyzer(max_token_length)
+    if name == "stop":
+        return StopAnalyzer(stop_words, max_token_length)
+    if name == "whitespace":
+        return WhitespaceAnalyzer(max_token_length)
+    if name == "keyword":
+        return KeywordAnalyzer()
+    raise ValueError(f"unknown analyzer chain {name!r}")
 
 
 def tokenize_series(texts: pd.Series, analyzer: StandardAnalyzer = _DEFAULT) -> pd.Series:
@@ -223,6 +322,11 @@ def analyze_flat(
     tokens = flat.to_numpy(dtype=object)[keep]
     doc_idx = doc_idx_all[keep]
     positions = pos_all[keep]
+    if type(analyzer) in _ARROW_FAST and len(tokens):
+        tf_codes, tf_uniq = pd.factorize(tokens)
+        tf = analyzer.term_filter_unique(np.asarray(tf_uniq, dtype=object))
+        if tf is not None:
+            tokens = np.asarray(tf, dtype=object)[tf_codes]
     doclens = np.zeros(n, dtype=np.int64)
     if len(doc_idx):
         uniq, cnt = np.unique(doc_idx, return_counts=True)
@@ -262,14 +366,14 @@ def analyze_flat_arrow(
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    if type(analyzer) is not StandardAnalyzer:
-        # custom chain (Keyword/Whitespace/Simple/... or user subclass):
-        # honor its analyze() row-by-row — correctness over speed for
-        # non-default chains; the default chain stays on the C++ path
+    if type(analyzer) not in _ARROW_FAST:
+        # custom chain (Keyword/Whitespace or user subclass): honor its
+        # analyze() row-by-row — correctness over speed for unknown chains;
+        # the known split-expressible chains stay on the C++ path
         return _analyze_flat_generic(texts, analyzer, encode)
     n = len(texts)
     low = pc.utf8_lower(texts)
-    if not analyzer.ascii_only:
+    if not analyzer.ascii_only and analyzer.cjk_pad:
         # UAX#29 CJK classes: isolate ideographs / katakana runs so the
         # letter/digit split emits them as their own tokens (identical to
         # the TOKEN_RE_PYTHON alternation)
@@ -305,6 +409,9 @@ def analyze_flat_arrow(
 
     doclens = np.bincount(doc_idx_v, minlength=n).astype(np.int64)
     if not encode:
+        # NOTE: with encode=False the term filter (stemmer) is NOT applied
+        # here — the caller owns the dictionary-encode step and must call
+        # encode_terms(analyzer, ...) (the builder's flush path does)
         return flat, None, doc_idx_v, positions, doclens
     if len(flat) == 0:
         e = np.array([], dtype=np.int64)
@@ -313,10 +420,24 @@ def analyze_flat_arrow(
     d = pc.dictionary_encode(flat)
     uniques = d.dictionary.to_numpy(zero_copy_only=False)
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(uniques)  # lexicographic, == pd.factorize(sort=True)
-    rank = np.empty_like(order)
-    rank[order] = np.arange(len(order))
-    return rank[codes], uniques[order], doc_idx_v, positions, doclens
+    scodes, suniq = encode_terms(analyzer, codes, uniques)
+    return scodes, suniq, doc_idx_v, positions, doclens
+
+
+def encode_terms(
+    analyzer: StandardAnalyzer, codes: np.ndarray, uniques: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Apply the analyzer's term filter (stemmer) to a dictionary-encoded
+    batch and return (codes, uniques) with uniques SORTED and merged —
+    np.unique's inverse both sorts and collapses stems that several surface
+    forms map to, at vocabulary cost, never per-token cost. Generic-path
+    chains are skipped: their analyze() already applied the full chain."""
+    if type(analyzer) in _ARROW_FAST:
+        tf = analyzer.term_filter_unique(uniques)
+        if tf is not None:
+            uniques = np.asarray(tf, dtype=object)
+    suniq, inv = np.unique(uniques, return_inverse=True)
+    return inv.astype(np.int64)[codes], suniq
 
 
 def _analyze_flat_generic(texts, analyzer: StandardAnalyzer, encode: bool) -> tuple:

@@ -134,9 +134,10 @@ class IndexBuilder:
         #: ranges from next_docid, which stays collision-free either way.
         self.docids_dense = not (config or IndexConfig()).external_docids
         if analyzer is None:
-            from ..analysis.analyzer import ENGLISH_STOP_WORDS
+            from ..analysis.analyzer import ENGLISH_STOP_WORDS, analyzer_for
 
-            analyzer = StandardAnalyzer(
+            analyzer = analyzer_for(
+                self.config.analyzer,
                 stop_words=ENGLISH_STOP_WORDS if self.config.stop_filter else frozenset(),
                 max_token_length=self.config.max_token_length,
                 ascii_only=self.config.ascii_tokens,
@@ -301,15 +302,18 @@ class IndexBuilder:
                 p = np.concatenate(acc_pos)
                 nb = np.concatenate(acc_norm)
                 dl = np.concatenate(acc_len)
-                # one dictionary encode per segment (TermsHash analogue)
+                # one dictionary encode per segment (TermsHash analogue);
+                # encode_terms applies the analyzer's term filter (stemmer)
+                # over the UNIQUE terms and sorts/merges — per-vocabulary
+                # Python cost, never per-token
+                from ..analysis.analyzer import encode_terms
+
                 enc = pc.dictionary_encode(tokens)
                 uniq = enc.dictionary.to_numpy(zero_copy_only=False)
                 codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-                order = np.argsort(uniq)
-                rk = np.empty_like(order)
-                rk[order] = np.arange(len(order))
+                scodes, suniq = encode_terms(analyzer, codes, uniq)
                 out = _invert_codes(
-                    rk[codes], uniq[order], d, p, nb, dl, state_pid, seg, index_positions
+                    scodes, suniq, d, p, nb, dl, state_pid, seg, index_positions
                 )
                 if dv_types:
                     out = pa.RecordBatch.from_arrays(
@@ -471,6 +475,14 @@ class IndexBuilder:
             meta={
                 "maxdoc": maxdoc, "sum_ttf": sum_ttf, "avgdl": avgdl,
                 "next_docid": next_docid, "dense_docids": self.docids_dense,
+                # analysis-chain identity: the Searcher reconstructs the
+                # SAME chain for query-side analysis (stemming etc.)
+                "analyzer": {
+                    "name": self.config.analyzer,
+                    "stop_filter": self.config.stop_filter,
+                    "ascii_tokens": self.config.ascii_tokens,
+                    "max_token_length": self.config.max_token_length,
+                },
             },
         )
 

@@ -82,6 +82,13 @@ class IndexConfig:
     # reconstruct the widened schema without re-inference. Typical webtext
     # fields: warc_ts (crawl time range filters), lang.
     docvalue_fields: tuple[str, ...] = ()
+    # analysis chain (SURVEY §2.1): "standard" (default),
+    # "english" (StandardAnalyzer + Porter stemmer at the dictionary-encode
+    # step — Analysis/En/PorterStemFilter.cs), "simple", "stop",
+    # "whitespace", "keyword". Part of the fingerprint: an index is only
+    # readable by queries analyzed with the SAME chain, so the name is also
+    # recorded in the stats commit meta for the Searcher to reconstruct.
+    analyzer: str = "standard"
     # bump on any change to the stage schemas / on-disk layout: the value is
     # part of the fingerprint, so committed stages from an older layout are
     # rebuilt instead of misread on resume

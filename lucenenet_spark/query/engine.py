@@ -174,6 +174,20 @@ class Searcher:
         self.has_positions = all(
             st.commit_meta("postings").get("index_positions", True) for st in stores
         )
+        # query-side analysis chain == the chain the index was built with
+        # (recorded in the stats meta; default chain for older indexes)
+        from ..analysis import ENGLISH_STOP_WORDS
+        from ..analysis.analyzer import analyzer_for
+
+        am = stores[0].commit_meta("stats").get("analyzer") or {}
+        self.analyzer = analyzer_for(
+            am.get("name", "standard"),
+            stop_words=(
+                ENGLISH_STOP_WORDS if am.get("stop_filter", True) else frozenset()
+            ),
+            max_token_length=am.get("max_token_length", 255),
+            ascii_only=am.get("ascii_tokens", False),
+        )
         # avgdl over the composite, float32 exactly as BM25Similarity.cs:91-102
         self.avgdl = np.float32(sum_ttf / float(maxdoc)) if maxdoc and sum_ttf > 0 else np.float32(1.0)
         # double-precision avgdl for exact_int mode (no float32 rounding)
@@ -1084,9 +1098,7 @@ class Searcher:
         path."""
         from collections import Counter
 
-        from ..analysis import StandardAnalyzer
-
-        toks = StandardAnalyzer().analyze_query(text)
+        toks = self.analyzer.analyze_query(text)
         if not toks:
             return self._empty()
         tf = Counter(toks)
