@@ -575,6 +575,57 @@ def q_ft_highlight(spark, sf_dir):
     return hl.select("doc_id", "score", "rank", "snippet").orderBy("rank")
 
 
+def q_ft_highlight_multi(spark, sf_dir):
+    """Best-fragments highlighter (Highlighter.GetBestFragments:
+    SimpleFragmenter + QueryTermScorer + top-N selection,
+    Highlighter.cs:34): the text splits into fixed 100-char fragments, each
+    scores by query-term occurrence count, the top-3 (score desc, position
+    asc) re-assemble in TEXT ORDER joined by '...', matches wrapped. This
+    entry runs the fragment pipeline fully JVM-side (posexplode + regexp +
+    window) over the top-5 hits only; the whitespace-snapping pandas-UDF
+    variant is query/highlight.py::highlight_fragments (suite-tested)."""
+    s = _searcher(spark, sf_dir)
+    q = BooleanQuery.build(should=[TermQuery("data"), TermQuery("spark")])
+    top = s.search(q, 5).select(
+        F.col("docid").alias("doc_id"), F.col("rank").cast("long").alias("rank")
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    topk = top.join(F.broadcast(docs), "doc_id")
+    rx = "(?i)(data|spark)"
+    # fixed 100-char fragmentation as ONE regex chunking — identical
+    # semantics in Java regex (Spark) and RE2 (DuckDB)
+    frag = topk.select(
+        "doc_id", "rank",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit("(?s).{1,100}"), F.lit(0))
+        ).alias("i", "frag"),
+    )
+    scored = frag.withColumn(
+        "score_f",
+        F.size(F.regexp_extract_all(F.col("frag"), F.lit(rx), F.lit(0))),
+    ).filter(F.col("score_f") > 0)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_f"), F.asc("i"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    wrapped = best.withColumn(
+        "hl", F.regexp_replace(F.col("frag"), rx, "<b>$1</b>")
+    )
+    return (
+        wrapped.groupBy("doc_id", "rank")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fragments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "hl"))),
+                    lambda x: x["hl"],
+                ),
+                "...",
+            ).alias("snippet"),
+        )
+        .orderBy("rank")
+        .select("doc_id", "rank", "n_fragments", "snippet")
+    )
+
+
 def q_ft_rescore(spark, sf_dir):
     """QueryRescorer (QueryRescorer.cs): re-rank the top-20 of a first-pass
     query with a second query; combined = first + weight*second. The top-k
@@ -1419,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_facet_events": q_rel_facet_events,
         "ft_ts_range": q_ft_ts_range,
         "ft_sort_by_ts": q_ft_sort_by_ts,
+        "ft_highlight_multi": q_ft_highlight_multi,
         # --- core full-text battery ---
         "ft_term_topk": q_ft_term_topk,
         "ft_bool_and": q_ft_bool_and,
@@ -1860,6 +1912,45 @@ FROM scored ORDER BY score DESC, doc_id ASC
         f"SELECT doc_id, CAST({_TS_EPOCH0} + (doc_id % 100000) * 60 AS BIGINT) "
         "AS ts_epoch FROM m "
         "ORDER BY ts_epoch DESC, doc_id ASC LIMIT 10"
+    )
+
+    o["ft_highlight_multi"] = (
+        _SQL_PREFIX + _term_ctes(["data", "spark"])
+        + f""",
+scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}),
+topk AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT 5
+),
+lists AS (
+  -- fragments + top-3 selection in LIST space (a second unnest in this
+  -- CTE chain silently binds wrong in DuckDB 1.0): struct order (ns, i)
+  -- makes list_sort ascending == (score desc, position asc)
+  SELECT t.doc_id, t.rank,
+         regexp_extract_all(d.text, '(?s).{{1,100}}') AS frags
+  FROM topk t JOIN documents d USING (doc_id)
+),
+sc AS (
+  SELECT doc_id, rank,
+    list_filter(
+      list_transform(frags, (frag, i) -> struct_pack(
+          ns := -len(regexp_extract_all(frag, '(?i)(data|spark)')),
+          i := i - 1, frag := frag)),
+      x -> x.ns < 0) AS sf
+  FROM lists
+),
+best AS (
+  SELECT doc_id, rank, list_sort(sf)[1:3] AS top3 FROM sc WHERE len(sf) > 0
+)
+SELECT doc_id, rank, CAST(len(top3) AS BIGINT) AS n_fragments,
+  array_to_string(
+    list_transform(
+      list_sort(list_transform(top3, x -> struct_pack(i := x.i, frag := x.frag))),
+      x -> regexp_replace(x.frag, '(?i)(data|spark)', '<b>\\1</b>', 'g')),
+    '...') AS snippet
+FROM best ORDER BY rank
+"""
     )
 
     o["ft_regexp"] = (

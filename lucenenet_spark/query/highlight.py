@@ -46,3 +46,77 @@ def highlight(
         return texts.map(one)
 
     return topk_with_text.withColumn("snippet", snip(F.col(text_col)))
+
+
+def highlight_fragments(
+    topk_with_text: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    pre: str = "<b>",
+    post: str = "</b>",
+    fragment_chars: int = 100,
+    max_fragments: int = 3,
+    snap_to_whitespace: bool = True,
+) -> DataFrame:
+    """Best-fragments highlighting — the reference's fragmenter/scorer
+    pipeline (Highlighter.GetBestFragments: SimpleFragmenter fixed-size
+    fragments + QueryTermScorer fragment scores + top-N selection,
+    Lucene.Net.Highlighter/Highlight/Highlighter.cs:34,
+    SimpleFragmenter.cs, QueryTermScorer.cs):
+
+    - the text splits into ~``fragment_chars`` fragments (snapped back to a
+      whitespace boundary unless ``snap_to_whitespace=False``);
+    - each fragment scores ``occurrences + distinct-terms`` (QueryTermScorer
+      sums per-term weights; occurrence count + a distinct bonus is the
+      flat-weight equivalent);
+    - the ``max_fragments`` best (score desc, position asc) fragments are
+      re-assembled in TEXT ORDER joined by ``"..."`` with matches wrapped.
+
+    Adds ``snippet`` (string) and ``n_fragments`` (int). Runs as a pandas
+    UDF over the TOP-K rows only — per-hit work, never the corpus."""
+    pattern = re.compile(
+        "(" + "|".join(re.escape(t) for t in terms) + ")", re.IGNORECASE
+    )
+
+    @pandas_udf("snippet string, n_fragments int")
+    def snip(texts: pd.Series) -> pd.DataFrame:
+        def one(t):
+            if not t:
+                return "", 0
+            # fragment boundaries (SimpleFragmenter: fixed size, snapped)
+            bounds = [0]
+            while bounds[-1] < len(t):
+                nxt = bounds[-1] + fragment_chars
+                if snap_to_whitespace and nxt < len(t):
+                    ws = t.rfind(" ", bounds[-1] + 1, nxt)
+                    if ws > bounds[-1]:
+                        nxt = ws
+                bounds.append(min(nxt, len(t)))
+            frags = [
+                (i, t[lo:hi])
+                for i, (lo, hi) in enumerate(zip(bounds, bounds[1:]))
+            ]
+            scored = []
+            for i, frag in frags:
+                hits = pattern.findall(frag)
+                if hits:
+                    scored.append((len(hits) + len({h.lower() for h in hits}), i, frag))
+            if not scored:
+                return "", 0
+            best = sorted(scored, key=lambda x: (-x[0], x[1]))[:max_fragments]
+            best.sort(key=lambda x: x[1])  # re-assemble in text order
+            parts = [
+                pattern.sub(lambda mm: pre + mm.group(0) + post, frag).strip()
+                for _, _, frag in best
+            ]
+            return "...".join(parts), len(best)
+
+        out = texts.map(one)
+        return pd.DataFrame(
+            {"snippet": out.map(lambda x: x[0]), "n_fragments": out.map(lambda x: x[1])}
+        )
+
+    s = snip(F.col(text_col))
+    return topk_with_text.withColumn("snippet", s["snippet"]).withColumn(
+        "n_fragments", s["n_fragments"]
+    )

@@ -183,3 +183,32 @@ def test_explain_must_not_exclusion(searcher):
     hit = searcher.score_df(TermQuery("data")).limit(1).collect()[0]["docid"]
     ex = searcher.explain(q, hit)
     assert ex["value"] == 0.0 and "MUST_NOT" in ex["description"]
+
+
+def test_highlight_fragments_best_n(spark):
+    """Best-fragments pipeline (Highlighter.GetBestFragments analogue):
+    top-N fragments by term density, re-assembled in text order."""
+    from lucenenet_spark.query.highlight import highlight_fragments
+
+    filler = "lorem ipsum dolor sit amet " * 6          # ~160 chars, no hits
+    dense = "fox fox dog fox near the river bank today "  # 3 fox + 1 dog
+    sparse = "one fox walked by the meadow this morning "
+    text = sparse + filler + dense + filler + sparse
+    df = spark.createDataFrame(
+        [(1, text), (2, "nothing relevant"), (3, None)],
+        "docid long, text string",
+    )
+    out = {
+        r["docid"]: (r["snippet"], r["n_fragments"])
+        for r in highlight_fragments(
+            df, ["fox", "dog"], fragment_chars=80, max_fragments=2
+        ).collect()
+    }
+    snip, n = out[1]
+    assert n == 2
+    # the dense fragment must be present and wrapped
+    assert "<b>fox</b>" in snip and "<b>dog</b>" in snip
+    # fragments joined in TEXT order by the separator
+    assert "..." in snip
+    # no-hit and null rows degrade cleanly
+    assert out[2] == ("", 0) and out[3] == ("", 0)
