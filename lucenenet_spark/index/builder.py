@@ -30,7 +30,13 @@ Lucene41PostingsWriter 128-int blocks  block rows with docid deltas, freqs,
 + skip entries + norms                 norm bytes, first/last docid (the skip
 (Lucene41PostingsWriter.cs:302-358)    entry) and block-max metadata; Parquet
                                        min/max footer stats on ``term`` replace
-                                       the BlockTree/FST seek index
+                                       the BlockTree/FST seek index.
+                                       ForUtil packing (ForUtil.cs:38) is
+                                       delegated to Parquet encodings + zstd —
+                                       MEASURED equivalent (±4% bytes, faster
+                                       decode; scripts/packing_bench.py,
+                                       BENCH/BASELINE.md "Posting-block
+                                       packing")
 Two-phase segments_N commit            per-stage Parquet write + _COMMIT.json
 (IndexWriter.cs:3868)                  marker; resume skips committed stages
 
