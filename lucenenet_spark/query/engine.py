@@ -1261,6 +1261,14 @@ class Searcher:
                     "description": f"minimumShouldMatch {q.minimum_should_match} not met ({matched_should})",
                     "details": details,
                 }
+            if q.boost != 1.0:
+                # group boost ("(a OR b)^2") — same float32 factor as
+                # _score_boolean, so value == score holds for groups too
+                return {
+                    "value": total * float(np.float32(q.boost)),
+                    "description": f"boost {q.boost} * sum of:",
+                    "details": details,
+                }
             return {"value": total, "description": "sum of:", "details": details}
         # generic fallback: evaluate the full scored set for this doc
         rows = self._score(q, stats).filter(F.col("docid") == docid).collect()

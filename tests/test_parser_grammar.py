@@ -95,3 +95,23 @@ def test_parens_query_matches_oracle(spark, tmp_path):
            for r in s.search(q, 10).collect()]
     exp = [(d, round(float(v), 4)) for d, v in oracle.search(q, k=10)]
     assert got == exp and got
+
+
+def test_explain_matches_score_for_boosted_group(spark, tmp_path):
+    """Explanation.value == score for a parenthesized boosted group — the
+    TestExplanations contract extended to the new grammar."""
+    import numpy as np
+
+    out = str(tmp_path / "idx")
+    build_index(
+        spark, pages_spark_df(spark, 100, seed=4), out,
+        IndexConfig(num_partitions=4, bucket_width=2, flush_docs=64),
+        overwrite=True,
+    )
+    s = Searcher(spark, out)
+    q = parse_query("(tiger OR heart)^2 AND NOT lamb")
+    top = s.search(q, 5).collect()
+    assert top
+    for r in top:
+        ex = s.explain(q, r["docid"])
+        assert np.float32(ex["value"]) == np.float32(r["score"]), ex
