@@ -1115,6 +1115,32 @@ def _emb_candidates(emb: DataFrame, w: int) -> DataFrame:
     )
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multiprobe ANN (the recall lever the plain bucket probe lacks): probe
+    the query's coarse LSH bucket AND every Hamming-distance-1 neighbor
+    (flip one of the 4 sign bits — the signature bits most likely to differ
+    for a true neighbor near a hyperplane), exact cosine top-5 within the
+    probed set. At scale the bucketed table is partitioned by bucket, so
+    this touches 5 of 16 partitions instead of the corpus; recall rises
+    from 1 bucket's ~cos-cone to its 1-bit neighborhood."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    b = emb.withColumn("bucket", _bucket4_col())
+    qb = b.filter(F.col("vec_id") == 0).select("bucket", "embedding").collect()[0]
+    qv = [float(x) for x in qb["embedding"]]
+    probes = [int(qb["bucket"]) ^ m for m in (0, 1, 2, 4, 8)]
+    cand = b.filter(F.col("bucket").isin(probes) & (F.col("vec_id") != 0))
+    cand = cand.withColumn("qv", F.array(*[F.lit(x) for x in qv]))
+    cand = cand.withColumn(
+        "cos_x1m",
+        F.expr(_COS_X1M.replace("ea", "embedding").replace("eb", "qv")),
+    )
+    top = cand.orderBy(F.desc("cos_x1m"), F.asc("vec_id")).limit(5)
+    w = Window.orderBy(F.desc("cos_x1m"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "vec_id", "cos_x1m", "rank"
+    )
+
+
 def q_dd_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-dup — scale-aware LSH-banded candidate
     generation (2 bands of w = clamp(4, 24, ceil(log2 n)) hyperplane sign
@@ -1471,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ts_range": q_ft_ts_range,
         "ft_sort_by_ts": q_ft_sort_by_ts,
         "ft_highlight_multi": q_ft_highlight_multi,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         # --- core full-text battery ---
         "ft_term_topk": q_ft_term_topk,
         "ft_bool_and": q_ft_bool_and,
@@ -2122,6 +2149,20 @@ FROM cand ORDER BY cos_x1m DESC, vec_id ASC LIMIT 5
         f"substr(s{band}, 1, (SELECT w FROM wsel)) AS key FROM strs"
         for band in range(_EMB_BANDS)
     )
+    o["ann_lsh_multiprobe"] = f"""
+WITH b AS (SELECT vec_id, embedding, {b4} AS bucket FROM embeddings),
+q AS (SELECT bucket, embedding AS qv FROM b WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id,
+         CAST(floor(list_reduce(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x, y) -> x + y))) * 1000000.0 + 0.5) AS BIGINT) AS cos_x1m
+  FROM b e CROSS JOIN q
+  WHERE xor(e.bucket, q.bucket) IN (0, 1, 2, 4, 8) AND e.vec_id != 0
+)
+SELECT vec_id, cos_x1m,
+       CAST(row_number() OVER (ORDER BY cos_x1m DESC, vec_id ASC) AS BIGINT) AS rank
+FROM cand ORDER BY cos_x1m DESC, vec_id ASC LIMIT 5
+"""
+
     o["dd_embed_cosine"] = f"""
 WITH wsel AS (SELECT least({_EMB_MAX_BITS}, greatest(4,
   CAST(ceil(log2((SELECT count(*) FROM embeddings))) AS INT))) AS w),
