@@ -29,6 +29,23 @@ def main() -> int:
     ap.add_argument("--bucket-width", type=int, default=4)
     ap.add_argument("--flush-docs", type=int, default=50_000)
     ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument(
+        "--analyzer", default="standard",
+        choices=["standard", "english", "simple", "stop", "whitespace", "keyword"],
+        help="analysis chain (english = Porter-stemmed)",
+    )
+    ap.add_argument(
+        "--backend", default="auto", choices=["auto", "dirs", "snapshot"],
+        help="storage commit protocol (snapshot = Iceberg-shaped atomic snapshots)",
+    )
+    ap.add_argument(
+        "--keyword-fields", default="",
+        help="comma-separated input columns indexed as keyword fields",
+    )
+    ap.add_argument(
+        "--docvalue-fields", default="",
+        help="comma-separated input columns stored as doc-values in the docmap",
+    )
     ap.add_argument("--overwrite", action="store_true")
     ap.add_argument("--check", action="store_true", help="run CheckIndex after build")
     args = ap.parse_args()
@@ -46,6 +63,9 @@ def main() -> int:
         bucket_width=args.bucket_width,
         flush_docs=args.flush_docs,
         index_positions=not args.no_positions,
+        analyzer=args.analyzer,
+        keyword_fields=tuple(f for f in args.keyword_fields.split(",") if f),
+        docvalue_fields=tuple(f for f in args.docvalue_fields.split(",") if f),
     )
     if args.pages:
         pages = spark.read.parquet(args.pages)
@@ -55,7 +75,7 @@ def main() -> int:
         ap.error("one of --pages / --pages-n is required")
 
     t0 = time.time()
-    summary = build_index(spark, pages, args.out, cfg, overwrite=args.overwrite)
+    summary = build_index(spark, pages, args.out, cfg, overwrite=args.overwrite, backend=args.backend)
     elapsed = time.time() - t0
     summary["elapsed_sec"] = round(elapsed, 3)
 
