@@ -1498,6 +1498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_by_ts": q_ft_sort_by_ts,
         "ft_highlight_multi": q_ft_highlight_multi,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "dd_embed_cosine": q_dd_embed_cosine,
+        "mm_frame_sample": q_mm_frame_sample,
         # --- core full-text battery ---
         "ft_term_topk": q_ft_term_topk,
         "ft_bool_and": q_ft_bool_and,
@@ -1532,24 +1534,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_phrase": q_ft_multi_phrase,
         "ft_suggest": q_ft_suggest,
         "ft_spell": q_ft_spell,
-        "dd_exact": q_dd_exact,
         "dd_minhash_lsh": q_dd_minhash_lsh,
         "dd_lsh_verify": q_dd_lsh_verify,
         "dd_simhash": q_dd_simhash,
         "nd_jaccard": q_nd_jaccard,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "dd_embed_cosine": q_dd_embed_cosine,
         "nd_shingle_jaccard": q_nd_shingle_jaccard,
-        # --- r1+r2 double-green simple entries (absorb the 50-entry cap) ---
+        # --- unchanged r1+r2 double-green entries (absorb the 50-entry cap;
+        # every entry CHANGED in r3 sits above this line and gets a gate row) ---
         "txt_quality": q_txt_quality,
         "txt_token_count": q_txt_token_count,
         "txt_langid": q_txt_langid,
         "txt_fingerprint": q_txt_fingerprint,
         "mm_meta": q_mm_meta,
         "mm_decode_stub": q_mm_decode_stub,
-        "mm_frame_sample": q_mm_frame_sample,
+        "dd_exact": q_dd_exact,
+        "ann_cosine_topk": q_ann_cosine_topk,
     }
 
 
@@ -2129,13 +2130,14 @@ FROM cand ORDER BY cos_x1m DESC, vec_id ASC LIMIT 5
     # sign bits are computed as '0'/'1' chars, concatenated per band, and
     # TRUNCATED to w = least(24, greatest(4, ceil(log2(count(*))))) — the
     # same width q_dd_embed_cosine derives from emb.count()
+    # native list_dot_product == the sequential left fold bit-for-bit
+    # (verified: 0 sign mismatches vs the list_reduce formulation, which
+    # took ~20 s for 48 planes x 500 rows vs ~0 s native)
     n_emb_planes = _EMB_BANDS * _EMB_MAX_BITS
     bitsel = ", ".join(
-        f"CASE WHEN list_reduce(list_transform(range(1, {_DIM} + 1), "
-        f"i -> embedding[i]::DOUBLE * (["
+        "CASE WHEN list_dot_product(emb_d, ["
         + ", ".join(repr(w) for w in [_plane_weight(j, d) for d in range(_DIM)])
-        + f"])[i]), (a, b) -> a + b) > 0.0 "
-        f"THEN '1' ELSE '0' END AS b{j}"
+        + f"]) > 0.0 THEN '1' ELSE '0' END AS b{j}"
         for j in range(n_emb_planes)
     )
     bandstrs = ", ".join(
@@ -2166,7 +2168,9 @@ FROM cand ORDER BY cos_x1m DESC, vec_id ASC LIMIT 5
     o["dd_embed_cosine"] = f"""
 WITH wsel AS (SELECT least({_EMB_MAX_BITS}, greatest(4,
   CAST(ceil(log2((SELECT count(*) FROM embeddings))) AS INT))) AS w),
-bits AS (SELECT vec_id, embedding, {bitsel} FROM embeddings),
+emb_cast AS (SELECT vec_id, embedding,
+             list_transform(embedding, x -> x::DOUBLE) AS emb_d FROM embeddings),
+bits AS (SELECT vec_id, embedding, {bitsel} FROM emb_cast),
 strs AS (SELECT vec_id, {bandstrs} FROM bits),
 bands AS ({bandrows}),
 cand AS (
