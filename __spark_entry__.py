@@ -685,6 +685,44 @@ def q_ft_sort_by_ts(spark, sf_dir):
     )
 
 
+def q_web_extract_text(spark, sf_dir):
+    """HTML -> text extraction, the input_hint's per-row invariant
+    (byte-identical extracted text per url; reference analogue
+    DemoHTMLParser.cs:36-88 feeding DocMaker). The documents table has no
+    html column, so the page payload is synthesized IN-PLAN (JVM-side
+    concat/replace, byte-identical to analysis.extract.wrap_html with
+    title 'p<doc_id>'), then the Arrow/re2 extraction kernel recovers the
+    text and the aggregate proves every row round-tripped byte-exactly —
+    n_exact counts extract(wrap(text)) == text (null-safe). The oracle
+    asserts n_exact == n_docs independently."""
+    from lucenenet_spark.analysis.extract import extract_text  # noqa: PLC0415
+
+    esc = F.col("text")
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&#39;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    html_str = F.concat(
+        F.lit("<html><head><title>p"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><script>var q=1&&2;</script><style>p {color:#000}</style>"
+            '</head><body class="page"><!-- warc --><p>'
+        ),
+        esc,
+        F.lit("</p></body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", "text", html_str.cast("binary").alias("html")
+    )
+    ex = extract_text(
+        pages.withColumnRenamed("text", "text_src"), html_col="html", out_col="text_ex"
+    )
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("text_ex").eqNullSafe(F.col("text_src"))).alias("n_exact"),
+        F.sum(F.octet_length("text_src")).cast("long").alias("text_bytes"),
+    )
+
+
 def q_ft_regexp(spark, sf_dir):
     """RegexpQuery (RegexpQuery.cs:52): full-match regex scan of the term
     dictionary, CONSTANT_SCORE rewrite."""
@@ -1488,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # absorb the cap.
     return {
         # --- never gated before r3 + new this round ---
+        "web_extract_text": q_web_extract_text,
         "mm_resize_stub": q_mm_resize_stub,
         "txt_langid_ngram": q_txt_langid_ngram,
         "txt_token_bpe": q_txt_token_bpe,
@@ -2314,6 +2353,15 @@ FROM d WHERE len(toks) > 0 ORDER BY doc_id
         "SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name, a.n_orders "
         "FROM a JOIN customer c ON a.o_custkey = c.c_custkey "
         "ORDER BY a.n_orders DESC, c.c_custkey ASC LIMIT 10"
+    )
+
+    # The Spark side REALLY runs wrap -> extract and counts byte-identical
+    # round-trips; the oracle states the invariant the input_hint promises
+    # (every row's extracted text is byte-identical): n_exact == n_docs.
+    # Any extraction bug -> Spark n_exact < n_docs -> value-hash mismatch.
+    o["web_extract_text"] = (
+        "SELECT count(*)::BIGINT AS n_docs, count(*)::BIGINT AS n_exact, "
+        "CAST(sum(strlen(text)) AS BIGINT) AS text_bytes FROM documents"
     )
 
     o["rel_facet_events"] = (

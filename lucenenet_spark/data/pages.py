@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from lucenenet_spark.analysis.extract import wrap_html
+
 # The reference's integration-test corpus (8 docs) — Blake, "The Tyger" /
 # "A Divine Image" (public-domain poems), exactly as in
 # src/Lucene.Net.Tests/Search/Similarities/TestSimilarityBase.cs:590.
@@ -81,7 +83,7 @@ def synth_pages_pandas(
     idx = np.arange(m)
     urls = [f"https://site{i % 997:04d}.example/p/{i:08d}" for i in idx]
     ts = pd.Timestamp("2024-01-01", tz=None) + pd.to_timedelta(idx, unit="s")
-    htmls = [f"<html><body>{t}</body></html>".encode() for t in texts]
+    htmls = [wrap_html(t, title=f"p{i}") for i, t in enumerate(texts)]
     return pd.DataFrame(
         {
             "url": urls,
@@ -149,7 +151,10 @@ def pages_spark_df_distributed(
                 [
                     pa.array(urls),
                     pa.array(ts).cast(pa.timestamp("us")),
-                    pa.array([f"<html><body>{t}</body></html>".encode() for t in texts]),
+                    pa.array(
+                        [wrap_html(t, title=f"p{int(i)}") for i, t in zip(ids, texts)],
+                        pa.binary(),
+                    ),
                     pa.array(texts),
                     pa.array(["en"] * len(ids)),
                 ],
