@@ -122,6 +122,56 @@ def main() -> None:
     out["queries"] = times
     out["value"] = round(sum(times.values()), 3)
 
+    # ---- BM25 latency battery (p50/p95 — the metric's second half) -------- #
+    # Repeated warm top-k searches over representative query shapes, timed
+    # end-to-end (plan + execute + materialize). The percentile is across
+    # shape x rep, so it reflects the latency a mixed query stream sees.
+    lat_reps = int(os.environ.get("SPARK_GRAFT_BENCH_LAT_REPS", "5"))
+    if lat_reps > 0:
+        from lucenenet_spark.query.ast import (
+            BooleanClause,
+            BooleanQuery,
+            Occur,
+            PhraseQuery,
+            TermQuery,
+        )
+
+        shapes = {
+            "term": TermQuery("data"),
+            "bool_and": BooleanQuery(
+                [
+                    BooleanClause(TermQuery("table"), Occur.MUST),
+                    BooleanClause(TermQuery("group"), Occur.MUST),
+                ]
+            ),
+            "bool_or": BooleanQuery(
+                [
+                    BooleanClause(TermQuery("spark"), Occur.SHOULD),
+                    BooleanClause(TermQuery("merge"), Occur.SHOULD),
+                    BooleanClause(TermQuery("vector"), Occur.SHOULD),
+                ]
+            ),
+            "phrase": PhraseQuery(["part", "filter"]),
+        }
+        s = entrymod._searcher(spark, sf_dir)
+        lats: list[float] = []
+        per_shape: dict[str, list[float]] = {k: [] for k in shapes}
+        for _ in range(lat_reps):
+            for name, q in shapes.items():
+                t0 = time.time()
+                s.search(q, 10).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                lats.append(dt)
+                per_shape[name].append(dt)
+        lats.sort()
+        p = lambda q: round(lats[min(len(lats) - 1, int(q * len(lats)))], 3)  # noqa: E731
+        out["bm25_topk_p50_sec"] = p(0.50)
+        out["bm25_topk_p95_sec"] = p(0.95)
+        out["bm25_topk_reps"] = len(lats)
+        out["bm25_topk_median_by_shape"] = {
+            k: round(sorted(v)[len(v) // 2], 3) for k, v in per_shape.items()
+        }
+
     print(json.dumps(out))
     spark.stop()
 

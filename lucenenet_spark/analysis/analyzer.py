@@ -84,7 +84,13 @@ class Analyzed(NamedTuple):
 class StandardAnalyzer:
     #: chains whose tokenize/stop semantics are expressible as ONE re2
     #: split (split_re_re2 + optional CJK pad) ride the Arrow C++ kernel in
-    #: analyze_flat_arrow; others drop to the row-at-a-time fallback
+    #: analyze_flat_arrow; others drop to the row-at-a-time fallback.
+    #: This is the CAPABILITY gate, honored for subclasses too: a custom
+    #: chain that only overrides term_filter_unique (the stemmer/pack hook)
+    #: inherits the fast path; a subclass that changes tokenize()/analyze()
+    #: semantics beyond what split_re_re2 expresses MUST set this False or
+    #: indexing will use the split, not the override (the suite asserts the
+    #: shipped chains agree path-for-path: tests/test_analyzer.py).
     arrow_fast_path = True
     #: pad CJK classes before the split (UAX#29 single-char ideograph
     #: tokens) — letter-run analyzers (Simple/Stop) switch this off
@@ -245,14 +251,14 @@ class StopAnalyzer(StandardAnalyzer):
         return [t for t in self._LETTERS.findall(text.lower()) if len(t) <= ml]
 
 
-# chains whose tokenize/stop are expressible as one re2 split — these ride
-# the Arrow C++ kernel, with the term filter (stemmer) applied at the
-# dictionary-encode step. Any OTHER chain runs the generic per-row
-# analyze() path, where the full chain (including any stemming) is already
-# applied — encode_terms skips the term filter for those to avoid
-# double-application.
-_ARROW_FAST = (StandardAnalyzer, EnglishAnalyzer, SimpleAnalyzer, StopAnalyzer)
-
+# Fast-path membership is the analyzer's OWN arrow_fast_path capability
+# flag (True for Standard/English/Simple/Stop and any subclass that only
+# customizes term_filter_unique — e.g. a user language pack; False for
+# Keyword/Whitespace and any chain whose tokenize() a re2 split cannot
+# express). Fast-path chains ride the Arrow C++ kernel with the term
+# filter applied at the dictionary-encode step; generic chains run their
+# full analyze() per row, so encode_terms skips the term filter for those
+# to avoid double-application.
 _DEFAULT = StandardAnalyzer()
 
 
@@ -322,7 +328,7 @@ def analyze_flat(
     tokens = flat.to_numpy(dtype=object)[keep]
     doc_idx = doc_idx_all[keep]
     positions = pos_all[keep]
-    if type(analyzer) in _ARROW_FAST and len(tokens):
+    if analyzer.arrow_fast_path and len(tokens):
         tf_codes, tf_uniq = pd.factorize(tokens)
         tf = analyzer.term_filter_unique(np.asarray(tf_uniq, dtype=object))
         if tf is not None:
@@ -366,7 +372,7 @@ def analyze_flat_arrow(
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    if type(analyzer) not in _ARROW_FAST:
+    if not analyzer.arrow_fast_path:
         # custom chain (Keyword/Whitespace or user subclass): honor its
         # analyze() row-by-row — correctness over speed for unknown chains;
         # the known split-expressible chains stay on the C++ path
@@ -432,7 +438,7 @@ def encode_terms(
     np.unique's inverse both sorts and collapses stems that several surface
     forms map to, at vocabulary cost, never per-token cost. Generic-path
     chains are skipped: their analyze() already applied the full chain."""
-    if type(analyzer) in _ARROW_FAST:
+    if analyzer.arrow_fast_path:
         tf = analyzer.term_filter_unique(uniques)
         if tf is not None:
             uniques = np.asarray(tf, dtype=object)

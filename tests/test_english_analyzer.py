@@ -19,7 +19,7 @@ from lucenenet_spark.analysis import (
     StandardAnalyzer,
     StopAnalyzer,
 )
-from lucenenet_spark.analysis.analyzer import _ARROW_FAST, analyze_flat_arrow
+from lucenenet_spark.analysis.analyzer import analyze_flat_arrow
 from lucenenet_spark.analysis.porter import porter_stem, stem_unique
 from lucenenet_spark.data.pages import pages_spark_df
 from lucenenet_spark.index import IndexConfig, build_index
@@ -69,11 +69,50 @@ def test_stem_unique_skips_non_alpha():
 @pytest.mark.parametrize("cls", [EnglishAnalyzer, SimpleAnalyzer, StopAnalyzer])
 def test_arrow_fast_path_parity(cls):
     az = cls()
-    assert type(az) in _ARROW_FAST
+    assert az.arrow_fast_path
     texts = [
         "The ponies were motoring happily; conditional relational 123 xyz9!",
         "Hopping troubled caresses electrical goodness", "", None,
         "日本語のテスト katakana カタカナ mix",
+    ]
+    codes, uniq, di, po, _ = analyze_flat_arrow(pa.array(texts, pa.string()), az)
+    fast = sorted((uniq[c], int(d), int(p)) for c, d, p in zip(codes, di, po))
+    gt = sorted(
+        (tok, i, p)
+        for i, t in enumerate(texts)
+        for tok, p in zip(*az.analyze(t or ""))
+    )
+    assert fast == gt
+
+
+class _ToySuffixAnalyzer(StandardAnalyzer):
+    """User language pack: ONLY term_filter_unique overridden (the
+    documented hook) — must inherit arrow_fast_path and run the C++ split,
+    with the filter applied per unique term at encode time."""
+
+    def term_filter_unique(self, uniques):
+        return np.array(
+            [t[:-1] if t.endswith("s") and len(t) > 3 else t for t in uniques],
+            dtype=object,
+        )
+
+    def analyze(self, text):
+        from lucenenet_spark.analysis.analyzer import Analyzed
+
+        a = super().analyze(text)
+        return Analyzed(
+            [t[:-1] if t.endswith("s") and len(t) > 3 else t for t in a.tokens],
+            a.positions,
+        )
+
+
+def test_custom_subclass_inherits_fast_path():
+    az = _ToySuffixAnalyzer()
+    assert az.arrow_fast_path  # capability flag, not a shipped-class whitelist
+    texts = [
+        "tigers and documents run fast",
+        None,
+        "glass pass mass a was",  # 'was' is a stopword; 'pass'/'mass' stem
     ]
     codes, uniq, di, po, _ = analyze_flat_arrow(pa.array(texts, pa.string()), az)
     fast = sorted((uniq[c], int(d), int(p)) for c, d, p in zip(codes, di, po))
