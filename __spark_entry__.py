@@ -685,6 +685,30 @@ def q_ft_sort_by_ts(spark, sf_dir):
     )
 
 
+def q_ft_recency_boost(spark, sf_dir):
+    """CustomScoreQuery / FunctionQuery analogue
+    (Lucene.Net.Queries/CustomScoreQuery.cs:42 + Function/FunctionQuery.cs):
+    relevance x doc-values modifier — the classic webtext freshness rank.
+    final = bm25_int('data') * 3 if crawled after the cutoff else * 1; the
+    weight reads the REAL warc_ts doc-values column off the docmap, while
+    the oracle reproduces it from the doc_id arithmetic that defined
+    warc_ts (integer math both sides, exact)."""
+    import datetime as _dt
+
+    s = _searcher(spark, sf_dir)
+    cutoff = _dt.datetime.fromtimestamp(_TS_EPOCH0 + 65_000 * 60, _dt.timezone.utc)
+    expr = (
+        F.col("score")
+        * F.when(F.col("warc_ts") >= F.lit(cutoff), F.lit(3)).otherwise(F.lit(1))
+    ).cast("long")
+    top = s.custom_score(TermQuery("data"), expr, 10)
+    return top.select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_web_extract_text(spark, sf_dir):
     """HTML -> text extraction, the input_hint's per-row invariant
     (byte-identical extracted text per url; reference analogue
@@ -1527,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never gated before r3 + new this round ---
         "web_extract_text": q_web_extract_text,
+        "ft_recency_boost": q_ft_recency_boost,
         "mm_resize_stub": q_mm_resize_stub,
         "txt_langid_ngram": q_txt_langid_ngram,
         "txt_token_bpe": q_txt_token_bpe,
@@ -2362,6 +2387,16 @@ FROM d WHERE len(toks) > 0 ORDER BY doc_id
     o["web_extract_text"] = (
         "SELECT count(*)::BIGINT AS n_docs, count(*)::BIGINT AS n_exact, "
         "CAST(sum(strlen(text)) AS BIGINT) AS text_bytes FROM documents"
+    )
+
+    # warc_ts was defined as epoch0 + (doc_id % 100000) minutes, so the
+    # recency weight is pure doc_id arithmetic on the oracle side
+    o["ft_recency_boost"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + ", scored AS (SELECT s0.doc_id, CAST(s0.s * (CASE WHEN "
+        "(s0.doc_id % 100000) >= 65000 THEN 3 ELSE 1 END) AS BIGINT) AS score "
+        "FROM s0) "
+        + _TOPK_TAIL.format(k=10)
     )
 
     o["rel_facet_events"] = (

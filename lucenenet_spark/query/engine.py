@@ -1088,6 +1088,28 @@ class Searcher:
         enriched = matched.join(self.docmap, "docid")
         return enriched.orderBy(*sort_cols).limit(k)
 
+    def custom_score(self, q: Query, score_expr, k: int = 10) -> DataFrame:
+        """CustomScoreQuery / FunctionQuery analogue
+        (Lucene.Net.Queries/CustomScoreQuery.cs:42 wrapping a relevance
+        query with a ValueSource modifier; Function/FunctionQuery.cs +
+        Function/DocValues reading per-doc values): final score =
+        ``score_expr``, an arbitrary Spark Column over ``score`` (the
+        relevance score) and any docmap / doc-values columns (url, doclen,
+        configured docvalue_fields such as a crawl timestamp). Where the
+        reference compiles a ValueSource per segment, here the expression
+        IS Catalyst — whole-stage-codegen'd against the match set joined to
+        the docmap, then distributed top-k with the standard tie-break."""
+        matched = self.score_df(q).select("docid", "score")
+        enriched = matched.join(self.docmap, "docid")
+        scored = enriched.select("docid", score_expr.alias("score"))
+        top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        from pyspark.sql import Window
+
+        return top.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid"))),
+        )
+
     def more_like_this(
         self, text: str, k: int = 10, max_query_terms: int = 25, min_doc_freq: int = 2
     ) -> DataFrame:

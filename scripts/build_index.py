@@ -46,6 +46,11 @@ def main() -> int:
         "--docvalue-fields", default="",
         help="comma-separated input columns stored as doc-values in the docmap",
     )
+    ap.add_argument(
+        "--from-html", action="store_true",
+        help="derive the text column from the raw html payload (Arrow/re2 "
+        "extraction) instead of trusting a pre-extracted text column",
+    )
     ap.add_argument("--overwrite", action="store_true")
     ap.add_argument("--check", action="store_true", help="run CheckIndex after build")
     args = ap.parse_args()
@@ -73,6 +78,15 @@ def main() -> int:
         pages = pages_spark_df(spark, args.pages_n, seed=42)
     else:
         ap.error("one of --pages / --pages-n is required")
+
+    if args.from_html:
+        from lucenenet_spark.analysis.extract import extract_text
+
+        pages = extract_text(
+            pages.drop("text") if "text" in pages.columns else pages,
+            html_col="html",
+            out_col="text",
+        )
 
     t0 = time.time()
     summary = build_index(spark, pages, args.out, cfg, overwrite=args.overwrite, backend=args.backend)

@@ -212,3 +212,34 @@ def test_highlight_fragments_best_n(spark):
     assert "..." in snip
     # no-hit and null rows degrade cleanly
     assert out[2] == ("", 0) and out[3] == ("", 0)
+
+
+def test_custom_score_metamorphic(searcher):
+    """CustomScoreQuery analogue: score_expr = score (identity) must equal
+    plain search; a doclen-driven modifier must re-rank exactly as the
+    hand-computed expectation over the full match set."""
+    from pyspark.sql import functions as F
+
+    q = TermQuery("search")
+    ident = searcher.custom_score(q, F.col("score"), k=10)
+    plain = searcher.search(q, 10)
+    assert [
+        (r["docid"], float(r["score"])) for r in ident.collect()
+    ] == [(r["docid"], float(r["score"])) for r in plain.collect()]
+
+    # modifier: halve the score for docs longer than the median doclen
+    boosted = searcher.custom_score(
+        q,
+        F.col("score") * F.when(F.col("doclen") > 60, F.lit(0.5)).otherwise(F.lit(1.0)),
+        k=10,
+    )
+    full = searcher.score_df(q).join(searcher.docmap, "docid")
+    exp = sorted(
+        (
+            (float(r["score"]) * (0.5 if r["doclen"] > 60 else 1.0), -r["docid"])
+            for r in full.collect()
+        ),
+        reverse=True,
+    )[:10]
+    got = [(float(r["score"]), -r["docid"]) for r in boosted.collect()]
+    assert got == exp
