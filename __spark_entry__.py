@@ -709,6 +709,37 @@ def q_ft_recency_boost(spark, sf_dir):
     )
 
 
+def q_ft_boosting(spark, sf_dir):
+    """BoostingQuery (Lucene.Net.Queries/BoostingQuery.cs:41): demote-not-
+    exclude — 'data' matches that also match the context query 'table'
+    keep rank presence but at floor(score/2). Integer-exact both sides."""
+    s = _searcher(spark, sf_dir)
+    top = s.boosting_query(TermQuery("data"), TermQuery("table"), boost=0.5, k=10)
+    return top.select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ft_drilldown(spark, sf_dir):
+    """DrillDownQuery + sideways counts (Lucene.Net.Facet/DrillDownQuery.cs:67,
+    DrillSideways.cs:50): the base query 'merge' drilled down on the lang
+    dimension via the KEYWORD-FIELD posting constraint (lang:en postings
+    seek, not a post-filter), then counts of the other dimension (source)
+    over the drilled match set."""
+    s = _searcher(spark, sf_dir)
+    q = BooleanQuery.build(must=[TermQuery("merge"), TermQuery("en", field="lang")])
+    matches = s.score_df(q).select(F.col("docid").alias("doc_id"))
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        matches.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("source")
+    )
+
+
 def q_web_extract_text(spark, sf_dir):
     """HTML -> text extraction, the input_hint's per-row invariant
     (byte-identical extracted text per url; reference analogue
@@ -1552,6 +1583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never gated before r3 + new this round ---
         "web_extract_text": q_web_extract_text,
         "ft_recency_boost": q_ft_recency_boost,
+        "ft_boosting": q_ft_boosting,
+        "ft_drilldown": q_ft_drilldown,
         "mm_resize_stub": q_mm_resize_stub,
         "txt_langid_ngram": q_txt_langid_ngram,
         "txt_token_bpe": q_txt_token_bpe,
@@ -2391,6 +2424,24 @@ FROM d WHERE len(toks) > 0 ORDER BY doc_id
 
     # warc_ts was defined as epoch0 + (doc_id % 100000) minutes, so the
     # recency weight is pure doc_id arithmetic on the oracle side
+    o["ft_boosting"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + ", ctx AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'), "
+        "scored AS (SELECT s0.doc_id, CAST(CASE WHEN s0.doc_id IN "
+        "(SELECT doc_id FROM ctx) THEN floor(s0.s * 0.5) ELSE s0.s END AS BIGINT) "
+        "AS score FROM s0) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    o["ft_drilldown"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+sel AS (SELECT d.doc_id, d.source FROM documents d JOIN m USING (doc_id) WHERE d.lang = 'en')
+SELECT source, count(*)::BIGINT AS cnt FROM sel GROUP BY source ORDER BY source
+"""
+
     o["ft_recency_boost"] = (
         _SQL_PREFIX + _term_ctes(["data"])
         + ", scored AS (SELECT s0.doc_id, CAST(s0.s * (CASE WHEN "

@@ -1110,6 +1110,33 @@ class Searcher:
             F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid"))),
         )
 
+    def boosting_query(
+        self, match: Query, context: Query, boost: float = 0.5, k: int = 10
+    ) -> DataFrame:
+        """BoostingQuery (Lucene.Net.Queries/BoostingQuery.cs:41): score docs
+        by ``match``; docs that ALSO match ``context`` get their score
+        multiplied by ``boost`` (typically < 1 — demotion without
+        exclusion). The context side is non-scoring: a docid-projected left
+        join flags membership, so the context query costs only its own
+        postings scan. In exact_int mode the demoted score is
+        floor(score*boost) so oracle comparisons stay integer-exact."""
+        m = self.score_df(match)
+        ctx = self.score_df(context).select("docid", F.lit(True).alias("_ctx"))
+        j = m.join(ctx, "docid", "left")
+        adj = F.col("score") * F.lit(float(boost))
+        adj = F.floor(adj).cast("long") if self.scoring == "exact_int" else adj.cast("float")
+        scored = j.select(
+            "docid",
+            F.when(F.col("_ctx").isNotNull(), adj).otherwise(F.col("score")).alias("score"),
+        )
+        top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        from pyspark.sql import Window
+
+        return top.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid"))),
+        )
+
     def more_like_this(
         self, text: str, k: int = 10, max_query_terms: int = 25, min_doc_freq: int = 2
     ) -> DataFrame:

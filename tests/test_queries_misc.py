@@ -243,3 +243,34 @@ def test_custom_score_metamorphic(searcher):
     )[:10]
     got = [(float(r["score"]), -r["docid"]) for r in boosted.collect()]
     assert got == exp
+
+
+def test_boosting_query_demotes_without_excluding(searcher):
+    """BoostingQuery: context matches keep rank presence at boosted score;
+    a context that matches nothing leaves ranking identical."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    q = TermQuery("search")
+    noop = searcher.boosting_query(q, TermQuery("zz_no_such_term"), 0.5, k=10)
+    plain = searcher.search(q, 10)
+    assert [(r["docid"], float(r["score"])) for r in noop.collect()] == [
+        (r["docid"], float(r["score"])) for r in plain.collect()
+    ]
+
+    ctx = TermQuery("engine")
+    got = {
+        r["docid"]: float(r["score"])
+        for r in searcher.boosting_query(q, ctx, 0.5, k=1000).collect()
+    }
+    base = {r["docid"]: float(r["score"]) for r in searcher.score_df(q).collect()}
+    ctx_ids = {r["docid"] for r in searcher.score_df(ctx).collect()}
+    assert set(got) == set(base)  # nothing excluded
+    import numpy as np
+
+    for d, s in got.items():
+        want = (
+            float(np.float32(np.float32(base[d]) * np.float32(0.5)))
+            if d in ctx_ids
+            else base[d]
+        )
+        assert s == want, (d, s, want)
