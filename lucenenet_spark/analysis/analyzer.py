@@ -85,12 +85,12 @@ class StandardAnalyzer:
     #: chains whose tokenize/stop semantics are expressible as ONE re2
     #: split (split_re_re2 + optional CJK pad) ride the Arrow C++ kernel in
     #: analyze_flat_arrow; others drop to the row-at-a-time fallback.
-    #: This is the CAPABILITY gate, honored for subclasses too: a custom
+    #: This is the CAPABILITY flag, honored for subclasses too: a custom
     #: chain that only overrides term_filter_unique (the stemmer/pack hook)
-    #: inherits the fast path; a subclass that changes tokenize()/analyze()
-    #: semantics beyond what split_re_re2 expresses MUST set this False or
-    #: indexing will use the split, not the override (the suite asserts the
-    #: shipped chains agree path-for-path: tests/test_analyzer.py).
+    #: inherits the fast path. The effective gate is arrow_fast_path_for():
+    #: a subclass that overrides tokenize() is AUTO-detected and dropped to
+    #: the generic row path (its semantics aren't the re2 split); set this
+    #: False explicitly for chains that diverge in other ways.
     arrow_fast_path = True
     #: pad CJK classes before the split (UAX#29 single-char ideograph
     #: tokens) — letter-run analyzers (Simple/Stop) switch this off
@@ -209,13 +209,47 @@ class WhitespaceAnalyzer(StandardAnalyzer):
         return [t for t in text.split() if len(t) <= ml]
 
 
+_LETTERS_ONLY: re.Pattern | None = None
+
+
+def _letters_pattern() -> re.Pattern:
+    """Python regex matching maximal Unicode LETTER runs (category L only)
+    — the row-path twin of the re2 ``[^\\p{L}]+`` split and the reference's
+    ``Char.IsLetter`` (Analysis/Core/LetterTokenizer.cs). ``[^\\W\\d_]``
+    alone would also admit the Nl/No number letters (Ⅻ, ①, ㊷ — 1131
+    codepoints) that both the re2 fast path and the reference reject, so
+    those are excluded via ranges derived from unicodedata at first use
+    (lazy: the Arrow path never needs this pattern)."""
+    global _LETTERS_ONLY
+    if _LETTERS_ONLY is None:
+        import unicodedata
+
+        parts: list[tuple[int, int]] = []
+        start = prev = None
+        for cp in range(0x110000):
+            if unicodedata.category(chr(cp)) in ("Nl", "No"):
+                if prev == cp - 1:
+                    prev = cp
+                else:
+                    if start is not None:
+                        parts.append((start, prev))
+                    start = prev = cp
+        if start is not None:
+            parts.append((start, prev))
+        cls = "".join(
+            re.escape(chr(a)) + (f"-{re.escape(chr(b))}" if b > a else "")
+            for a, b in parts
+        )
+        _LETTERS_ONLY = re.compile(rf"[^\W\d_{cls}]+", re.UNICODE)
+    return _LETTERS_ONLY
+
+
 class SimpleAnalyzer(StandardAnalyzer):
     """SimpleAnalyzer (Analysis/Core/SimpleAnalyzer.cs): maximal letter runs,
     lowercased — digits split tokens (unlike StandardAnalyzer). Arrow fast
     path: ONE re2 split on non-letters (no CJK pad — letter runs join
     ideographs, matching the Python pattern)."""
 
-    _LETTERS = re.compile(r"[^\W\d_]+", re.UNICODE)
     cjk_pad = False
 
     def __init__(self, max_token_length: int = MAX_TOKEN_LENGTH):
@@ -226,14 +260,13 @@ class SimpleAnalyzer(StandardAnalyzer):
         if not text:
             return []
         ml = self.max_token_length
-        return [t for t in self._LETTERS.findall(text.lower()) if len(t) <= ml]
+        return [t for t in _letters_pattern().findall(text.lower()) if len(t) <= ml]
 
 
 class StopAnalyzer(StandardAnalyzer):
     """StopAnalyzer (Analysis/Core/StopAnalyzer.cs): SimpleAnalyzer letter
     runs + the English stop set. Same Arrow fast path as SimpleAnalyzer."""
 
-    _LETTERS = SimpleAnalyzer._LETTERS
     cjk_pad = False
 
     def __init__(
@@ -248,17 +281,36 @@ class StopAnalyzer(StandardAnalyzer):
         if not text:
             return []
         ml = self.max_token_length
-        return [t for t in self._LETTERS.findall(text.lower()) if len(t) <= ml]
+        return [t for t in _letters_pattern().findall(text.lower()) if len(t) <= ml]
 
 
-# Fast-path membership is the analyzer's OWN arrow_fast_path capability
-# flag (True for Standard/English/Simple/Stop and any subclass that only
-# customizes term_filter_unique — e.g. a user language pack; False for
-# Keyword/Whitespace and any chain whose tokenize() a re2 split cannot
-# express). Fast-path chains ride the Arrow C++ kernel with the term
-# filter applied at the dictionary-encode step; generic chains run their
-# full analyze() per row, so encode_terms skips the term filter for those
-# to avoid double-application.
+_SHIPPED_CHAINS = (
+    StandardAnalyzer,
+    EnglishAnalyzer,
+    KeywordAnalyzer,
+    WhitespaceAnalyzer,
+    SimpleAnalyzer,
+    StopAnalyzer,
+)
+
+
+def arrow_fast_path_for(analyzer: StandardAnalyzer) -> bool:
+    """Effective fast-path gate, used by every kernel entry point: the
+    analyzer's ``arrow_fast_path`` capability flag AND an unmodified
+    ``tokenize()`` (it must come from a shipped chain — an override has
+    semantics the re2 split cannot know about, so it drops to the generic
+    row path, matching the pre-flag behavior for such subclasses).
+    Overriding ``analyze()``/``term_filter_unique`` for a term filter
+    keeps the fast path — the EnglishAnalyzer language-pack pattern.
+    Fast-path chains ride the Arrow C++ kernel with the term filter
+    applied at the dictionary-encode step; generic chains run their full
+    ``analyze()`` per row, so encode_terms skips the term filter for those
+    to avoid double-application."""
+    if not analyzer.arrow_fast_path:
+        return False
+    return type(analyzer).tokenize in {c.tokenize for c in _SHIPPED_CHAINS}
+
+
 _DEFAULT = StandardAnalyzer()
 
 
@@ -328,7 +380,7 @@ def analyze_flat(
     tokens = flat.to_numpy(dtype=object)[keep]
     doc_idx = doc_idx_all[keep]
     positions = pos_all[keep]
-    if analyzer.arrow_fast_path and len(tokens):
+    if arrow_fast_path_for(analyzer) and len(tokens):
         tf_codes, tf_uniq = pd.factorize(tokens)
         tf = analyzer.term_filter_unique(np.asarray(tf_uniq, dtype=object))
         if tf is not None:
@@ -372,7 +424,7 @@ def analyze_flat_arrow(
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    if not analyzer.arrow_fast_path:
+    if not arrow_fast_path_for(analyzer):
         # custom chain (Keyword/Whitespace or user subclass): honor its
         # analyze() row-by-row — correctness over speed for unknown chains;
         # the known split-expressible chains stay on the C++ path
@@ -438,7 +490,7 @@ def encode_terms(
     np.unique's inverse both sorts and collapses stems that several surface
     forms map to, at vocabulary cost, never per-token cost. Generic-path
     chains are skipped: their analyze() already applied the full chain."""
-    if analyzer.arrow_fast_path:
+    if arrow_fast_path_for(analyzer):
         tf = analyzer.term_filter_unique(uniques)
         if tf is not None:
             uniques = np.asarray(tf, dtype=object)

@@ -95,7 +95,25 @@ def widen_ddl(base: str, dv_ddl: str) -> str:
 
 
 def ddl_names(dv_ddl: str) -> list[str]:
-    return [c.strip().split()[0] for c in dv_ddl.split(",") if c.strip()]
+    """Column names of a DDL fragment. Splits only on TOP-LEVEL commas —
+    parameterized types (``decimal(10,2)``, ``map<string,int>``,
+    ``struct<a:int,b:string>``) contain commas of their own."""
+    names: list[str] = []
+    depth = 0
+    start = 0
+    s = dv_ddl
+    for i, ch in enumerate(s):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            if s[start:i].strip():
+                names.append(s[start:i].strip().split()[0])
+            start = i + 1
+    if s[start:].strip():
+        names.append(s[start:].strip().split()[0])
+    return names
 
 TERMSTATS_SCHEMA = "term string, df long, ttf long, max_ub float, idf float"
 
@@ -489,6 +507,12 @@ class IndexBuilder:
                     "ascii_tokens": self.config.ascii_tokens,
                     "max_token_length": self.config.max_token_length,
                 },
+                # FULL build config: maintenance jobs run with config=None
+                # (append/compact/stream) reconstruct it from here instead
+                # of silently defaulting — a compaction that rebuilt stats
+                # with the default chain over stemmed postings would
+                # otherwise corrupt the recorded analyzer identity
+                "config": self.config.to_dict(),
             },
         )
 
@@ -944,6 +968,36 @@ def next_docid_base(index_dir: str) -> int:
     return max(maxdoc_sum, next_max)
 
 
+def stored_config(index_dir: str) -> IndexConfig | None:
+    """Reconstruct the IndexConfig an existing index was built with, from
+    the full dict recorded in the stats commit meta (older indexes recorded
+    only the analyzer identity — reconstruct that subset). None if the
+    index has no committed stats stage yet."""
+    import dataclasses
+
+    try:
+        meta = get_storage(index_dir).commit_meta("stats")
+    except (FileNotFoundError, OSError, KeyError):
+        return None
+    d = meta.get("config")
+    if d is not None:
+        fields = {f.name for f in dataclasses.fields(IndexConfig)}
+        d = {k: v for k, v in d.items() if k in fields}
+        for k in ("keyword_fields", "docvalue_fields"):
+            if k in d and d[k] is not None:
+                d[k] = tuple(d[k])
+        return IndexConfig(**d)
+    am = meta.get("analyzer")
+    if am:
+        return IndexConfig(
+            analyzer=am.get("name", "standard"),
+            stop_filter=am.get("stop_filter", True),
+            ascii_tokens=am.get("ascii_tokens", False),
+            max_token_length=am.get("max_token_length", 255),
+        )
+    return None
+
+
 def append_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -982,8 +1036,14 @@ def append_index(
             F.expr("bit_xor(xxhash64(url))").alias("h"),
         ).collect()[0]
         extra = f"input:{int(row['n'])}:{int(row['h'] or 0)}"
+    # config=None inherits the BASE's recorded config: every generation
+    # must share the base's chain/fields or the composite Searcher (which
+    # reconstructs ONE analyzer from the base stats) would mis-analyze
     builder = IndexBuilder(
-        spark, get_storage(delta_dir, like=base), config, docid_base=next_base,
+        spark,
+        get_storage(delta_dir, like=base),
+        config or stored_config(index_dir),
+        docid_base=next_base,
         fingerprint_extra=extra,
     )
     summary = builder.build(pages)
@@ -1019,7 +1079,10 @@ def compact_index(
     tomb = read_tombstones(spark, index_dir)
     if not deltas and tomb is None:
         return {"skipped": True, "reason": "no deltas and no tombstones"}
-    cfg = config or IndexConfig()
+    # config=None inherits the base's recorded config — compacting an
+    # english-chain index with the default would re-stamp the stats meta
+    # as 'standard' over stemmed postings (silent recall collapse)
+    cfg = config or stored_config(index_dir) or IndexConfig()
     tmp_root = index_dir + ".__compact__"
     st = get_storage(tmp_root, like=base)
     st.drop()

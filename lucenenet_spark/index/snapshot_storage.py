@@ -222,8 +222,18 @@ class SnapshotStorage(IndexStorage):
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(os.path.join(tmp_root, entry["dir"]), dst)
             new_stages[stage] = {"dir": rel, "meta": entry["meta"]}
-        # stale data dirs of dropped/replaced stages + plain dirs to GC
-        drop_dirs = [d for d in drop]
+        # stale data dirs of dropped/replaced stages + plain dirs to GC.
+        # Plain dirs (deltas/, tombstones/) are expanded to their CURRENT
+        # children: a drop entry must never name a path a future append or
+        # delete could recreate (a recreated deltas/000000 would otherwise
+        # be silently GC'd by a later reader's roll-forward).
+        drop_dirs = []
+        for d in drop:
+            p = os.path.join(self.root, d)
+            if os.path.isdir(p) and d not in snap["stages"]:
+                drop_dirs.extend(os.path.join(d, child) for child in os.listdir(p))
+            elif os.path.exists(p):
+                drop_dirs.append(d)
         for stage, entry in snap["stages"].items():
             if stage in drop or stage in new_stages:
                 drop_dirs.append(entry["dir"])
@@ -236,14 +246,38 @@ class SnapshotStorage(IndexStorage):
         tombstones, superseded data dirs). Idempotent roll-forward: called
         from delta_dirs() so a crash mid-cleanup is repaired by the next
         reader. The visibility flip itself needs NO recovery — it is a
-        single rename."""
+        single rename.
+
+        Once every drop is gone the manifest is re-committed with
+        ``drop_dirs`` CLEARED (the expire-snapshots commit of real
+        Iceberg): a stale drop entry must not outlive its GC, or a later
+        append/delete that recreates the same relative path (delta
+        numbering restarts after a compaction) would be destroyed by the
+        next reader's roll-forward."""
         snap = self.current_snapshot()
+        pending = snap.get("drop_dirs", [])
+        if not pending:
+            return False
         dropped = False
-        for rel in snap.get("drop_dirs", []):
+        parents = set()
+        for rel in pending:
             p = os.path.join(self.root, rel)
-            if os.path.exists(p):
+            parents.add(os.path.dirname(p))
+            if os.path.isdir(p):
                 shutil.rmtree(p)
                 dropped = True
+            elif os.path.exists(p):
+                os.remove(p)
+                dropped = True
+        # prune parents the child-level drops emptied (deltas/, tombstones/)
+        for parent in parents:
+            if (
+                os.path.normpath(parent) != os.path.normpath(self.root)
+                and os.path.isdir(parent)
+                and not os.listdir(parent)
+            ):
+                os.rmdir(parent)
+        self._commit_snapshot({"stages": snap["stages"], "drop_dirs": []})
         return dropped
 
     # ------------------------------------------------------------------ #

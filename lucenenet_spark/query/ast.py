@@ -235,7 +235,14 @@ def rewrite(q: Query) -> Query:
             and len(scoring) == 1
             and q.minimum_should_match <= 1
         ):
-            return scoring[0].query
+            inner = scoring[0].query
+            if q.boost != 1.0:
+                # the group boost folds into the unwrapped clause
+                # (BooleanQuery.cs:541-546: clone.Boost *= Boost)
+                import dataclasses
+
+                inner = dataclasses.replace(inner, boost=inner.boost * q.boost)
+            return inner
     if isinstance(q, ConstantScoreQuery):
         return ConstantScoreQuery(rewrite(q.query), q.boost)
     if isinstance(q, FilteredQuery):

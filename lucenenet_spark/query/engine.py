@@ -89,6 +89,20 @@ def _collect_terms(q: Query, out: set[str]) -> None:
             _collect_terms(d, out)
 
 
+def _topk_with_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k with the HitQueue tie-break (score desc, docid asc
+    — HitQueue.cs:77-87) plus a rank column: TakeOrderedAndProject for the
+    cut, then a k-row window for numbering. Shared by every collector-style
+    entry point so a tie-break change can never diverge between paths."""
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid"))),
+    )
+
+
 @dataclass
 class TermStat:
     df: int
@@ -925,7 +939,11 @@ class Searcher:
             return None
         if isinstance(q, TermQuery) and q.boost == 1.0 and q.field == "text":
             return [q.term]
-        if isinstance(q, BooleanQuery) and q.minimum_should_match <= 1:
+        if (
+            isinstance(q, BooleanQuery)
+            and q.minimum_should_match <= 1
+            and q.boost == 1.0  # group boost: WAND sums raw term scores
+        ):
             must, should, must_not = q.parts()
             if must or must_not:
                 return None
@@ -1026,24 +1044,8 @@ class Searcher:
             terms = self._wand_shape(rewrite(q))
             if terms is not None:
                 stats = self.term_stats(terms)
-                scored = self._search_wand(terms, stats, k)
-                top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
-                from pyspark.sql import Window
-
-                return top.withColumn(
-                    "rank",
-                    F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid"))),
-                )
-        scored = self.score_df(q)
-        top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
-        from pyspark.sql import Window
-
-        return top.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("score"), F.asc("docid"))
-            ),
-        )
+                return _topk_with_rank(self._search_wand(terms, stats, k), k)
+        return _topk_with_rank(self.score_df(q), k)
 
     def search_after(self, q: Query, after_score: float, after_docid: int, k: int = 10) -> DataFrame:
         """Pagination cursor (IndexSearcher.cs:236-254 SearchAfter)."""
@@ -1101,14 +1103,7 @@ class Searcher:
         the docmap, then distributed top-k with the standard tie-break."""
         matched = self.score_df(q).select("docid", "score")
         enriched = matched.join(self.docmap, "docid")
-        scored = enriched.select("docid", score_expr.alias("score"))
-        top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
-        from pyspark.sql import Window
-
-        return top.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid"))),
-        )
+        return _topk_with_rank(enriched.select("docid", score_expr.alias("score")), k)
 
     def boosting_query(
         self, match: Query, context: Query, boost: float = 0.5, k: int = 10
@@ -1129,13 +1124,7 @@ class Searcher:
             "docid",
             F.when(F.col("_ctx").isNotNull(), adj).otherwise(F.col("score")).alias("score"),
         )
-        top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
-        from pyspark.sql import Window
-
-        return top.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid"))),
-        )
+        return _topk_with_rank(scored, k)
 
     def more_like_this(
         self, text: str, k: int = 10, max_query_terms: int = 25, min_doc_freq: int = 2

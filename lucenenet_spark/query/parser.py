@@ -59,10 +59,17 @@ _TOKEN_RX = re.compile(
 _FIELD_WORD_RX = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 
 
+_ISO_TS_RX = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})([T ](\d{2}):(\d{2})(:(\d{2}))?)?$"
+)
+
+
 def _range_value(v: str):
-    """Range endpoint for a non-text field: int/float if numeric, else the
-    raw string (Spark casts string literals against timestamp/date columns,
-    so ISO timestamps work unquoted)."""
+    """Range endpoint for a non-text field: int/float if numeric; ISO
+    date/datetime values become tz-AWARE UTC datetimes (a naive string
+    bound would be cast against a timestamp column in the SESSION timezone
+    — the same query would select different windows on differently
+    configured sessions); anything else stays a raw string."""
     try:
         return int(v)
     except ValueError:
@@ -70,7 +77,17 @@ def _range_value(v: str):
     try:
         return float(v)
     except ValueError:
-        return v
+        pass
+    m = _ISO_TS_RX.match(v)
+    if m:
+        import datetime as _dt
+
+        return _dt.datetime(
+            int(m.group(1)), int(m.group(2)), int(m.group(3)),
+            int(m.group(5) or 0), int(m.group(6) or 0), int(m.group(8) or 0),
+            tzinfo=_dt.timezone.utc,
+        )
+    return v
 
 
 class _Parser:
@@ -142,8 +159,8 @@ class _Parser:
                 fld = m.group("field")
                 if fld and fld != "text":
                     # non-text field range -> doc-values NumericRangeQuery
-                    # (pushed-down docmap predicate; timestamps compare as
-                    # ISO strings)
+                    # (pushed-down docmap predicate; ISO date/datetime
+                    # bounds become tz-aware UTC instants)
                     push(NumericRangeQuery(
                         fld,
                         None if lo is None else _range_value(lo),

@@ -65,7 +65,11 @@ def start_stream_indexer(
     their count reaches this value. ``trigger``: kwargs for
     ``DataStreamWriter.trigger`` (default ``availableNow=True`` — drain
     what's there and stop, the batch-refresh pattern)."""
-    cfg = config or IndexConfig()
+    # config=None inherits the base index's recorded config (the base must
+    # already exist), so streaming appends always match its chain/fields
+    from ..index.builder import stored_config
+
+    cfg = config or stored_config(index_dir) or IndexConfig()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if len(batch_df.take(1)) == 0:

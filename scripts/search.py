@@ -42,7 +42,10 @@ def main() -> int:
     from lucenenet_spark.query.engine import Searcher
 
     s = Searcher(spark, args.index, scoring=args.scoring)
-    q = parse_query(args.query)
+    # query-side analysis MUST use the chain the index was built with
+    # (reconstructed from the stats commit meta) — e.g. an --analyzer
+    # english index needs the query terms Porter-stemmed too
+    q = parse_query(args.query, analyzer=s.analyzer)
     t0 = time.time()
     top = s.search(q, args.k, wand=args.wand)
     cols = [c for c in ("docid", "score", "rank") if c in top.columns]

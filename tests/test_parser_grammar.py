@@ -52,8 +52,15 @@ def test_field_keyword_plus_phrase():
 
 
 def test_field_range_compiles_to_numeric_range():
+    import datetime as dt
+
     q = parse_query("warc_ts:[2020-01-01 TO 2020-06-01]", analyzer=AZ)
-    assert q == NumericRangeQuery("warc_ts", "2020-01-01", "2020-06-01")
+    # ISO bounds become tz-aware UTC instants, never session-tz strings
+    assert q == NumericRangeQuery(
+        "warc_ts",
+        dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc),
+        dt.datetime(2020, 6, 1, tzinfo=dt.timezone.utc),
+    )
     qn = parse_query("doclen:[30 TO 80]", analyzer=AZ)
     assert qn == NumericRangeQuery("doclen", 30, 80)
 

@@ -192,3 +192,37 @@ def test_immutable_data_dirs_and_gc(spark, tmp_path):
     assert removed > 0
     assert not os.path.isdir(old_dir)
     assert verify(spark, out)["ok"]
+
+
+def test_append_and_delete_after_compaction_survive_gc(spark, tmp_path):
+    """Regression: the compaction snapshot records drop_dirs for the
+    absorbed deltas/ and applied tombstones/. Those entries must (a) name
+    only the CHILDREN that existed at publish and (b) be CLEARED once
+    GC'd — otherwise a post-compaction append or delete that recreates the
+    same relative path (generation numbering restarts) is silently
+    destroyed by the next reader's roll-forward."""
+    out, pages = _build(spark, tmp_path, n=120)
+    extra1 = pages_spark_df(spark, 40, seed=21, include_blake=False)
+    append_index(spark, extra1, out, CFG)
+    delete_docs(spark, out, [0])
+    compact_index(spark, out, CFG)
+    st = get_storage(out)
+    assert isinstance(st, SnapshotStorage)
+    # GC completed -> drop_dirs cleared from the current manifest
+    assert st.current_snapshot().get("drop_dirs", []) == []
+    from lucenenet_spark.query.ast import MatchAllDocsQuery
+
+    n_compacted = Searcher(spark, out).count(MatchAllDocsQuery())
+
+    # post-compaction delta generation + tombstone op recreate the same
+    # relative paths the compaction dropped
+    extra2 = pages_spark_df(spark, 30, seed=22, include_blake=False)
+    append_index(spark, extra2, out, CFG)
+    delete_docs(spark, out, [1])
+    # a reader's roll-forward must NOT destroy them
+    s = Searcher(spark, out)
+    assert len(get_storage(out).delta_dirs()) == 1
+    assert os.path.isdir(os.path.join(out, "tombstones"))
+    assert s.tombstones is not None and s.tombstones.count() == 1
+    # appended docs searchable, new tombstone honored
+    assert s.count(MatchAllDocsQuery()) == n_compacted + 30 - 1
