@@ -126,7 +126,10 @@ class _Parser:
             m = _TOKEN_RX.match(self.s, self.pos)
             if not m or m.end() == self.pos:
                 break
-            boost = float(m.group("boost")) if m.group("boost") else 1.0
+            try:  # "^." matches the boost class but is not a number
+                boost = float(m.group("boost")) if m.group("boost") else 1.0
+            except ValueError:
+                boost = 1.0
             if m.group("rparen"):
                 if depth == 0:
                     self.pos = m.end()  # stray ')': skip it

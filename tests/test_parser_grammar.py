@@ -122,3 +122,21 @@ def test_explain_matches_score_for_boosted_group(spark, tmp_path):
     for r in top:
         ex = s.explain(q, r["docid"])
         assert np.float32(ex["value"]) == np.float32(r["score"]), ex
+
+
+def test_parser_never_crashes_property():
+    """QueryParser robustness (the reference throws ParseException on
+    malformed input; ours degrades to best-effort terms — either way, no
+    unhandled crash): arbitrary input must parse to SOME Query."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text())
+    def check(s):
+        parse_query(s, analyzer=AZ)
+
+    check()
+    # the regression that prompted this: a boost marker with no number
+    q = parse_query("tiger^. OR cat^", analyzer=AZ)
+    assert {c.query.term for c in q.clauses} == {"tiger", "cat"}
