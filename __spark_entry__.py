@@ -47,6 +47,8 @@ from lucenenet_spark.query.ast import (
     NumericRangeQuery,
     PhraseQuery,
     PrefixQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -650,6 +652,31 @@ def q_ft_sort_by_field(spark, sf_dir):
     return top.select(
         F.col("docid").alias("doc_id"), F.col("doclen").cast("long").alias("doclen")
     )
+
+
+def q_ft_span_near(spark, sf_dir):
+    """Spans module, ordered proximity (SpanNearQuery.cs:38-66,
+    NearSpansOrdered.cs:42-89): 'data' then 'merge' in order within slop 2,
+    scored as a pseudo-term (freq = matching anchors, idf = sum of both
+    idfs). Physical plan: two positional posting seeks joined on docid +
+    one vectorized greedy-chain kernel."""
+    q = SpanNearQuery(("data", "merge"), slop=2, in_order=True)
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
+def q_ft_span_near_unord(spark, sf_dir):
+    """Spans module, unordered proximity (NearSpansUnordered.cs:36-60):
+    'query' and 'join' in either order within a joint window of slop 1
+    (|Δpos| <= 2)."""
+    q = SpanNearQuery(("query", "join"), slop=1, in_order=False)
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
+def q_ft_span_first(spark, sf_dir):
+    """SpanFirstQuery.cs:33-49: 'table' spans ending within the first 8
+    positions; tf truncated to the prefix window, idf from the term's full
+    document frequency."""
+    return _topk_df(_searcher(spark, sf_dir), SpanFirstQuery("table", end=8), 10)
 
 
 def q_ft_ts_range(spark, sf_dir):
@@ -1581,6 +1608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap.
     return {
         # --- never gated before r3 + new this round ---
+        "ft_span_near": q_ft_span_near,
+        "ft_span_near_unord": q_ft_span_near_unord,
+        "ft_span_first": q_ft_span_first,
         "web_extract_text": q_web_extract_text,
         "ft_recency_boost": q_ft_recency_boost,
         "ft_boosting": q_ft_boosting,
@@ -1723,6 +1753,75 @@ idfs AS (
   SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5))
         + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)/((SELECT count(*) FROM t1) + 0.5))) AS idf_sum,
         st.maxdoc, st.sum_ttf
+  FROM st
+),
+scored AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # spans: anchored-existence matches over the 1-based tokp position table
+    # (relative offsets equal the engine's 0-based ones). ordered n=2: a
+    # 'merge' strictly after the 'data' anchor within slop+1; unordered n=2:
+    # either side within the joint window slop+1. freq = DISTINCT anchors.
+    def _span_pf(t0: str, t1: str, cond: str) -> str:
+        return f"""
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+pf AS (
+  SELECT a.doc_id, count(DISTINCT a.pos)::DOUBLE AS pf
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND ({cond})
+  WHERE a.term = '{t0}' AND b.term = '{t1}'
+  GROUP BY a.doc_id
+),
+idfs AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)/((SELECT count(*) FROM t1) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+scored AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+)
+"""
+
+    o["ft_span_near"] = (
+        _SQL_PREFIX + _term_ctes(["data", "merge"]) + ","
+        + _span_pf("data", "merge", "b.pos > a.pos AND b.pos <= a.pos + 3")
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    o["ft_span_near_unord"] = (
+        _SQL_PREFIX + _term_ctes(["query", "join"]) + ","
+        + _span_pf("query", "join", "abs(b.pos - a.pos) <= 2")
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # span_first: tf truncated to the first 8 positions, idf from the FULL
+    # document frequency of the term (the weight is the ordinary TermWeight;
+    # only the spans enumeration is windowed — SpanFirstQuery.cs:33-49)
+    o["ft_span_first"] = (
+        _SQL_PREFIX + _term_ctes(["table"])
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+pf AS (
+  SELECT doc_id, count(*)::DOUBLE AS pf FROM tokp
+  WHERE term = 'table' AND pos <= 8 GROUP BY doc_id
+),
+idfs AS (
+  SELECT ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5)) AS idf_sum,
+         st.maxdoc, st.sum_ttf
   FROM st
 ),
 scored AS (

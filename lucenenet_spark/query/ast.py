@@ -217,6 +217,46 @@ class DisjunctionMaxQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Span proximity over unit-length term spans (Spans module analogue:
+    SpanNearQuery.cs:38-66, NearSpansOrdered.cs:42-89,
+    NearSpansUnordered.cs:36-60).
+
+    A token at 0-based position ``p`` is the unit span [p, p+1); for a
+    candidate match the reference's slop-in-match is
+    ``width - n`` where width is the covering window in positions and n
+    the clause count. ``in_order=True`` additionally requires the spans to
+    appear in clause order, non-overlapping (NearSpansOrdered's
+    DocSpansOrdered invariant).
+
+    v0 scope (documented): clauses are plain terms (SpanTermQuery children
+    only — the overwhelmingly common case); unordered supports exactly two
+    clauses (the joint-window constraint for n>2 needs the reference's
+    SpansCell queue and is out of scope). Scoring follows this engine's
+    sloppy-phrase convention: freq = number of matching anchor positions of
+    clause 0, idf = sum of constituent idfs (the reference's SpanScorer
+    sloppyFreq damping 1/(1+slopInMatch), SloppySimScorer, is intentionally
+    not reproduced — same documented divergence as SloppyPhraseScorer)."""
+
+    terms: tuple[str, ...]
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """SpanFirstQuery.cs:33-49: matches spans that end within the first
+    ``end`` positions. For a unit term span at 0-based position p that is
+    p + 1 <= end; freq = number of such positions, scored as an ordinary
+    BM25 term whose tf is truncated to the prefix window."""
+
+    term: str
+    end: int
+    boost: float = 1.0
+
+
 def rewrite(q: Query) -> Query:
     """Logical rewrites, mirroring the reference's fixed-point rewrite loop
     (IndexSearcher.cs:650-657). v0 rules:

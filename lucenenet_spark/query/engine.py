@@ -51,6 +51,8 @@ from .ast import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -76,6 +78,10 @@ def _collect_terms(q: Query, out: set[str]) -> None:
     elif isinstance(q, MultiPhraseQuery):
         for slot in q.slots:
             out.update(slot)
+    elif isinstance(q, SpanNearQuery):
+        out.update(q.terms)
+    elif isinstance(q, SpanFirstQuery):
+        out.add(q.term)
     elif isinstance(q, FilteredQuery):
         _collect_terms(q.query, out)
         _collect_terms(q.filter, out)
@@ -643,6 +649,196 @@ class Searcher:
             joined, len(slots), q.slop, idf_sum, idf_sum_exact, q.boost
         )
 
+    def _score_span_near(self, q: SpanNearQuery, stats: dict[str, TermStat]) -> DataFrame:
+        """Spans module proximity scorer (SpanNearQuery.cs:38-66).
+
+        Physical plan is the phrase shape — per-term positional postings
+        joined on docid, then one vectorized kernel — but the match rule is
+        the span algebra, not slot offsets:
+
+        - ordered (NearSpansOrdered.cs:42-89): clause spans in order,
+          non-overlapping, total window width - n <= slop. For unit term
+          spans the greedy chain p_i = min{pos in P_i : pos >= p_{i-1}+1}
+          minimizes p_{n-1} for a given anchor p_0, so anchored-existence
+          under the greedy chain is exact (choosing any later p_i can only
+          grow the window).
+        - unordered (NearSpansUnordered.cs:36-60): two clauses within a
+          joint window, order-free, overlap allowed: |p_1 - p_0| <= slop+1.
+          n>2 unordered needs the reference's SpansCell queue and is
+          declared out of scope.
+
+        freq/idf conventions match this engine's SloppyPhraseScorer (see
+        SpanNearQuery dataclass docstring for the documented sloppyFreq
+        divergence)."""
+        if any(t not in stats for t in q.terms):
+            return self._empty()
+        if not self.has_positions:
+            raise ValueError(
+                "span queries need an index built with index_positions=True"
+            )
+        if not q.in_order and len(q.terms) != 2:
+            raise ValueError("unordered SpanNearQuery supports exactly 2 clauses")
+        per_term = []
+        for i, t in enumerate(q.terms):
+            blocks = self.postings.filter(F.col("term") == t)
+            dec = self._decode_positions(blocks).select(
+                "docid",
+                F.col("positions").alias(f"pos_{i}"),
+                *([F.col("norm_byte"), F.col("doclen")] if i == 0 else []),
+            )
+            per_term.append(dec)
+        joined = reduce(lambda a, b: a.join(b, "docid", "inner"), per_term)
+        idf_sum = np.float32(sum(float(stats[t].idf) for t in q.terms))
+        idf_sum_exact = 0.0
+        for t in q.terms:
+            idf_sum_exact = idf_sum_exact + self._idf_exact(stats[t].df)
+        return self._span_kernel(
+            joined, len(q.terms), q.slop, q.in_order, idf_sum, idf_sum_exact, q.boost
+        )
+
+    def _span_kernel(
+        self,
+        joined: DataFrame,
+        nterms: int,
+        slop: int,
+        in_order: bool,
+        idf_sum: np.float32,
+        idf_sum_exact: float,
+        qboost: float,
+    ) -> DataFrame:
+        """Vectorized span matcher on flat (row, position) int64 keys — the
+        same batch-flattening trick as ``_positions_kernel`` (rows are
+        batch-ordered and positions ascending, so the flat key array is
+        globally sorted; a chain that escapes its row overshoots the window
+        bound ``slop + nterms - 1 << M`` and can never false-positive)."""
+        cache = self.cache
+        w = idf_sum * (self.k1 + np.float32(1.0))
+        boost = np.float32(qboost)
+        exact = self.scoring == "exact_int"
+        w_exact = idf_sum_exact * (self.k1d + 1.0) * float(qboost)
+        k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
+        one_minus_b = 1.0 - bd
+        window = np.int64(slop + nterms - 1)
+
+        def span_score(batches):
+            M = np.int64(1) << 33
+
+            def flat_keys(col):
+                lens = col.map(len).to_numpy(np.int64)
+                vals = (
+                    np.concatenate([np.asarray(x, dtype=np.int64) for x in col])
+                    if lens.sum()
+                    else np.array([], dtype=np.int64)
+                )
+                rows = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+                return rows * M + vals, rows
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                base_keys, base_rows = flat_keys(pdf["pos_0"])
+                match = np.ones(len(base_keys), dtype=bool)
+                if in_order:
+                    cur = base_keys.copy()
+                    for i in range(1, nterms):
+                        keys_i, _ = flat_keys(pdf[f"pos_{i}"])
+                        idx = np.searchsorted(keys_i, cur + 1, "left")
+                        match &= idx < len(keys_i)
+                        if not len(keys_i):
+                            cur = cur + M  # no occurrences: poison the chain
+                            continue
+                        np.minimum(idx, len(keys_i) - 1, out=idx)
+                        cur = keys_i[idx]
+                    match &= (cur - base_keys) <= window
+                else:
+                    keys_1, _ = flat_keys(pdf["pos_1"])
+                    lo = np.searchsorted(keys_1, base_keys - window, "left")
+                    hi = np.searchsorted(keys_1, base_keys + window, "right")
+                    match &= hi > lo
+                freqs = np.bincount(base_rows[match], minlength=len(pdf)).astype(np.int64)
+                hit = freqs > 0
+                if not hit.any():
+                    continue
+                f = freqs[hit]
+                docids = pdf["docid"].to_numpy(np.int64)[hit]
+                if exact:
+                    fd = f.astype(np.float64)
+                    dl = pdf["doclen"].to_numpy(np.float64)[hit]
+                    denom = fd + k1d * (one_minus_b + (bd * dl) / avgdl_exact)
+                    score = np.floor((w_exact * fd) / denom * 1e6 + 0.5)
+                else:
+                    f32 = f.astype(np.float32)
+                    nb = pdf["norm_byte"].to_numpy(np.int64)[hit] & 0xFF
+                    score = (
+                        boost * ((w * f32) / (f32 + cache[nb])).astype(np.float32)
+                    ).astype(np.float32)
+                yield pd.DataFrame(
+                    {"docid": docids, "score": score.astype(np.float64)}
+                )
+
+        return joined.mapInPandas(span_score, schema=_EMPTY_SCHEMA)
+
+    def _score_span_first(self, q: SpanFirstQuery, stats: dict[str, TermStat]) -> DataFrame:
+        """SpanFirstQuery.cs:33-49: a unit term span at 0-based position p
+        has end() == p+1 and matches when p+1 <= end (token among the first
+        ``end`` positions); tf is the count of qualifying positions — one
+        vectorized ``vals < end`` mask + bincount."""
+        if q.term not in stats:
+            return self._empty()
+        if not self.has_positions:
+            raise ValueError(
+                "span queries need an index built with index_positions=True"
+            )
+        blocks = self.postings.filter(F.col("term") == q.term)
+        joined = self._decode_positions(blocks).select(
+            "docid", "positions", "norm_byte", "doclen"
+        )
+        st = stats[q.term]
+        cache = self.cache
+        w = np.float32(st.idf) * (self.k1 + np.float32(1.0))
+        boost = np.float32(qboost := q.boost)
+        exact = self.scoring == "exact_int"
+        w_exact = self._idf_exact(st.df) * (self.k1d + 1.0) * float(qboost)
+        k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
+        one_minus_b = 1.0 - bd
+        end = int(q.end)
+
+        def first_score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                col = pdf["positions"]
+                lens = col.map(len).to_numpy(np.int64)
+                vals = (
+                    np.concatenate([np.asarray(x, dtype=np.int64) for x in col])
+                    if lens.sum()
+                    else np.array([], dtype=np.int64)
+                )
+                rows = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+                mask = vals < end
+                freqs = np.bincount(rows[mask], minlength=len(pdf)).astype(np.int64)
+                hit = freqs > 0
+                if not hit.any():
+                    continue
+                f = freqs[hit]
+                docids = pdf["docid"].to_numpy(np.int64)[hit]
+                if exact:
+                    fd = f.astype(np.float64)
+                    dl = pdf["doclen"].to_numpy(np.float64)[hit]
+                    denom = fd + k1d * (one_minus_b + (bd * dl) / avgdl_exact)
+                    score = np.floor((w_exact * fd) / denom * 1e6 + 0.5)
+                else:
+                    f32 = f.astype(np.float32)
+                    nb = pdf["norm_byte"].to_numpy(np.int64)[hit] & 0xFF
+                    score = (
+                        boost * ((w * f32) / (f32 + cache[nb])).astype(np.float32)
+                    ).astype(np.float32)
+                yield pd.DataFrame(
+                    {"docid": docids, "score": score.astype(np.float64)}
+                )
+
+        return joined.mapInPandas(first_score, schema=_EMPTY_SCHEMA)
+
     def _filter_docids(self, q: Query, stats: dict[str, TermStat]) -> DataFrame:
         """A filter's match set as a docid-only DataFrame (no scores) —
         the Filter/DocIdSet side of FilteredQuery.cs:41. NumericRangeQuery
@@ -816,6 +1012,10 @@ class Searcher:
             )
         if isinstance(q, MultiPhraseQuery):
             return self._score_multiphrase(q, stats)
+        if isinstance(q, SpanNearQuery):
+            return self._score_span_near(q, stats)
+        if isinstance(q, SpanFirstQuery):
+            return self._score_span_first(q, stats)
         if isinstance(q, FilteredQuery):
             scored = self._score(q.query, stats)
             fdocs = self._filter_docids(q.filter, stats)

@@ -36,6 +36,8 @@ from ..query.ast import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -121,6 +123,10 @@ class OracleIndex:
             return {d: float(np.float32(q.boost)) for d in self._eval(q.query)}
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q)
+        if isinstance(q, SpanNearQuery):
+            return self._eval_span_near(q)
+        if isinstance(q, SpanFirstQuery):
+            return self._eval_span_first(q)
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)):
             return self._eval_multiterm(q)
         if isinstance(q, DisjunctionMaxQuery):
@@ -203,6 +209,69 @@ class OracleIndex:
                 freq = int(match.sum())
             else:
                 freq = self._sloppy_freq(d, per_term, q.slop)
+            if freq > 0:
+                s = self.bm25.score(
+                    np.array([freq]), np.array([self.norm_byte[d]]), idf, self._cache
+                )[0]
+                out[d] = float(np.float32(np.float32(q.boost) * s))
+        return out
+
+    def _eval_span_near(self, q: SpanNearQuery) -> dict[int, float]:
+        """SpanNearQuery over unit term spans (SpanNearQuery.cs:38-66) —
+        deliberately a different algorithm than the engine's flat-key
+        kernel (plain per-anchor python loops) so the two implementations
+        cross-check each other. Same freq/idf convention as _eval_phrase."""
+        per_term = [self.postings.get(t, {}) for t in q.terms]
+        if any(not p for p in per_term):
+            return {}
+        if not q.in_order and len(q.terms) != 2:
+            raise ValueError("unordered SpanNearQuery supports exactly 2 clauses")
+        idf = np.float32(
+            sum(
+                float(self.bm25.idf(len(p), self.stats.maxdoc)[0])
+                for p in per_term
+            )
+        )
+        common = set(per_term[0].keys())
+        for p in per_term[1:]:
+            common &= p.keys()
+        window = q.slop + len(q.terms) - 1
+        out: dict[int, float] = {}
+        for d in sorted(common):
+            positions = [sorted(p[d][1]) for p in per_term]
+            freq = 0
+            for p0 in positions[0]:
+                if q.in_order:
+                    cur, ok = p0, True
+                    for plist in positions[1:]:
+                        nxt = [p for p in plist if p > cur]
+                        if not nxt:
+                            ok = False
+                            break
+                        cur = nxt[0]  # greedy minimal keeps the window tight
+                    if ok and cur - p0 <= window:
+                        freq += 1
+                else:
+                    if any(abs(p1 - p0) <= window for p1 in positions[1]):
+                        freq += 1
+            if freq > 0:
+                s = self.bm25.score(
+                    np.array([freq]), np.array([self.norm_byte[d]]), idf, self._cache
+                )[0]
+                out[d] = float(np.float32(np.float32(q.boost) * s))
+        return out
+
+    def _eval_span_first(self, q: SpanFirstQuery) -> dict[int, float]:
+        """SpanFirstQuery.cs:33-49: unit span at 0-based position p has
+        end() == p+1; it matches when p+1 <= end, i.e. the token sits among
+        the first ``end`` positions. tf is truncated to that prefix."""
+        plist = self.postings.get(q.term, {})
+        if not plist:
+            return {}
+        idf = self.bm25.idf(len(plist), self.stats.maxdoc)[0]
+        out: dict[int, float] = {}
+        for d, (_f, poss) in plist.items():
+            freq = sum(1 for p in poss if p < q.end)
             if freq > 0:
                 s = self.bm25.score(
                     np.array([freq]), np.array([self.norm_byte[d]]), idf, self._cache

@@ -14,6 +14,8 @@ from lucenenet_spark.query.ast import (
     MatchAllDocsQuery,
     PhraseQuery,
     PrefixQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -71,6 +73,12 @@ QUERIES = [
     PhraseQuery(("forest", "night"), slop=2),
     MatchAllDocsQuery(),
     DisjunctionMaxQuery((TermQuery("human"), TermQuery("heart")), tie_breaker=0.5),
+    SpanNearQuery(("human", "heart"), slop=0, in_order=True),  # == exact phrase
+    SpanNearQuery(("forest", "night"), slop=3, in_order=True),
+    SpanNearQuery(("heart", "human"), slop=2, in_order=False),  # reversed, unordered
+    SpanNearQuery(("tiger", "burning", "bright"), slop=2, in_order=True),
+    SpanFirstQuery("tiger", end=5),
+    SpanFirstQuery("data", end=12, boost=1.5),
 ]
 
 

@@ -1,0 +1,122 @@
+"""Span algebra semantics (Spans module: SpanNearQuery.cs:38-66,
+NearSpansOrdered.cs:42-89, NearSpansUnordered.cs:36-60,
+SpanFirstQuery.cs:33-49) on handcrafted corpora — pure-oracle unit tests
+(no Spark) pinning the match rules, mirroring the reference's
+TestSpans.cs-style fixtures; the engine-vs-oracle differential runs in
+test_engine.py's QUERIES battery."""
+
+import pytest
+
+from lucenenet_spark.query.ast import PhraseQuery, SpanFirstQuery, SpanNearQuery
+from lucenenet_spark.scoring.oracle import OracleIndex
+
+DOCS = [
+    (0, "alpha beta gamma"),          # adjacent in order
+    (1, "alpha filler beta"),         # gap of 1, in order
+    (2, "beta alpha"),                # reversed, adjacent
+    (3, "alpha filler filler filler beta"),  # gap of 3
+    (4, "gamma delta"),               # no pair at all
+    (5, "alpha beta beta gamma"),     # repeated middle term
+    (6, "alpha alpha beta"),          # repeated anchor
+]
+
+
+@pytest.fixture(scope="module")
+def idx():
+    return OracleIndex(DOCS)
+
+
+def _docs(idx, q):
+    return sorted(idx._eval(q).keys())
+
+
+def _freq(idx, q, d):
+    # recover tf from the score by comparing against freq=1..n is fragile;
+    # instead count via the eval helpers' own postings
+    per = [sorted(idx.postings[t][d][1]) for t in q.terms]
+    window = q.slop + len(q.terms) - 1
+    n = 0
+    for p0 in per[0]:
+        if q.in_order:
+            cur, ok = p0, True
+            for plist in per[1:]:
+                nxt = [p for p in plist if p > cur]
+                if not nxt:
+                    ok = False
+                    break
+                cur = nxt[0]
+            n += 1 if ok and cur - p0 <= window else 0
+        else:
+            n += 1 if any(abs(p1 - p0) <= window for p1 in per[1]) else 0
+    return n
+
+
+def test_ordered_slop0_is_adjacency(idx):
+    q = SpanNearQuery(("alpha", "beta"), slop=0, in_order=True)
+    assert _docs(idx, q) == [0, 5, 6]
+
+
+def test_ordered_slop_window(idx):
+    assert _docs(idx, SpanNearQuery(("alpha", "beta"), slop=1, in_order=True)) == [0, 1, 5, 6]
+    assert _docs(idx, SpanNearQuery(("alpha", "beta"), slop=3, in_order=True)) == [0, 1, 3, 5, 6]
+
+
+def test_ordered_respects_order(idx):
+    # doc 2 is "beta alpha": never matches the ordered query at any slop
+    q = SpanNearQuery(("alpha", "beta"), slop=10, in_order=True)
+    assert 2 not in _docs(idx, q)
+
+
+def test_unordered_matches_either_direction(idx):
+    q = SpanNearQuery(("alpha", "beta"), slop=0, in_order=False)
+    # slop 0 -> |p1-p0| <= 1: adjacent either way
+    assert _docs(idx, q) == [0, 2, 5, 6]
+
+
+def test_unordered_is_symmetric(idx):
+    a = _docs(idx, SpanNearQuery(("alpha", "beta"), slop=2, in_order=False))
+    b = _docs(idx, SpanNearQuery(("beta", "alpha"), slop=2, in_order=False))
+    assert a == b
+
+
+def test_three_term_greedy_chain(idx):
+    # doc 0 "alpha beta gamma": window 3, slop 0 matches
+    # doc 5 "alpha beta beta gamma": greedy picks beta@2, gamma@4 -> window 4,
+    # needs slop >= 1
+    q0 = SpanNearQuery(("alpha", "beta", "gamma"), slop=0, in_order=True)
+    q1 = SpanNearQuery(("alpha", "beta", "gamma"), slop=1, in_order=True)
+    assert _docs(idx, q0) == [0]
+    assert _docs(idx, q1) == [0, 5]
+
+
+def test_ordered_slop0_equals_exact_phrase(idx):
+    span = idx._eval(SpanNearQuery(("alpha", "beta"), slop=0, in_order=True))
+    phrase = idx._eval(PhraseQuery(("alpha", "beta")))
+    assert span == phrase  # identical docs AND identical float32 scores
+
+
+def test_anchor_freq_counts(idx):
+    q = SpanNearQuery(("alpha", "beta"), slop=1, in_order=True)
+    # doc 6 "alpha alpha beta": both anchors chain to beta@3 within window
+    assert _freq(idx, q, 6) == 2
+    # doc 5 "alpha beta beta gamma": single anchor
+    assert _freq(idx, q, 5) == 1
+
+
+def test_span_first(idx):
+    # doc 6 "alpha alpha beta": alpha at positions 1,2
+    assert _docs(idx, SpanFirstQuery("alpha", end=1)) == [0, 1, 3, 5, 6]
+    assert 2 not in _docs(idx, SpanFirstQuery("alpha", end=1))  # alpha at pos 2
+    assert _docs(idx, SpanFirstQuery("beta", end=1)) == [2]
+
+
+def test_span_first_truncated_tf(idx):
+    # tf truncation changes the score: end=1 sees one alpha in doc 6, end=2 two
+    s1 = idx._eval(SpanFirstQuery("alpha", end=1))[6]
+    s2 = idx._eval(SpanFirstQuery("alpha", end=2))[6]
+    assert s2 > s1
+
+
+def test_unordered_requires_two_clauses(idx):
+    with pytest.raises(ValueError):
+        idx._eval(SpanNearQuery(("alpha", "beta", "gamma"), in_order=False))
