@@ -49,6 +49,8 @@ from lucenenet_spark.query.ast import (
     PrefixQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -677,6 +679,23 @@ def q_ft_span_first(spark, sf_dir):
     positions; tf truncated to the prefix window, idf from the term's full
     document frequency."""
     return _topk_df(_searcher(spark, sf_dir), SpanFirstQuery("table", end=8), 10)
+
+
+def q_ft_span_or(spark, sf_dir):
+    """SpanOrQuery.cs:36-58: union of 'data'/'vector' spans scored as one
+    pseudo-term (freq = total occurrences of either, idf = sum of both) —
+    lowered by rewrite() to a single-slot MultiPhraseQuery, so the
+    physical plan is the slot-union positional join."""
+    q = SpanOrQuery(("data", "vector"))
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
+def q_ft_span_not(spark, sf_dir):
+    """SpanNotQuery.cs:38-61: 'data' occurrences with no 'merge' within
+    one position either side (pre=post=1); tf = surviving positions, idf
+    from 'data' alone."""
+    q = SpanNotQuery("data", "merge", pre=1, post=1)
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
 
 
 def q_ft_ts_range(spark, sf_dir):
@@ -1611,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_near": q_ft_span_near,
         "ft_span_near_unord": q_ft_span_near_unord,
         "ft_span_first": q_ft_span_first,
+        "ft_span_or": q_ft_span_or,
+        "ft_span_not": q_ft_span_not,
         "web_extract_text": q_web_extract_text,
         "ft_recency_boost": q_ft_recency_boost,
         "ft_boosting": q_ft_boosting,
@@ -1818,6 +1839,60 @@ tokp AS (
 pf AS (
   SELECT doc_id, count(*)::DOUBLE AS pf FROM tokp
   WHERE term = 'table' AND pos <= 8 GROUP BY doc_id
+),
+idfs AS (
+  SELECT ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5)) AS idf_sum,
+         st.maxdoc, st.sum_ttf
+  FROM st
+),
+scored AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # span_or: union of spans == one pseudo-term whose tf is the summed
+    # occurrences of the member terms, idf the sum of their idfs
+    o["ft_span_or"] = (
+        _SQL_PREFIX + _term_ctes(["data", "vector"])
+        + f""",
+pf AS (
+  SELECT doc_id, count(*)::DOUBLE AS pf FROM tok
+  WHERE term IN ('data', 'vector') GROUP BY doc_id
+),
+idfs AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)/((SELECT count(*) FROM t1) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+scored AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # span_not: 'data' positions with no 'merge' in [pos-1, pos+1]; idf from
+    # 'data' alone (the include term is the only relevance evidence)
+    o["ft_span_not"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+pf AS (
+  SELECT doc_id, count(*)::DOUBLE AS pf FROM tokp a
+  WHERE a.term = 'data' AND NOT EXISTS (
+    SELECT 1 FROM tokp b WHERE b.doc_id = a.doc_id AND b.term = 'merge'
+      AND b.pos BETWEEN a.pos - 1 AND a.pos + 1)
+  GROUP BY doc_id
 ),
 idfs AS (
   SELECT ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5)) AS idf_sum,

@@ -246,6 +246,38 @@ class SpanNearQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanOrQuery(Query):
+    """SpanOrQuery.cs:36-58 over term clauses: the union of the terms'
+    spans, scored as one pseudo-term (freq = total matching spans = total
+    occurrences of any member term; idf = sum over member terms, the same
+    all-member-stats weight the reference's SpanWeight builds). With
+    unit-length term spans this is exactly a single-slot MultiPhraseQuery
+    (the slot-union of positions), so :func:`rewrite` lowers it to one —
+    the engine and oracle never see the class itself."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """SpanNotQuery.cs:38-61 over term clauses: occurrences of ``include``
+    with no ``exclude`` occurrence in the surrounding window [p-pre,
+    p+post] (the reference's pre/post expansion of the include span before
+    overlap testing; pre=post=0 is pure same-position overlap, which
+    distinct terms never produce). freq = surviving include positions; the
+    weight uses the include term's idf only (documented divergence: the
+    reference folds every extracted term's stats into SpanWeight, but an
+    exclusion is not relevance evidence)."""
+
+    include: str
+    exclude: str
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanFirstQuery(Query):
     """SpanFirstQuery.cs:33-49: matches spans that end within the first
     ``end`` positions. For a unit term span at 0-based position p that is
@@ -264,8 +296,12 @@ def rewrite(q: Query) -> Query:
     - 1-clause BooleanQuery unwrap (BooleanQuery.cs:535-560): a BooleanQuery
       with a single MUST/SHOULD clause and no minShouldMatch constraint
       rewrites to its inner query.
+    - SpanOrQuery over unit term spans lowers to a single-slot
+      MultiPhraseQuery (identical span-union + all-member-idf semantics).
     - recursion into nested boolean clauses.
     """
+    if isinstance(q, SpanOrQuery):
+        return MultiPhraseQuery((tuple(q.terms),), 0, q.boost)
     if isinstance(q, BooleanQuery):
         clauses = tuple(BooleanClause(rewrite(c.query), c.occur) for c in q.clauses)
         q = BooleanQuery(clauses, q.minimum_should_match, q.boost)

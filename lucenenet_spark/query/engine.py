@@ -53,6 +53,8 @@ from .ast import (
     RegexpQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -80,8 +82,13 @@ def _collect_terms(q: Query, out: set[str]) -> None:
             out.update(slot)
     elif isinstance(q, SpanNearQuery):
         out.update(q.terms)
+    elif isinstance(q, SpanOrQuery):
+        out.update(q.terms)
     elif isinstance(q, SpanFirstQuery):
         out.add(q.term)
+    elif isinstance(q, SpanNotQuery):
+        out.add(q.include)
+        out.add(q.exclude)
     elif isinstance(q, FilteredQuery):
         _collect_terms(q.query, out)
         _collect_terms(q.filter, out)
@@ -839,6 +846,83 @@ class Searcher:
 
         return joined.mapInPandas(first_score, schema=_EMPTY_SCHEMA)
 
+    def _score_span_not(self, q: SpanNotQuery, stats: dict[str, TermStat]) -> DataFrame:
+        """SpanNotQuery.cs:38-61: include-term positions with no exclude
+        occurrence in [p-pre, p+post]. Plan: include positional postings
+        LEFT-joined to the exclude term's (docs without the exclude keep
+        every position), then one flat-key kernel — per include position a
+        single lo/hi searchsorted pair decides survival."""
+        if q.include not in stats:
+            return self._empty()
+        if not self.has_positions:
+            raise ValueError(
+                "span queries need an index built with index_positions=True"
+            )
+        inc = self._decode_positions(
+            self.postings.filter(F.col("term") == q.include)
+        ).select("docid", F.col("positions").alias("pos_inc"), "norm_byte", "doclen")
+        if q.exclude in stats:
+            exc = self._decode_positions(
+                self.postings.filter(F.col("term") == q.exclude)
+            ).select("docid", F.col("positions").alias("pos_exc"))
+            joined = inc.join(exc, "docid", "left_outer")
+        else:
+            joined = inc.withColumn("pos_exc", F.lit(None).cast("array<long>"))
+        st = stats[q.include]
+        cache = self.cache
+        w = np.float32(st.idf) * (self.k1 + np.float32(1.0))
+        boost = np.float32(q.boost)
+        exact = self.scoring == "exact_int"
+        w_exact = self._idf_exact(st.df) * (self.k1d + 1.0) * float(q.boost)
+        k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
+        one_minus_b = 1.0 - bd
+        pre, post = np.int64(q.pre), np.int64(q.post)
+
+        def not_score(batches):
+            M = np.int64(1) << 33
+
+            def flat_keys(col):
+                col = col.map(lambda v: v if v is not None else [])
+                lens = col.map(len).to_numpy(np.int64)
+                vals = (
+                    np.concatenate([np.asarray(x, dtype=np.int64) for x in col])
+                    if lens.sum()
+                    else np.array([], dtype=np.int64)
+                )
+                rows = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+                return rows * M + vals, rows
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                inc_keys, inc_rows = flat_keys(pdf["pos_inc"])
+                exc_keys, _ = flat_keys(pdf["pos_exc"])
+                lo = np.searchsorted(exc_keys, inc_keys - pre, "left")
+                hi = np.searchsorted(exc_keys, inc_keys + post, "right")
+                survive = hi == lo  # no exclude span overlaps the window
+                freqs = np.bincount(inc_rows[survive], minlength=len(pdf)).astype(np.int64)
+                hit = freqs > 0
+                if not hit.any():
+                    continue
+                f = freqs[hit]
+                docids = pdf["docid"].to_numpy(np.int64)[hit]
+                if exact:
+                    fd = f.astype(np.float64)
+                    dl = pdf["doclen"].to_numpy(np.float64)[hit]
+                    denom = fd + k1d * (one_minus_b + (bd * dl) / avgdl_exact)
+                    score = np.floor((w_exact * fd) / denom * 1e6 + 0.5)
+                else:
+                    f32 = f.astype(np.float32)
+                    nb = pdf["norm_byte"].to_numpy(np.int64)[hit] & 0xFF
+                    score = (
+                        boost * ((w * f32) / (f32 + cache[nb])).astype(np.float32)
+                    ).astype(np.float32)
+                yield pd.DataFrame(
+                    {"docid": docids, "score": score.astype(np.float64)}
+                )
+
+        return joined.mapInPandas(not_score, schema=_EMPTY_SCHEMA)
+
     def _filter_docids(self, q: Query, stats: dict[str, TermStat]) -> DataFrame:
         """A filter's match set as a docid-only DataFrame (no scores) —
         the Filter/DocIdSet side of FilteredQuery.cs:41. NumericRangeQuery
@@ -1014,8 +1098,12 @@ class Searcher:
             return self._score_multiphrase(q, stats)
         if isinstance(q, SpanNearQuery):
             return self._score_span_near(q, stats)
+        if isinstance(q, SpanOrQuery):
+            return self._score(rewrite(q), stats)
         if isinstance(q, SpanFirstQuery):
             return self._score_span_first(q, stats)
+        if isinstance(q, SpanNotQuery):
+            return self._score_span_not(q, stats)
         if isinstance(q, FilteredQuery):
             scored = self._score(q.query, stats)
             fdocs = self._filter_docids(q.filter, stats)

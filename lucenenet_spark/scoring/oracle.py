@@ -32,12 +32,15 @@ from ..query.ast import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -123,10 +126,16 @@ class OracleIndex:
             return {d: float(np.float32(q.boost)) for d in self._eval(q.query)}
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q)
+        if isinstance(q, MultiPhraseQuery):
+            return self._eval_multiphrase(q)
         if isinstance(q, SpanNearQuery):
             return self._eval_span_near(q)
+        if isinstance(q, SpanOrQuery):
+            return self._eval(rewrite(q))
         if isinstance(q, SpanFirstQuery):
             return self._eval_span_first(q)
+        if isinstance(q, SpanNotQuery):
+            return self._eval_span_not(q)
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)):
             return self._eval_multiterm(q)
         if isinstance(q, DisjunctionMaxQuery):
@@ -209,6 +218,72 @@ class OracleIndex:
                 freq = int(match.sum())
             else:
                 freq = self._sloppy_freq(d, per_term, q.slop)
+            if freq > 0:
+                s = self.bm25.score(
+                    np.array([freq]), np.array([self.norm_byte[d]]), idf, self._cache
+                )[0]
+                out[d] = float(np.float32(np.float32(q.boost) * s))
+        return out
+
+    def _eval_multiphrase(self, q: MultiPhraseQuery) -> dict[int, float]:
+        """MultiPhraseQuery.cs:72: per slot, union the alternative terms'
+        positions per doc (UnionDocsAndPositionsEnum), then run the
+        ordinary exact/sloppy phrase logic on the merged streams. idf sums
+        over every member term present in the index."""
+        per_slot = []
+        idf_total = 0.0
+        for slot in q.slots:
+            alts = [t for t in slot if t in self.postings]
+            if not alts:
+                return {}
+            merged: dict[int, list[int]] = defaultdict(list)
+            for t in alts:
+                idf_total += float(
+                    self.bm25.idf(len(self.postings[t]), self.stats.maxdoc)[0]
+                )
+                for d, (_f, pl) in self.postings[t].items():
+                    merged[d].extend(pl)
+            per_slot.append(
+                {d: (len(set(pl)), sorted(set(pl))) for d, pl in merged.items()}
+            )
+        idf = np.float32(idf_total)
+        common = set(per_slot[0].keys())
+        for p in per_slot[1:]:
+            common &= p.keys()
+        out: dict[int, float] = {}
+        for d in sorted(common):
+            base = np.asarray(per_slot[0][d][1])
+            if q.slop == 0:
+                match = np.ones(len(base), dtype=bool)
+                for i, p in enumerate(per_slot[1:], 1):
+                    match &= np.isin(base + i, np.asarray(p[d][1]))
+                freq = int(match.sum())
+            else:
+                freq = self._sloppy_freq(d, per_slot, q.slop)
+            if freq > 0:
+                s = self.bm25.score(
+                    np.array([freq]), np.array([self.norm_byte[d]]), idf, self._cache
+                )[0]
+                out[d] = float(np.float32(np.float32(q.boost) * s))
+        return out
+
+    def _eval_span_not(self, q: SpanNotQuery) -> dict[int, float]:
+        """SpanNotQuery.cs:38-61: include positions with no exclude in
+        [p-pre, p+post]; idf from the include term only (see the dataclass
+        docstring for the documented divergence)."""
+        plist = self.postings.get(q.include, {})
+        if not plist:
+            return {}
+        exc = self.postings.get(q.exclude, {})
+        idf = self.bm25.idf(len(plist), self.stats.maxdoc)[0]
+        out: dict[int, float] = {}
+        for d, (_f, poss) in plist.items():
+            expos = exc.get(d, (0, []))[1]
+            freq = sum(
+                1
+                for p in poss
+                if not any(p - q.pre <= e <= p + q.post for e in expos)
+            )
             if freq > 0:
                 s = self.bm25.score(
                     np.array([freq]), np.array([self.norm_byte[d]]), idf, self._cache

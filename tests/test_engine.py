@@ -12,10 +12,13 @@ from lucenenet_spark.query.ast import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -79,6 +82,10 @@ QUERIES = [
     SpanNearQuery(("tiger", "burning", "bright"), slop=2, in_order=True),
     SpanFirstQuery("tiger", end=5),
     SpanFirstQuery("data", end=12, boost=1.5),
+    SpanOrQuery(("tiger", "heart"), boost=1.25),
+    SpanNotQuery("heart", "human", pre=1, post=1),
+    SpanNotQuery("data", "nosuchterm"),
+    MultiPhraseQuery((("human", "fearful"), ("heart", "symmetry"))),
 ]
 
 

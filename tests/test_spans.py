@@ -7,7 +7,15 @@ test_engine.py's QUERIES battery."""
 
 import pytest
 
-from lucenenet_spark.query.ast import PhraseQuery, SpanFirstQuery, SpanNearQuery
+from lucenenet_spark.query.ast import (
+    MultiPhraseQuery,
+    PhraseQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    rewrite,
+)
 from lucenenet_spark.scoring.oracle import OracleIndex
 
 DOCS = [
@@ -120,3 +128,55 @@ def test_span_first_truncated_tf(idx):
 def test_unordered_requires_two_clauses(idx):
     with pytest.raises(ValueError):
         idx._eval(SpanNearQuery(("alpha", "beta", "gamma"), in_order=False))
+
+
+def test_span_or_rewrites_to_multiphrase(idx):
+    q = SpanOrQuery(("alpha", "gamma"), boost=2.0)
+    r = rewrite(q)
+    assert r == MultiPhraseQuery((("alpha", "gamma"),), 0, 2.0)
+    # union-of-spans match set: every doc containing either term
+    assert sorted(idx._eval(q).keys()) == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_span_or_freq_is_total_occurrences(idx):
+    # doc 6 "alpha alpha beta": freq(alpha|beta) = 3 -> strictly higher
+    # score than freq 2 docs of identical doclen would get; compare against
+    # a manual multiphrase with the same slot
+    direct = idx._eval(MultiPhraseQuery((("alpha", "beta"),), 0))
+    via_or = idx._eval(SpanOrQuery(("alpha", "beta")))
+    assert direct == via_or
+
+
+def test_span_not_excludes_window(idx):
+    # doc 0 "alpha beta gamma": alpha@0 with beta@1 -> excluded at post>=1
+    q = SpanNotQuery("alpha", "beta", pre=0, post=1)
+    got = sorted(idx._eval(q).keys())
+    # doc 1 "alpha filler beta": beta@2 is outside [0,1]? p=0,post=1 -> window
+    # [0,1], beta@2 survives. doc 6 "alpha alpha beta": alpha@0 window [0,1]
+    # no beta; alpha@1 window [1,2] hits beta@2 -> freq 1, survives.
+    assert 0 not in got and 5 not in got
+    assert {1, 3, 6} <= set(got)
+
+
+def test_span_not_pre_window(idx):
+    # doc 2 "beta alpha": alpha@1, pre=1 window [0,1] contains beta@0
+    q = SpanNotQuery("alpha", "beta", pre=1, post=0)
+    assert 2 not in idx._eval(q)
+    # with no window, same-position overlap never happens for distinct terms
+    q0 = SpanNotQuery("alpha", "beta", pre=0, post=0)
+    assert sorted(idx._eval(q0).keys()) == [0, 1, 2, 3, 5, 6]
+
+
+def test_span_not_missing_exclude_keeps_all(idx):
+    got = idx._eval(SpanNotQuery("alpha", "nosuchterm"))
+    want = {d: s for d, s in idx._eval(SpanNotQuery("alpha", "delta")).items()}
+    # 'delta' only occurs in doc 4 which has no alpha -> identical sets
+    assert got == want
+    assert sorted(got.keys()) == [0, 1, 2, 3, 5, 6]
+
+
+def test_multiphrase_slot_union(idx):
+    # "alpha|beta gamma": doc 0 matches via beta@1 gamma@2; doc 5 via
+    # beta@2 gamma@3
+    q = MultiPhraseQuery((("alpha", "beta"), ("gamma",)), 0)
+    assert sorted(idx._eval(q).keys()) == [0, 5]
