@@ -318,9 +318,12 @@ class Searcher:
         )
         return cols.mapInPandas(decode, schema=_EMPTY_SCHEMA)
 
-    def _decode_positions(self, blocks: DataFrame) -> DataFrame:
+    def _decode_positions(self, blocks: DataFrame, need_norms: bool = True) -> DataFrame:
         """Posting blocks -> (docid, freq, norm_byte, positions) for
-        positional queries."""
+        positional queries. ``need_norms=False`` prunes the norm_bytes /
+        doclens array columns out of the Parquet scan entirely — a
+        non-anchor slot of a phrase/span only contributes positions, and
+        the scoring columns ride the anchor slot's scan."""
         def decode(batches):
             for pdf in batches:
                 if len(pdf) == 0:
@@ -328,35 +331,40 @@ class Searcher:
                 out_doc, out_freq, out_norm, out_dl, out_pos = [], [], [], [], []
                 for fd, deltas, freqs, norms, dls, poss in zip(
                     pdf["first_docid"], pdf["docid_deltas"], pdf["freqs"],
-                    pdf["norm_bytes"], pdf["doclens"], pdf["positions"],
+                    pdf["norm_bytes"] if need_norms else pdf["freqs"],
+                    pdf["doclens"] if need_norms else pdf["freqs"],
+                    pdf["positions"],
                 ):
                     d = fd + np.cumsum(np.asarray(deltas, dtype=np.int64))
                     f = np.asarray(freqs, dtype=np.int64)
                     out_doc.append(d)
                     out_freq.append(f)
-                    out_norm.append(np.asarray(norms, dtype=np.int64))
-                    out_dl.append(np.asarray(dls, dtype=np.int64))
+                    if need_norms:
+                        out_norm.append(np.asarray(norms, dtype=np.int64))
+                        out_dl.append(np.asarray(dls, dtype=np.int64))
                     # positions are stored flat per block; freq == per-entry
                     # position count, so cumsum(freqs) are the split points
                     flat = np.asarray(poss, dtype=np.int64)
                     out_pos.extend(np.split(flat, np.cumsum(f)[:-1]))
-                yield pd.DataFrame(
-                    {
-                        "docid": np.concatenate(out_doc),
-                        "freq": np.concatenate(out_freq),
-                        "norm_byte": np.concatenate(out_norm),
-                        "doclen": np.concatenate(out_dl),
-                        "positions": out_pos,
-                    }
-                )
+                res = {
+                    "docid": np.concatenate(out_doc),
+                    "freq": np.concatenate(out_freq),
+                }
+                if need_norms:
+                    res["norm_byte"] = np.concatenate(out_norm)
+                    res["doclen"] = np.concatenate(out_dl)
+                res["positions"] = out_pos
+                yield pd.DataFrame(res)
 
-        cols = blocks.select(
-            "first_docid", "docid_deltas", "freqs", "norm_bytes", "doclens", "positions"
-        )
-        return cols.mapInPandas(
-            decode,
-            schema="docid long, freq long, norm_byte int, doclen int, positions array<int>",
-        )
+        if need_norms:
+            cols = blocks.select(
+                "first_docid", "docid_deltas", "freqs", "norm_bytes", "doclens", "positions"
+            )
+            schema = "docid long, freq long, norm_byte int, doclen int, positions array<int>"
+        else:
+            cols = blocks.select("first_docid", "docid_deltas", "freqs", "positions")
+            schema = "docid long, freq long, positions array<int>"
+        return cols.mapInPandas(decode, schema=schema)
 
     # ---------------- per-query-type scoring ----------------------------- #
     def _empty(self) -> DataFrame:
@@ -497,7 +505,7 @@ class Searcher:
         per_term = []
         for i, t in enumerate(q.terms):
             blocks = self.postings.filter(F.col("term") == t)
-            dec = self._decode_positions(blocks).select(
+            dec = self._decode_positions(blocks, need_norms=(i == 0)).select(
                 "docid",
                 F.col("positions").alias(f"pos_{i}"),
                 *([F.col("norm_byte"), F.col("doclen")] if i == 0 else []),
@@ -629,7 +637,7 @@ class Searcher:
         per_slot = []
         for i, alts in enumerate(slots):
             blocks = self.postings.filter(F.col("term").isin(alts))
-            dec = self._decode_positions(blocks)
+            dec = self._decode_positions(blocks, need_norms=(i == 0))
             if len(alts) > 1:
                 # union of alternatives' positions per doc, sorted + deduped
                 # (two alts at one position count a single match site)
@@ -688,7 +696,7 @@ class Searcher:
         per_term = []
         for i, t in enumerate(q.terms):
             blocks = self.postings.filter(F.col("term") == t)
-            dec = self._decode_positions(blocks).select(
+            dec = self._decode_positions(blocks, need_norms=(i == 0)).select(
                 "docid",
                 F.col("positions").alias(f"pos_{i}"),
                 *([F.col("norm_byte"), F.col("doclen")] if i == 0 else []),
@@ -863,7 +871,7 @@ class Searcher:
         ).select("docid", F.col("positions").alias("pos_inc"), "norm_byte", "doclen")
         if q.exclude in stats:
             exc = self._decode_positions(
-                self.postings.filter(F.col("term") == q.exclude)
+                self.postings.filter(F.col("term") == q.exclude), need_norms=False
             ).select("docid", F.col("positions").alias("pos_exc"))
             joined = inc.join(exc, "docid", "left_outer")
         else:
