@@ -674,6 +674,18 @@ def q_ft_span_near_unord(spark, sf_dir):
     return _topk_df(_searcher(spark, sf_dir), q, 10)
 
 
+def q_ft_span_syn(spark, sf_dir):
+    """SpanNear over a SpanOr child — the reference's synonym-proximity
+    idiom (SpanNearQuery.cs:38-66 with SpanOrQuery.cs:36-58 clauses):
+    ('data'|'vector') then 'merge' in order within slop 2. The union
+    clause's spans are the merged deduped positions of both members; idf
+    sums over all three member terms (the all-member-stats SpanWeight).
+    Physical plan: one isin(2-term) positional seek unioned per doc + one
+    single-term seek, joined on docid into the greedy-chain kernel."""
+    q = SpanNearQuery((SpanOrQuery(("data", "vector")), "merge"), slop=2, in_order=True)
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
 def q_ft_span_first(spark, sf_dir):
     """SpanFirstQuery.cs:33-49: 'table' spans ending within the first 8
     positions; tf truncated to the prefix window, idf from the term's full
@@ -1627,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap.
     return {
         # --- never gated before r3 + new this round ---
+        "ft_span_syn": q_ft_span_syn,
         "ft_span_near": q_ft_span_near,
         "ft_span_near_unord": q_ft_span_near_unord,
         "ft_span_first": q_ft_span_first,
@@ -1817,6 +1830,41 @@ scored AS (
     o["ft_span_near"] = (
         _SQL_PREFIX + _term_ctes(["data", "merge"]) + ","
         + _span_pf("data", "merge", "b.pos > a.pos AND b.pos <= a.pos + 3")
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # span_syn: SpanNear over a SpanOr child — anchors are the deduped
+    # union of the member terms' positions (DISTINCT a.pos), the chain rule
+    # is the ordered n=2 window, and idf sums over ALL THREE member terms
+    # in clause order (data, vector, merge) to match the engine's float64
+    # summation order exactly
+    o["ft_span_syn"] = (
+        _SQL_PREFIX + _term_ctes(["data", "vector", "merge"])
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+pf AS (
+  SELECT a.doc_id, count(DISTINCT a.pos)::DOUBLE AS pf
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id
+    AND b.pos > a.pos AND b.pos <= a.pos + 3
+  WHERE a.term IN ('data', 'vector') AND b.term = 'merge'
+  GROUP BY a.doc_id
+),
+idfs AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)/((SELECT count(*) FROM t1) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t2) + 0.5)/((SELECT count(*) FROM t2) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+scored AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+)
+"""
         + _TOPK_TAIL.format(k=10)
     )
 

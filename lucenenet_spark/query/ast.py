@@ -230,19 +230,37 @@ class SpanNearQuery(Query):
     appear in clause order, non-overlapping (NearSpansOrdered's
     DocSpansOrdered invariant).
 
-    v0 scope (documented): clauses are plain terms (SpanTermQuery children
-    only — the overwhelmingly common case); unordered supports exactly two
-    clauses (the joint-window constraint for n>2 needs the reference's
-    SpansCell queue and is out of scope). Scoring follows this engine's
-    sloppy-phrase convention: freq = number of matching anchor positions of
-    clause 0, idf = sum of constituent idfs (the reference's SpanScorer
-    sloppyFreq damping 1/(1+slopInMatch), SloppySimScorer, is intentionally
-    not reproduced — same documented divergence as SloppyPhraseScorer)."""
+    Scope (documented): a clause is a plain term (SpanTermQuery child), a
+    tuple of alternative terms, or a :class:`SpanOrQuery` — the reference's
+    ``SpanNear(SpanOr(syn1, syn2), term)`` synonym idiom. A union clause's
+    spans are the union of its members' unit spans (SpanOrQuery.cs:36-58);
+    members missing from the index simply contribute no spans (a clause
+    whose EVERY member is missing can never match). Unordered supports
+    exactly two clauses (the joint-window constraint for n>2 needs the
+    reference's SpansCell queue and is out of scope). Scoring follows this
+    engine's sloppy-phrase convention: freq = number of matching anchor
+    positions of clause 0, idf = sum over every indexed member term of
+    every clause (the all-member-stats SpanWeight), and the reference's
+    SpanScorer sloppyFreq damping 1/(1+slopInMatch), SloppySimScorer, is
+    intentionally not reproduced — same documented divergence as
+    SloppyPhraseScorer."""
 
-    terms: tuple[str, ...]
+    terms: tuple["str | tuple[str, ...] | SpanOrQuery", ...]
     slop: int = 0
     in_order: bool = True
     boost: float = 1.0
+
+    def clause_alts(self) -> tuple[tuple[str, ...], ...]:
+        """Normalize clauses to per-slot alternative-term tuples."""
+        out = []
+        for c in self.terms:
+            if isinstance(c, str):
+                out.append((c,))
+            elif isinstance(c, SpanOrQuery):
+                out.append(tuple(c.terms))
+            else:
+                out.append(tuple(c))
+        return tuple(out)
 
 
 @dataclass(frozen=True)

@@ -81,7 +81,8 @@ def _collect_terms(q: Query, out: set[str]) -> None:
         for slot in q.slots:
             out.update(slot)
     elif isinstance(q, SpanNearQuery):
-        out.update(q.terms)
+        for alts in q.clause_alts():
+            out.update(alts)
     elif isinstance(q, SpanOrQuery):
         out.update(q.terms)
     elif isinstance(q, SpanFirstQuery):
@@ -681,34 +682,62 @@ class Searcher:
           joint window, order-free, overlap allowed: |p_1 - p_0| <= slop+1.
           n>2 unordered needs the reference's SpansCell queue and is
           declared out of scope.
+        - a SpanOr clause (synonym union, SpanOrQuery.cs:36-58) becomes a
+          merged deduped position stream per doc — the multiphrase
+          slot-union — before the same kernel runs; the greedy-chain
+          exactness argument is unchanged (the union stream is sorted).
 
         freq/idf conventions match this engine's SloppyPhraseScorer (see
         SpanNearQuery dataclass docstring for the documented sloppyFreq
         divergence)."""
-        if any(t not in stats for t in q.terms):
-            return self._empty()
         if not self.has_positions:
             raise ValueError(
                 "span queries need an index built with index_positions=True"
             )
-        if not q.in_order and len(q.terms) != 2:
+        slots: list[list[str]] = []
+        for alts_raw in q.clause_alts():
+            # a union clause's missing members just contribute no spans; a
+            # clause with NO indexed member can never match (SpanOrQuery.cs)
+            alts = [t for t in alts_raw if t in stats]
+            if not alts:
+                return self._empty()
+            slots.append(alts)
+        if not q.in_order and len(slots) != 2:
             raise ValueError("unordered SpanNearQuery supports exactly 2 clauses")
-        per_term = []
-        for i, t in enumerate(q.terms):
-            blocks = self.postings.filter(F.col("term") == t)
-            dec = self._decode_positions(blocks, need_norms=(i == 0)).select(
-                "docid",
-                F.col("positions").alias(f"pos_{i}"),
-                *([F.col("norm_byte"), F.col("doclen")] if i == 0 else []),
-            )
-            per_term.append(dec)
-        joined = reduce(lambda a, b: a.join(b, "docid", "inner"), per_term)
-        idf_sum = np.float32(sum(float(stats[t].idf) for t in q.terms))
+        per_slot = []
+        for i, alts in enumerate(slots):
+            blocks = self.postings.filter(F.col("term").isin(alts))
+            dec = self._decode_positions(blocks, need_norms=(i == 0))
+            if len(alts) > 1:
+                # span union: merged, deduped position stream per doc —
+                # the same slot-union as MultiPhraseQuery's
+                # UnionDocsAndPositionsEnum
+                aggs = [
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("positions")))
+                    ).alias(f"pos_{i}")
+                ]
+                if i == 0:
+                    aggs += [
+                        F.first("norm_byte").alias("norm_byte"),
+                        F.first("doclen").alias("doclen"),
+                    ]
+                dec = dec.groupBy("docid").agg(*aggs)
+            else:
+                dec = dec.select(
+                    "docid",
+                    F.col("positions").alias(f"pos_{i}"),
+                    *([F.col("norm_byte"), F.col("doclen")] if i == 0 else []),
+                )
+            per_slot.append(dec)
+        joined = reduce(lambda a, b: a.join(b, "docid", "inner"), per_slot)
+        all_terms = [t for alts in slots for t in alts]
+        idf_sum = np.float32(sum(float(stats[t].idf) for t in all_terms))
         idf_sum_exact = 0.0
-        for t in q.terms:
+        for t in all_terms:
             idf_sum_exact = idf_sum_exact + self._idf_exact(stats[t].df)
         return self._span_kernel(
-            joined, len(q.terms), q.slop, q.in_order, idf_sum, idf_sum_exact, q.boost
+            joined, len(slots), q.slop, q.in_order, idf_sum, idf_sum_exact, q.boost
         )
 
     def _span_kernel(

@@ -296,17 +296,27 @@ class OracleIndex:
         deliberately a different algorithm than the engine's flat-key
         kernel (plain per-anchor python loops) so the two implementations
         cross-check each other. Same freq/idf convention as _eval_phrase."""
-        per_term = [self.postings.get(t, {}) for t in q.terms]
-        if any(not p for p in per_term):
-            return {}
+        # each clause may be a synonym union (SpanOrQuery child): its span
+        # stream is the merged, deduped position union of every indexed
+        # member; idf sums over every indexed member of every clause
+        per_term = []
+        idf_terms: list[float] = []
+        for alts in q.clause_alts():
+            members = [self.postings[t] for t in alts if t in self.postings]
+            if not members:
+                return {}
+            merged: dict[int, tuple[int, list[int]]] = {}
+            for plist in members:
+                idf_terms.append(float(self.bm25.idf(len(plist), self.stats.maxdoc)[0]))
+                for d, (_f, poss) in plist.items():
+                    cur = merged.setdefault(d, (0, []))[1]
+                    cur.extend(poss)
+            per_term.append(
+                {d: (len(set(ps)), sorted(set(ps))) for d, (_n, ps) in merged.items()}
+            )
+        idf = np.float32(sum(idf_terms))
         if not q.in_order and len(q.terms) != 2:
             raise ValueError("unordered SpanNearQuery supports exactly 2 clauses")
-        idf = np.float32(
-            sum(
-                float(self.bm25.idf(len(p), self.stats.maxdoc)[0])
-                for p in per_term
-            )
-        )
         common = set(per_term[0].keys())
         for p in per_term[1:]:
             common &= p.keys()

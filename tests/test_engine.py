@@ -86,6 +86,10 @@ QUERIES = [
     SpanNotQuery("heart", "human", pre=1, post=1),
     SpanNotQuery("data", "nosuchterm"),
     MultiPhraseQuery((("human", "fearful"), ("heart", "symmetry"))),
+    # synonym-union span clauses (SpanNear over SpanOr children)
+    SpanNearQuery((("tiger", "forest"), "night"), slop=3, in_order=True),
+    SpanNearQuery((SpanOrQuery(("human", "fearful")), ("heart", "symmetry")), slop=1),
+    SpanNearQuery((("heart", "data"), "human"), slop=2, in_order=False),
 ]
 
 

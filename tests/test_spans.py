@@ -175,6 +175,41 @@ def test_span_not_missing_exclude_keeps_all(idx):
     assert sorted(got.keys()) == [0, 1, 2, 3, 5, 6]
 
 
+def test_span_near_synonym_clause(idx):
+    # SpanNear(SpanOr(alpha, gamma), beta): doc 0 "alpha beta gamma" matches
+    # via alpha@0->beta@1; doc 2 "beta alpha" has no in-order chain from
+    # either member; doc 4 "gamma delta" has no beta at all
+    got = _docs(idx, SpanNearQuery((("alpha", "gamma"), "beta"), slop=0, in_order=True))
+    assert got == [0, 5, 6]
+    # wider slop picks up doc 1 ("alpha filler beta")
+    got1 = _docs(idx, SpanNearQuery((("alpha", "gamma"), "beta"), slop=1, in_order=True))
+    assert got1 == [0, 1, 5, 6]
+
+
+def test_span_near_spanor_child_equals_tuple(idx):
+    a = idx._eval(SpanNearQuery((SpanOrQuery(("alpha", "gamma")), "beta"), slop=1))
+    b = idx._eval(SpanNearQuery((("alpha", "gamma"), "beta"), slop=1))
+    assert a == b  # identical docs AND identical float32 scores
+
+
+def test_span_near_union_missing_member_drops(idx):
+    # a missing union member contributes no spans (and no idf), so the
+    # result equals the single-term clause
+    with_missing = idx._eval(SpanNearQuery((("alpha", "nosuchterm"), "beta"), slop=0))
+    plain = idx._eval(SpanNearQuery(("alpha", "beta"), slop=0))
+    assert with_missing == plain
+    # a clause whose EVERY member is missing can never match
+    assert idx._eval(SpanNearQuery((("nosuch1", "nosuch2"), "beta"), slop=0)) == {}
+
+
+def test_span_near_unordered_union(idx):
+    # unordered 2-clause with a union side: doc 2 "beta alpha" matches
+    # (alpha adjacent to beta) even though ordered would not
+    q = SpanNearQuery((("alpha", "gamma"), "beta"), slop=0, in_order=False)
+    got = _docs(idx, q)
+    assert 2 in got and 0 in got
+
+
 def test_multiphrase_slot_union(idx):
     # "alpha|beta gamma": doc 0 matches via beta@1 gamma@2; doc 5 via
     # beta@2 gamma@3
