@@ -1395,6 +1395,89 @@ def q_txt_fingerprint(spark, sf_dir):
     return d.select("doc_id", fp.alias("fp")).orderBy("doc_id")
 
 
+def q_txt_decontam(spark, sf_dir):
+    """Train/test n-gram decontamination — the overlap check a training
+    pipeline runs before shipping a dataset (the 13-gram check of the
+    GPT-3/PaLM data cards, here 3-token shingles at this corpus's ~40-token
+    doc length). Benchmark set = docs with doc_id % 31 == 0; a train doc is
+    contaminated iff it shares >= 1 shingle with any benchmark doc; output
+    = per-doc count of distinct shared shingles. Scale shape: the
+    benchmark shingle set is small by construction and BROADCAST, so the
+    train side is one scan + hash probe — never a corpus x corpus join;
+    at 100 TB the benchmark side (real eval suites: a few MB of n-grams)
+    still broadcasts."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    sh = d.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
+            )
+        ).alias("shingle"),
+    )
+    test_sh = sh.filter(F.col("doc_id") % 31 == 0).select("shingle").distinct()
+    train = sh.filter(F.col("doc_id") % 31 != 0)
+    hits = (
+        train.join(F.broadcast(test_sh), "shingle")
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+def q_txt_repetition(spark, sf_dir):
+    """Within-doc repetition ratio (the Gopher/MassiveText duplicate-n-gram
+    quality filter): fraction of 3-token shingles that are duplicates,
+    integer-micro. Pure JVM higher-order functions, no shuffle — the
+    filter a quality gate applies to every document at ingest."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    d = d.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> concat_ws(' ', slice(toks, i, 3)))"
+        ).alias("tg"),
+    )
+    return d.select(
+        "doc_id",
+        F.size("tg").cast("long").alias("n_3grams"),
+        F.size(F.array_distinct("tg")).cast("long").alias("n_distinct"),
+        F.floor(
+            (F.size("tg") - F.size(F.array_distinct("tg"))).cast("double")
+            * 1000000.0 / F.size("tg").cast("double") + 0.5
+        ).cast("long").alias("dup_frac_x1m"),
+    ).orderBy("doc_id")
+
+
+def q_pipe_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling by language (the dataset-mixing /
+    quota-sampling step of a multilingual pipeline): per-stratum keep-rates
+    (en 50%, de/fr 25%, everything else 10%), membership decided by a
+    content-free md5(doc_id) bucket so the sample is bit-reproducible
+    across runs, engines, and partitionings. No shuffle: hash + filter per
+    row, map-side only."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    bucket = (
+        F.expr("conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)")
+        .cast("long") % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(50))
+        .when(F.col("lang").isin("de", "fr"), F.lit(25))
+        .otherwise(F.lit(10))
+    )
+    return (
+        d.filter(bucket < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_mm_meta(spark, sf_dir):
     """Multimodal column plumbing: opaque binary payload + typed metadata
     (byte length, sha256) — the schema/partitioning layer under any
@@ -1640,6 +1723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never gated before r3 + new this round ---
         "ft_span_syn": q_ft_span_syn,
+        "txt_decontam": q_txt_decontam,
+        "txt_repetition": q_txt_repetition,
+        "pipe_stratified_sample": q_pipe_stratified_sample,
         "ft_span_near": q_ft_span_near,
         "ft_span_near_unord": q_ft_span_near_unord,
         "ft_span_first": q_ft_span_first,
@@ -2557,6 +2643,49 @@ SELECT doc_id,
          list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 1000003)),
          (acc, x) -> (acc * 31 + x) % 1000000007), 0) AS BIGINT) AS fp
 FROM d ORDER BY doc_id
+"""
+
+    # decontam: 3-token shingles; DuckDB range(a,b) is stop-exclusive and
+    # list slicing toks[i:i+2] is 1-based inclusive-both-ends == Spark's
+    # sequence(1, n-2) + slice(toks, i, 3)
+    o["txt_decontam"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM d WHERE len(toks) >= 3
+),
+test_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 31 = 0),
+hits AS (
+  SELECT DISTINCT s.doc_id, s.shingle
+  FROM sh s JOIN test_sh t USING (shingle)
+  WHERE s.doc_id % 31 <> 0
+)
+SELECT doc_id, count(*)::BIGINT AS n_shared FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+    o["txt_repetition"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) AS tg
+  FROM d WHERE len(toks) >= 3
+)
+SELECT doc_id,
+       len(tg)::BIGINT AS n_3grams,
+       len(list_distinct(tg))::BIGINT AS n_distinct,
+       CAST(floor((len(tg) - len(list_distinct(tg)))::DOUBLE
+            * 1000000.0 / len(tg)::DOUBLE + 0.5) AS BIGINT) AS dup_frac_x1m
+FROM g ORDER BY doc_id
+"""
+
+    o["pipe_stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      < CASE WHEN lang = 'en' THEN 50 WHEN lang IN ('de', 'fr') THEN 25 ELSE 10 END
+ORDER BY doc_id
 """
 
     o["mm_meta"] = (
