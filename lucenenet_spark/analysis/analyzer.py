@@ -174,6 +174,31 @@ class EnglishAnalyzer(StandardAnalyzer):
         )
 
 
+class ASCIIFoldingAnalyzer(StandardAnalyzer):
+    """StandardTokenizer -> LowerCase -> StopFilter -> ASCIIFolding
+    (Analysis/Miscellaneous/ASCIIFoldingFilter.cs): accented/decomposable
+    tokens fold to their ASCII base forms ("café" -> "cafe", "naïve" ->
+    "naive"), unmapped scripts pass through. Folding runs AFTER the stop
+    filter (same slot as the Porter stemmer), so an accented stopword
+    variant ("thé") is folded, not stop-filtered — a documented divergence
+    from reference chains that place the filter before StopFilter.
+
+    Indexing stays on the Arrow fast path: the fold applies per UNIQUE
+    term at dictionary-encode time (term_filter_unique), so Python cost is
+    per vocabulary entry per batch — the EnglishAnalyzer pattern."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .folding import fold_unique
+
+        return fold_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .folding import fold
+
+        a = super().analyze(text)
+        return Analyzed([fold(t) for t in a.tokens], a.positions)
+
+
 class KeywordAnalyzer(StandardAnalyzer):
     """KeywordAnalyzer (Analysis/Core/KeywordAnalyzer.cs): the entire input
     is ONE token, unanalyzed — the StringField chain."""
@@ -287,6 +312,7 @@ class StopAnalyzer(StandardAnalyzer):
 _SHIPPED_CHAINS = (
     StandardAnalyzer,
     EnglishAnalyzer,
+    ASCIIFoldingAnalyzer,
     KeywordAnalyzer,
     WhitespaceAnalyzer,
     SimpleAnalyzer,
@@ -328,6 +354,8 @@ def analyzer_for(
         return StandardAnalyzer(stop_words, max_token_length, ascii_only)
     if name == "english":
         return EnglishAnalyzer(stop_words, max_token_length, ascii_only)
+    if name == "ascii_folding":
+        return ASCIIFoldingAnalyzer(stop_words, max_token_length, ascii_only)
     if name == "simple":
         return SimpleAnalyzer(max_token_length)
     if name == "stop":

@@ -84,8 +84,10 @@ class IndexConfig:
     docvalue_fields: tuple[str, ...] = ()
     # analysis chain (SURVEY §2.1): "standard" (default),
     # "english" (StandardAnalyzer + Porter stemmer at the dictionary-encode
-    # step — Analysis/En/PorterStemFilter.cs), "simple", "stop",
-    # "whitespace", "keyword". Part of the fingerprint: an index is only
+    # step — Analysis/En/PorterStemFilter.cs), "ascii_folding" (accent
+    # folding at the same step — Miscellaneous/ASCIIFoldingFilter.cs),
+    # "simple", "stop", "whitespace", "keyword". Part of the fingerprint:
+    # an index is only
     # readable by queries analyzed with the SAME chain, so the name is also
     # recorded in the stats commit meta for the Searcher to reconstruct.
     analyzer: str = "standard"

@@ -31,8 +31,10 @@ def main() -> int:
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument(
         "--analyzer", default="standard",
-        choices=["standard", "english", "simple", "stop", "whitespace", "keyword"],
-        help="analysis chain (english = Porter-stemmed)",
+        choices=["standard", "english", "ascii_folding", "simple", "stop",
+                 "whitespace", "keyword"],
+        help="analysis chain (english = Porter-stemmed, "
+             "ascii_folding = accent-folded)",
     )
     ap.add_argument(
         "--backend", default="auto", choices=["auto", "dirs", "snapshot"],
