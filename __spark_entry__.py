@@ -352,6 +352,24 @@ def q_ft_group_top_source(spark, sf_dir):
     )
 
 
+def q_ft_join_scores(spark, sf_dir):
+    """Join module, score-carrying query-time join
+    (JoinUtil.CreateJoinQuery, Lucene.Net.Join/JoinUtil.cs:41-86 +
+    TermsIncludingScoreQuery.cs): BM25 'data' matches joined to their
+    source via the (docid, source) mapping, scores aggregated per source
+    with ScoreMode.Total plus the hit count. The match set broadcasts (the
+    reference materializes the same structure in memory); the shuffle is
+    over the 20 distinct sources only."""
+    s = _searcher(spark, sf_dir)
+    keys = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "source")
+    r = s.join_scores(TermQuery("data"), keys, "source", score_mode="total")
+    return r.select(
+        "source",
+        F.col("score").cast("long").alias("score_total"),
+        F.col("n_from").cast("long").alias("n_from"),
+    ).orderBy("source")
+
+
 def q_ft_term_dictionary(spark, sf_dir):
     """The term dictionary itself (BlockTreeTermsWriter analogue): per-term
     df + ttf from the merged postings — a whole-index integrity check."""
@@ -1723,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never gated before r3 + new this round ---
         "ft_span_syn": q_ft_span_syn,
+        "ft_join_scores": q_ft_join_scores,
         "txt_decontam": q_txt_decontam,
         "txt_repetition": q_txt_repetition,
         "pipe_stratified_sample": q_pipe_stratified_sample,
@@ -2644,6 +2663,20 @@ SELECT doc_id,
          (acc, x) -> (acc * 31 + x) % 1000000007), 0) AS BIGINT) AS fp
 FROM d ORDER BY doc_id
 """
+
+    # join_scores: per-source sum of the per-doc integer-micro BM25 scores
+    # of 'data' (the s0 CTE is the same scoring kernel every ft_ oracle
+    # uses) + hit counts
+    o["ft_join_scores"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + """
+SELECT d.source,
+       CAST(sum(s.s) AS BIGINT) AS score_total,
+       count(*)::BIGINT AS n_from
+FROM s0 s JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+    )
 
     # decontam: 3-token shingles; DuckDB range(a,b) is stop-exclusive and
     # list slicing toks[i:i+2] is 1-based inclusive-both-ends == Spark's

@@ -1386,6 +1386,43 @@ class Searcher:
         """TotalHitCountCollector.cs analogue."""
         return self.score_df(q).count()
 
+    def join_scores(
+        self,
+        from_query: Query,
+        keys: DataFrame,
+        key_col: str,
+        score_mode: str = "total",
+    ) -> DataFrame:
+        """Query-time score-carrying join — JoinUtil.CreateJoinQuery
+        analogue (Lucene.Net.Join/JoinUtil.cs:41-86 with
+        TermsIncludingScoreQuery.cs): score the "from" side, carry each
+        hit's score across the join field, and aggregate per join value
+        with the reference's ScoreMode (Total / Max / Min / Avg;
+        JoinUtil's None mode is the n_from count column, always emitted).
+
+        ``keys`` is a (docid, <key_col>) mapping — a doc-values column or
+        an external mapping table. The from match set is query-sized and
+        BROADCAST into the mapping join, which is the faithful analogue of
+        the reference's design (TermsIncludingScoreQuery materializes the
+        entire from-side terms+scores structure in memory); the only
+        shuffle is the aggregation over DISTINCT join values."""
+        aggs = {
+            "total": F.sum("score"),
+            "max": F.max("score"),
+            "min": F.min("score"),
+            "avg": F.avg("score"),
+        }
+        if score_mode not in aggs:
+            raise ValueError(f"unknown ScoreMode {score_mode!r}")
+        scored = self.score_df(from_query)
+        joined = keys.select(F.col("docid"), F.col(key_col)).join(
+            F.broadcast(scored), "docid", "inner"
+        )
+        return joined.groupBy(key_col).agg(
+            aggs[score_mode].alias("score"),
+            F.count(F.lit(1)).alias("n_from"),
+        )
+
     def rescore(self, topk: DataFrame, q: Query, weight: float = 1.0) -> DataFrame:
         """QueryRescorer (QueryRescorer.cs): re-rank an existing (tiny)
         top-k with a second query; combined score = first + weight*second.

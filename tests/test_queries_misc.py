@@ -274,3 +274,38 @@ def test_boosting_query_demotes_without_excluding(searcher):
             else base[d]
         )
         assert s == want, (d, s, want)
+
+
+def test_join_scores_score_modes(searcher, spark):
+    """JoinUtil.CreateJoinQuery analogue: per-join-value aggregation must
+    equal a pandas recomputation from the raw scored match set for every
+    ScoreMode, with n_from = per-value hit count."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    q = TermQuery("heart")
+    scored = searcher.score_df(q).toPandas()
+    assert len(scored) > 0
+    # deterministic synthetic mapping: docid -> group g{docid % 3}
+    keys = searcher.docmap.select(
+        "docid", F.concat(F.lit("g"), F.pmod("docid", F.lit(3))).alias("grp")
+    )
+    scored["grp"] = "g" + (scored["docid"] % 3).astype(str)
+    for mode, fn in [
+        ("total", "sum"), ("max", "max"), ("min", "min"), ("avg", "mean")
+    ]:
+        got = {
+            r["grp"]: (float(r["score"]), int(r["n_from"]))
+            for r in searcher.join_scores(q, keys, "grp", mode).collect()
+        }
+        want_s = scored.groupby("grp")["score"].agg(fn)
+        want_n = scored.groupby("grp")["score"].size()
+        assert set(got) == set(want_s.index)
+        for g in got:
+            assert np.isclose(got[g][0], float(want_s[g]), rtol=1e-6), (mode, g)
+            assert got[g][1] == int(want_n[g])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        searcher.join_scores(q, keys, "grp", "nope")
