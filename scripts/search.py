@@ -23,7 +23,11 @@ import time
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True, help="index directory")
-    ap.add_argument("--query", required=True, help="classic query syntax")
+    ap.add_argument(
+        "--query", action="append", required=True,
+        help="classic query syntax; repeat the flag to run a BATCH of "
+             "queries in one Spark job (Searcher.search_batch)",
+    )
     ap.add_argument("-k", type=int, default=10, help="top-k")
     ap.add_argument(
         "--scoring", default="lucene", choices=["lucene", "exact_int"],
@@ -45,7 +49,38 @@ def main() -> int:
     # query-side analysis MUST use the chain the index was built with
     # (reconstructed from the stats commit meta) — e.g. an --analyzer
     # english index needs the query terms Porter-stemmed too
-    q = parse_query(args.query, analyzer=s.analyzer)
+    if len(args.query) > 1:
+        qs = {text: parse_query(text, analyzer=s.analyzer) for text in args.query}
+        t0 = time.time()
+        rows = (
+            s.search_batch(qs, args.k)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        elapsed = time.time() - t0
+        for r in rows:
+            print(
+                json.dumps(
+                    {
+                        "query": r["query_id"],
+                        "docid": r["docid"],
+                        "score": float(r["score"]),
+                        "rank": r["rank"],
+                    }
+                )
+            )
+        print(
+            json.dumps(
+                {
+                    "queries": len(qs),
+                    "hits": len(rows),
+                    "elapsed_sec": round(elapsed, 3),
+                }
+            ),
+            file=sys.stderr,
+        )
+        return 0
+    q = parse_query(args.query[0], analyzer=s.analyzer)
     t0 = time.time()
     top = s.search(q, args.k, wand=args.wand)
     cols = [c for c in ("docid", "score", "rank") if c in top.columns]
@@ -57,7 +92,7 @@ def main() -> int:
         print(json.dumps({"explain": s.explain(q, rows[0]["docid"])}, default=str))
     print(
         json.dumps(
-            {"query": args.query, "hits": len(rows), "elapsed_sec": round(elapsed, 3)}
+            {"query": args.query[0], "hits": len(rows), "elapsed_sec": round(elapsed, 3)}
         ),
         file=sys.stderr,
     )

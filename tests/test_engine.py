@@ -165,3 +165,31 @@ def test_parsed_query_end_to_end(corpus):
         got = _topk_engine(searcher, q, k=10)
         want = oracle.search(q, k=10)
         assert got == want, qs
+
+
+def test_search_batch_matches_individual(corpus):
+    """search_batch must return per-query results identical to search()
+    — same scoring paths, same tie-break — with rank numbered within
+    each query_id."""
+    searcher, _ = corpus
+    batch = {
+        "q_heart": TermQuery("heart"),
+        "q_bool": BooleanQuery.build(must=[TermQuery("search"), TermQuery("index")]),
+        "q_phrase": PhraseQuery(("human", "heart")),
+        "q_dismax": DisjunctionMaxQuery(
+            (TermQuery("human"), TermQuery("heart")), tie_breaker=0.5
+        ),
+        "q_empty": TermQuery("zz_no_such_term"),
+    }
+    got = searcher.search_batch(batch, k=7).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["docid"], np.float32(r["score"]))
+        )
+    for qid, q in batch.items():
+        want = [
+            (r["rank"], r["docid"], np.float32(r["score"]))
+            for r in searcher.search(q, k=7).collect()
+        ]
+        assert sorted(by_q.get(qid, [])) == want, qid
