@@ -336,6 +336,30 @@ def q_ft_facet_lang(spark, sf_dir):
     )
 
 
+def q_ft_facet_ts_range(spark, sf_dir):
+    """Range facet counts over a numeric doc-values column
+    (Facet/Range/LongRangeFacetCounts.cs:36): BM25 'merge' matches
+    bucketed by crawl HOUR, the crawl-date histogram every webtext UI
+    renders. The hour buckets read the REAL warc_ts doc-values column off
+    the docmap (not the source table), while the oracle reproduces them
+    from the doc_id arithmetic that defined warc_ts; buckets are epoch
+    hours (timezone-free integer math both sides)."""
+    s = _searcher(spark, sf_dir)
+    matches = s.score_df(TermQuery("merge")).select("docid")
+    dv = s.docmap.select("docid", "warc_ts")
+    return (
+        matches.join(dv, "docid")
+        .select(
+            F.floor(F.unix_timestamp("warc_ts") / F.lit(3600))
+            .cast("long")
+            .alias("hour_epoch")
+        )
+        .groupBy("hour_epoch")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("hour_epoch")
+    )
+
+
 def q_ft_group_top_source(spark, sf_dir):
     """Grouping module: top-1 hit per group = Window.partitionBy(group)
     .orderBy(score desc) + row_number (GroupingSearch.cs:36)."""
@@ -1742,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never gated before r3 + new this round ---
         "ft_span_syn": q_ft_span_syn,
         "ft_join_scores": q_ft_join_scores,
+        "ft_facet_ts_range": q_ft_facet_ts_range,
         "txt_decontam": q_txt_decontam,
         "txt_repetition": q_txt_repetition,
         "pipe_stratified_sample": q_pipe_stratified_sample,
@@ -2675,6 +2700,19 @@ SELECT d.source,
        count(*)::BIGINT AS n_from
 FROM s0 s JOIN documents d USING (doc_id)
 GROUP BY d.source ORDER BY d.source
+"""
+    )
+
+    # ts-range facet: match set of 'merge' bucketed by epoch hour; warc_ts
+    # was defined as epoch0 + (doc_id % 100000) minutes, so the bucket is
+    # pure doc_id arithmetic on the oracle side (integer math both sides)
+    o["ft_facet_ts_range"] = (
+        _SQL_PREFIX
+        + f""",
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+SELECT CAST(floor(({_TS_EPOCH0} + (doc_id % 100000) * 60) / 3600) AS BIGINT) AS hour_epoch,
+       count(*)::BIGINT AS cnt
+FROM m GROUP BY hour_epoch ORDER BY hour_epoch
 """
     )
 
