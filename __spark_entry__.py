@@ -121,6 +121,31 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return s
 
 
+_SORTED_SEARCHERS: dict[str, Searcher] = {}
+
+
+def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """A SECOND index over the same corpus built with
+    ``IndexConfig.sort_field='warc_ts'`` (IndexWriterConfig index sort /
+    SortingMergePolicy analogue): docids assigned in global (warc_ts, url)
+    order, so a warc_ts range filter selects one contiguous docid interval
+    and posting blocks outside it are pruned by skip metadata before
+    scoring (see Searcher._docid_bounds_for_filter)."""
+    import dataclasses
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    if key in _SORTED_SEARCHERS:
+        return _SORTED_SEARCHERS[key]
+    idx = os.path.join(_INDEX_ROOT + "_sorted", key)
+    cfg = dataclasses.replace(
+        _ENTRY_CONFIG, external_docids=False, sort_field="warc_ts"
+    )
+    build_index(spark, _entry_pages(spark, sf_dir), idx, cfg)  # resumes
+    s = Searcher(spark, idx, scoring="exact_int")
+    _SORTED_SEARCHERS[key] = s
+    return s
+
+
 def _topk_df(s: Searcher, q, k: int = 10) -> DataFrame:
     top = s.search(q, k)
     return top.select(
@@ -770,6 +795,37 @@ def q_ft_ts_range(spark, sf_dir):
         NumericRangeQuery("warc_ts", lo, hi, include_upper=False),
     )
     return _topk_df(s, q, 10)
+
+
+def q_ft_sorted_range(spark, sf_dir):
+    """Same query shape as ft_ts_range but answered by the SORTED index
+    (IndexConfig.sort_field='warc_ts'): docid order == warc_ts order, so
+    the range filter's matches occupy ONE contiguous docid interval and
+    the engine prunes posting blocks by [first_docid, last_docid] skip
+    metadata before scoring — the SortingMergePolicy early-termination
+    payoff (Lucene.Net.Misc/Index/Sorter/SortingMergePolicy.cs:44).
+    Correctness contract: result-identical to the unsorted plan (the exact
+    semi-join still applies; covered in tests/test_index_sort.py). Docids
+    here are engine-assigned ranks, so the output maps back to doc_id via
+    the docmap's url ('doc://<doc_id>')."""
+    import datetime as _dt
+
+    s = _sorted_searcher(spark, sf_dir)
+    lo = _dt.datetime.fromtimestamp(_TS_EPOCH0 + 120 * 60, _dt.timezone.utc)
+    hi = _dt.datetime.fromtimestamp(_TS_EPOCH0 + 300 * 60, _dt.timezone.utc)
+    q = FilteredQuery(
+        TermQuery("data"),
+        NumericRangeQuery("warc_ts", lo, hi, include_upper=False),
+    )
+    top = s.search(q, 10)
+    dm = s.docmap.select(
+        "docid", F.expr("CAST(substring(url, 7) AS BIGINT)").alias("doc_id")
+    )
+    return top.join(dm, "docid").select(
+        "doc_id",
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_ft_sort_by_ts(spark, sf_dir):
@@ -1764,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap.
     return {
         # --- never gated before r3 + new this round ---
+        "ft_sorted_range": q_ft_sorted_range,
         "ft_span_syn": q_ft_span_syn,
         "ft_join_scores": q_ft_join_scores,
         "ft_facet_ts_range": q_ft_facet_ts_range,
@@ -2381,6 +2438,20 @@ FROM scored ORDER BY score DESC, doc_id ASC
         f"WHERE {_TS_EPOCH0} + (s0.doc_id % 100000) * 60 "
         f"BETWEEN {_TS_EPOCH0 + 120 * 60} AND {_TS_EPOCH0 + 300 * 60 - 1}) "
         + _TOPK_TAIL.format(k=10)
+    )
+
+    # sorted index: docid order == (warc_ts, url) order, so the engine's
+    # score-desc/docid-asc tie-break is score DESC, ts ASC, url-string ASC
+    o["ft_sorted_range"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + ", scored AS (SELECT s0.doc_id, s0.s AS score, "
+        f"{_TS_EPOCH0} + (s0.doc_id % 100000) * 60 AS ts FROM s0 "
+        f"WHERE {_TS_EPOCH0} + (s0.doc_id % 100000) * 60 "
+        f"BETWEEN {_TS_EPOCH0 + 120 * 60} AND {_TS_EPOCH0 + 300 * 60 - 1}) "
+        "SELECT doc_id, score, CAST(row_number() OVER "
+        "(ORDER BY score DESC, ts ASC, ('doc://' || doc_id) ASC) AS BIGINT) "
+        "AS rank FROM scored "
+        "ORDER BY score DESC, ts ASC, ('doc://' || doc_id) ASC LIMIT 10"
     )
 
     o["ft_sort_by_ts"] = (

@@ -182,6 +182,18 @@ class IndexBuilder:
     def build(self, pages: DataFrame, overwrite: bool = False) -> dict:
         """Run all stages; returns the summary dict. Stages whose commit
         marker matches the config fingerprint are skipped (resume)."""
+        if self.config.sort_field and not self.config.external_docids:
+            # index-time sort: pre-assign docids in global sort order and
+            # ride the external-docids path (which range-partitions on
+            # docid, preserving the contiguity contract the merge needs)
+            import dataclasses
+
+            pages = assign_sorted_docids(
+                pages, self.config.sort_field,
+                self.config.num_partitions, self.docid_base,
+            )
+            self.config = dataclasses.replace(self.config, external_docids=True)
+            self.docids_dense = True  # rank assignment is dense 0..n-1
         if overwrite:
             self.storage.drop()
         fp = self._fp()
@@ -922,6 +934,59 @@ def _invert_codes(
     return pa.RecordBatch.from_arrays(cols, schema=schema)
 
 
+def assign_sorted_docids(
+    pages: DataFrame,
+    sort_field: str,
+    num_partitions: int,
+    docid_base: int = 0,
+) -> DataFrame:
+    """Index-time sort (IndexWriterConfig index sort / SortingMergePolicy —
+    Lucene.Net.Misc/Index/Sorter/SortingMergePolicy.cs:44 — re-expressed as
+    docid assignment): docids in GLOBAL (sort_field, url) order, dense from
+    ``docid_base``.
+
+    Distributed two-phase rank with EXPLICIT bucket bounds — no reliance on
+    RangePartitioner's per-RDD sampling, so a crash-resumed stage computes
+    the same docids: approx-quantile cut points over the sort key (sampled
+    once, a sort-column-only scan) -> deterministic bucket expression
+    (#cuts <= key, so EQUAL keys never straddle buckets) -> per-bucket
+    counts cumsum'd into base offsets (driver-side, <= P rows) -> window
+    rank within each bucket. ONE shuffle of the corpus (the window's hash
+    exchange on bucket). Heavy sort-key skew (one value dominating) lands
+    in one bucket/window task — the same bound Lucene's sorted merge has on
+    a sorted run of equal keys."""
+    from pyspark.sql import Window
+
+    key = F.col(sort_field).cast("double")
+    keyed = pages.withColumn("__sort_key", key)
+    nb = max(2, int(num_partitions))
+    cuts = keyed.stat.approxQuantile(
+        "__sort_key", [i / nb for i in range(1, nb)], 0.001
+    )
+    bucket = F.lit(0)
+    for c in sorted(set(cuts)):
+        bucket = bucket + (F.col("__sort_key") >= F.lit(float(c))).cast("int")
+    keyed = keyed.withColumn("__bucket", bucket)
+    counts = (
+        keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt")).toPandas()
+    ).sort_values("__bucket")
+    offs: dict[int, int] = {}
+    acc = int(docid_base)
+    for b, c in zip(counts["__bucket"], counts["cnt"]):
+        offs[int(b)] = acc
+        acc += int(c)
+    off_map = F.create_map(
+        *[x for kv in offs.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    w = Window.partitionBy("__bucket").orderBy(F.col("__sort_key"), F.col("url"))
+    return (
+        keyed.withColumn(
+            "docid", off_map[F.col("__bucket")] + F.row_number().over(w) - 1
+        )
+        .drop("__sort_key", "__bucket")
+    )
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -1039,10 +1104,19 @@ def append_index(
     # config=None inherits the BASE's recorded config: every generation
     # must share the base's chain/fields or the composite Searcher (which
     # reconstructs ONE analyzer from the base stats) would mis-analyze
+    eff_cfg = config or stored_config(index_dir)
+    if eff_cfg and eff_cfg.sort_field:
+        # a delta's docids start past the base, which would break the
+        # sorted index's global docid<->sort-key monotonicity; sorted
+        # indexes are rebuilt (or compacted), never appended to
+        raise ValueError(
+            "append_index is not supported on a sort_field index — "
+            "rebuild or compact instead"
+        )
     builder = IndexBuilder(
         spark,
         get_storage(delta_dir, like=base),
-        config or stored_config(index_dir),
+        eff_cfg,
         docid_base=next_base,
         fingerprint_extra=extra,
     )

@@ -101,12 +101,29 @@ class IndexConfig:
     # docid so each partition owns a contiguous docid range — the same
     # contiguity contract the merge relies on.
     external_docids: bool = False
+    # index-time sort (IndexWriterConfig index sort / SortingMergePolicy
+    # analogue — Lucene.Net.Misc/Index/Sorter/SortingMergePolicy.cs): assign
+    # docids in GLOBAL (sort_field, url) order, so docid order == sort-key
+    # order. A range filter on the sort field then selects one CONTIGUOUS
+    # docid interval, and the Searcher prunes posting BLOCKS by their
+    # [first_docid, last_docid] skip metadata before scoring — pushed into
+    # the Parquet footer scan, the early-termination trick time-ordered
+    # webtext indexes live on. Implies the external-docids build path
+    # (docids are pre-assigned by rank); appending a delta would break the
+    # global monotonicity, so sorted indexes are rebuilt or compacted, not
+    # appended to (enforced in append_index).
+    sort_field: str | None = None
 
     def fingerprint(self) -> str:
         """Stable hash of the config — stamped into every stage's commit
-        marker so a resume never mixes artifacts from different configs."""
+        marker so a resume never mixes artifacts from different configs.
+        Fields ADDED after format_version 3 are dropped at their default so
+        indexes committed before the field existed keep their identity."""
+        d = asdict(self)
+        if d.get("sort_field") is None:
+            d.pop("sort_field", None)
         return hashlib.sha256(
-            json.dumps(asdict(self), sort_keys=True).encode()
+            json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]
 
     def to_dict(self) -> dict:

@@ -207,6 +207,14 @@ class Searcher:
         from ..analysis import ENGLISH_STOP_WORDS
         from ..analysis.analyzer import analyzer_for
 
+        # index-time sort (IndexConfig.sort_field): docid order == sort-key
+        # order, recorded in the stats meta config. Only honored when the
+        # composite is the sorted base alone — a delta generation appends
+        # docids past the base and breaks global monotonicity.
+        cfg_meta = stores[0].commit_meta("stats").get("config") or {}
+        self.sort_field = (
+            cfg_meta.get("sort_field") if not self.is_composite else None
+        )
         am = stores[0].commit_meta("stats").get("analyzer") or {}
         self.analyzer = analyzer_for(
             am.get("name", "standard"),
@@ -960,6 +968,27 @@ class Searcher:
 
         return joined.mapInPandas(not_score, schema=_EMPTY_SCHEMA)
 
+    def _docid_bounds_for_filter(self, f: Query) -> tuple | None:
+        """For a NumericRangeQuery on the index's sort field, the docid
+        interval [min, max] of the filter's match set — ONE tiny agg over
+        the docmap with the range pushed into its Parquet scan. None when
+        the index is unsorted / the filter doesn't target the sort field;
+        (None, None) when the range matches nothing."""
+        if (
+            self.sort_field is None
+            or not isinstance(f, NumericRangeQuery)
+            or f.column != self.sort_field
+        ):
+            return None
+        row = (
+            self._filter_docids(f, {})
+            .agg(F.min("docid").alias("lo"), F.max("docid").alias("hi"))
+            .collect()[0]
+        )
+        if row["lo"] is None:
+            return (None, None)
+        return (int(row["lo"]), int(row["hi"]))
+
     def _filter_docids(self, q: Query, stats: dict[str, TermStat]) -> DataFrame:
         """A filter's match set as a docid-only DataFrame (no scores) —
         the Filter/DocIdSet side of FilteredQuery.cs:41. NumericRangeQuery
@@ -1142,7 +1171,29 @@ class Searcher:
         if isinstance(q, SpanNotQuery):
             return self._score_span_not(q, stats)
         if isinstance(q, FilteredQuery):
-            scored = self._score(q.query, stats)
+            bounds = self._docid_bounds_for_filter(q.filter)
+            if bounds is not None:
+                lo, hi = bounds
+                if lo is None:  # empty filter range: nothing can match
+                    return self._empty()
+                # sorted index: the range's matches occupy ONE contiguous
+                # docid interval, so posting BLOCKS outside [lo, hi] are
+                # pruned by their skip metadata BEFORE scoring — the
+                # first/last_docid predicates push into the Parquet footer
+                # scan (the SortingMergePolicy early-termination payoff).
+                # The exact semi-join below still applies, so pruning is
+                # purely an optimization.
+                saved = self.postings
+                self.postings = saved.filter(
+                    (F.col("last_docid") >= int(lo))
+                    & (F.col("first_docid") <= int(hi))
+                )
+                try:
+                    scored = self._score(q.query, stats)
+                finally:
+                    self.postings = saved
+            else:
+                scored = self._score(q.query, stats)
             fdocs = self._filter_docids(q.filter, stats)
             res = scored.join(fdocs, "docid", "left_semi")
             if q.boost != 1.0:
