@@ -828,6 +828,36 @@ def q_ft_sorted_range(spark, sf_dir):
     )
 
 
+def q_ft_sorted_early_topk(spark, sf_dir):
+    """Early-terminating sorted collection
+    (EarlyTerminatingSortingCollector.cs:49 analogue) on the SORTED index:
+    oldest-first matches of 'merge' via Searcher.search_by_index_sort,
+    which probes a docid PREFIX of the index (posting blocks outside the
+    probe pruned by skip metadata) and widens 8x only until k matches —
+    at 10^12 docs a match-rich query reads thousands of docids, not the
+    corpus. Result-identical to the full-sort plan
+    (tests/test_index_sort.py); docids map back to doc_id via the docmap
+    url. Timestamps exported as epoch seconds (timestamp->long cast is
+    session-timezone independent)."""
+    top = _sorted_searcher(spark, sf_dir).search_by_index_sort(
+        TermQuery("merge"), 10
+    )
+    s = _sorted_searcher(spark, sf_dir)
+    dm = s.docmap.select(
+        "docid", F.expr("CAST(substring(url, 7) AS BIGINT)").alias("doc_id")
+    )
+    w = Window.orderBy(F.asc("warc_ts"), F.asc("docid"))
+    return (
+        top.join(dm, "docid")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id",
+            F.col("warc_ts").cast("long").alias("ts_epoch"),
+            "rank",
+        )
+    )
+
+
 def q_ft_sort_by_ts(spark, sf_dir):
     """Sort by crawl timestamp (Sort.cs:100-112 over a DocValues column):
     matches of 'merge' ordered by (warc_ts desc, docid asc) — the newest-
@@ -1821,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never gated before r3 + new this round ---
         "ft_sorted_range": q_ft_sorted_range,
+        "ft_sorted_early_topk": q_ft_sorted_early_topk,
         "ft_span_syn": q_ft_span_syn,
         "ft_join_scores": q_ft_join_scores,
         "ft_facet_ts_range": q_ft_facet_ts_range,
@@ -2452,6 +2483,16 @@ FROM scored ORDER BY score DESC, doc_id ASC
         "(ORDER BY score DESC, ts ASC, ('doc://' || doc_id) ASC) AS BIGINT) "
         "AS rank FROM scored "
         "ORDER BY score DESC, ts ASC, ('doc://' || doc_id) ASC LIMIT 10"
+    )
+
+    o["ft_sorted_early_topk"] = (
+        _SQL_PREFIX
+        + ", m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'), "
+        f"scored AS (SELECT doc_id, CAST({_TS_EPOCH0} + (doc_id % 100000) * 60 "
+        "AS BIGINT) AS ts_epoch FROM m) "
+        "SELECT doc_id, ts_epoch, CAST(row_number() OVER "
+        "(ORDER BY ts_epoch ASC, ('doc://' || doc_id) ASC) AS BIGINT) AS rank "
+        "FROM scored ORDER BY ts_epoch ASC, ('doc://' || doc_id) ASC LIMIT 10"
     )
 
     o["ft_sort_by_ts"] = (

@@ -1541,6 +1541,82 @@ class Searcher:
         enriched = matched.join(self.docmap, "docid")
         return enriched.orderBy(*sort_cols).limit(k)
 
+    def search_by_index_sort(
+        self, q: Query, k: int = 10, descending: bool = False
+    ) -> DataFrame:
+        """EarlyTerminatingSortingCollector analogue
+        (Lucene.Net.Misc/Index/Sorter/EarlyTerminatingSortingCollector.cs:49):
+        top-k ordered by the INDEX SORT FIELD, collecting only a docid
+        PREFIX (ascending) / SUFFIX (descending) of the sorted index
+        instead of the full match set — docid order == sort-key order, so
+        the first k matches in docid order ARE the global top-k.
+
+        Iterative-deepening probe: score the query with posting blocks
+        pruned to the probe's [lo, hi] docid interval (first/last_docid
+        skip metadata -> Parquet footer pruning, so a probe reads a tiny
+        slice of a 10^12-doc index), count matches, and widen 8x until >= k
+        or the whole index is covered. A match-rich query (the common
+        sorted-browse shape: "newest pages containing <term>") terminates
+        on the first probe having read ~fixed thousands of docids
+        regardless of corpus size. Worst case (selective query) is
+        O(log n) probes and degrades to the full scan's cost.
+
+        Exactness at the probe boundary: ascending needs no care — a
+        boundary tie group's in-probe members have the SMALLEST docids of
+        the group, and the docid-asc tie-break prefers exactly those.
+        Descending is the mirror EXCEPT the tie-break still prefers small
+        docids, which sit OUTSIDE the suffix probe — so only matches whose
+        sort key is STRICTLY past the boundary value count toward k, and
+        ties at the boundary force a widen. Result-identical to the full
+        search_sorted plan (tests/test_index_sort.py).
+
+        Returns (docid, score, <sort_field>) ordered by
+        (sort_field asc|desc, docid asc), limit k."""
+        if self.sort_field is None:
+            raise ValueError("search_by_index_sort requires a sort_field index")
+        field = self.sort_field
+        if not hasattr(self, "_docid_bound"):
+            self._docid_bound = int(
+                self.docmap.agg(F.max("docid")).collect()[0][0] or 0
+            ) + 1
+        n = self._docid_bound
+        order = [
+            F.desc(field) if descending else F.asc(field),
+            F.asc("docid"),
+        ]
+        p = max(4096, 64 * k)
+        while True:
+            lo, hi = (max(0, n - p), n - 1) if descending else (0, min(p, n) - 1)
+            pruned = self.postings.filter(
+                (F.col("last_docid") >= lo) & (F.col("first_docid") <= hi)
+            )
+            saved = self.postings
+            self.postings = pruned
+            try:
+                m = self.score_df(q).select("docid", "score")
+            finally:
+                self.postings = saved
+            m = m.filter((F.col("docid") >= lo) & (F.col("docid") <= hi))
+            dm = self.docmap.filter(
+                (F.col("docid") >= lo) & (F.col("docid") <= hi)
+            ).select("docid", field)
+            enriched = m.join(dm, "docid")
+            covers_all = lo == 0 and hi >= n - 1
+            if descending and not covers_all:
+                # boundary value: the sort key at the probe's lowest docid
+                # (whether or not it matches) — ties with it may extend
+                # below the probe and the docid-asc tie-break would pick
+                # those, so they don't count yet
+                # (after a delete-compaction docid lo itself may be gone —
+                # the first PRESENT docid's key is a safe stand-in: docs
+                # below the probe are <= it in sort order)
+                brow = dm.orderBy(F.asc("docid")).limit(1).collect()
+                if brow:
+                    enriched = enriched.filter(F.col(field) > brow[0][field])
+            if covers_all or enriched.count() >= k:
+                return enriched.orderBy(*order).limit(k)
+            p *= 8
+
     def custom_score(self, q: Query, score_expr, k: int = 10) -> DataFrame:
         """CustomScoreQuery / FunctionQuery analogue
         (Lucene.Net.Queries/CustomScoreQuery.cs:42 wrapping a relevance

@@ -162,6 +162,45 @@ def test_assign_sorted_docids_dense_rank(spark):
     assert keys == sorted(keys)
 
 
+@pytest.mark.parametrize("descending", [False, True])
+@pytest.mark.parametrize("term", ["data", "w00042", "nonexistent_term_xyz"])
+def test_early_terminating_sort_matches_full(spark, indexes, descending, term):
+    """search_by_index_sort (EarlyTerminatingSortingCollector analogue)
+    must equal the full-scan search_sorted for common, rare (multi-probe
+    widening), and no-match queries, both directions, on a tie-heavy key
+    (300 docs over 1440 minute slots)."""
+    sorted_dir, _ = indexes
+    s = Searcher(spark, sorted_dir)
+    k = 10
+    order = [
+        F.desc("warc_ts") if descending else F.asc("warc_ts"),
+        F.asc("docid"),
+    ]
+    got = s.search_by_index_sort(TermQuery(term), k, descending=descending)
+    want = s.search_sorted(TermQuery(term), order, k).select(
+        "docid", "score", "warc_ts"
+    )
+    g = [(r["docid"], round(r["score"], 4), r["warc_ts"]) for r in got.collect()]
+    w = [(r["docid"], round(r["score"], 4), r["warc_ts"]) for r in want.collect()]
+    assert g == w
+
+
+def test_early_terminating_sort_small_first_probe(spark, indexes):
+    """The first probe must already satisfy k=1 for a common term — the
+    early-termination payoff: the probe interval stays at its initial
+    size, far below the corpus size at scale."""
+    sorted_dir, _ = indexes
+    s = Searcher(spark, sorted_dir)
+    rows = s.search_by_index_sort(TermQuery("data"), 1).collect()
+    assert len(rows) == 1
+
+
+def test_early_terminating_requires_sorted_index(spark, indexes):
+    _, plain_dir = indexes
+    with pytest.raises(ValueError, match="sort_field"):
+        Searcher(spark, plain_dir).search_by_index_sort(TermQuery("data"), 5)
+
+
 def test_fingerprint_stable_without_sort_field(spark):
     """Indexes committed before sort_field existed must keep their
     fingerprint: the default (None) is dropped from the hash input."""
