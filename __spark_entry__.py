@@ -828,6 +828,30 @@ def q_ft_sorted_range(spark, sf_dir):
     )
 
 
+def q_ft_cached_filter(spark, sf_dir):
+    """CachingWrapperFilter (Search/CachingWrapperFilter.cs:42 analogue):
+    the crawl-window filter is wrapped so its docid set is computed once
+    per Searcher and persisted — running the SAME filter under a second
+    query reuses the cached set (asserted in tests/test_caching_filter.py).
+    Results are identical to the uncached FilteredQuery; this entry gates
+    that invariant on the driver's oracle."""
+    import datetime as _dt
+
+    from lucenenet_spark.query.ast import CachingWrapperFilter
+
+    s = _searcher(spark, sf_dir)
+    lo = _dt.datetime.fromtimestamp(_TS_EPOCH0 + 300 * 60, _dt.timezone.utc)
+    hi = _dt.datetime.fromtimestamp(_TS_EPOCH0 + 600 * 60, _dt.timezone.utc)
+    flt = CachingWrapperFilter(
+        NumericRangeQuery("warc_ts", lo, hi, include_upper=False)
+    )
+    # warm the cache under one query, then answer with a second — the
+    # returned plan reads the persisted docid set
+    s.score_df(FilteredQuery(TermQuery("merge"), flt)).count()
+    q = FilteredQuery(TermQuery("stream"), flt)
+    return _topk_df(s, q, 10)
+
+
 def q_ft_sorted_early_topk(spark, sf_dir):
     """Early-terminating sorted collection
     (EarlyTerminatingSortingCollector.cs:49 analogue) on the SORTED index:
@@ -1852,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never gated before r3 + new this round ---
         "ft_sorted_range": q_ft_sorted_range,
         "ft_sorted_early_topk": q_ft_sorted_early_topk,
+        "ft_cached_filter": q_ft_cached_filter,
         "ft_span_syn": q_ft_span_syn,
         "ft_join_scores": q_ft_join_scores,
         "ft_facet_ts_range": q_ft_facet_ts_range,
@@ -2483,6 +2508,14 @@ FROM scored ORDER BY score DESC, doc_id ASC
         "(ORDER BY score DESC, ts ASC, ('doc://' || doc_id) ASC) AS BIGINT) "
         "AS rank FROM scored "
         "ORDER BY score DESC, ts ASC, ('doc://' || doc_id) ASC LIMIT 10"
+    )
+
+    o["ft_cached_filter"] = (
+        _SQL_PREFIX + _term_ctes(["stream"])
+        + ", scored AS (SELECT s0.doc_id, s0.s AS score FROM s0 "
+        f"WHERE {_TS_EPOCH0} + (s0.doc_id % 100000) * 60 "
+        f"BETWEEN {_TS_EPOCH0 + 300 * 60} AND {_TS_EPOCH0 + 600 * 60 - 1}) "
+        + _TOPK_TAIL.format(k=10)
     )
 
     o["ft_sorted_early_topk"] = (

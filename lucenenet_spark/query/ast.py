@@ -200,6 +200,21 @@ class FilteredQuery(Query):
 
 
 @dataclass(frozen=True)
+class CachingWrapperFilter(Query):
+    """CachingWrapperFilter.cs:42 analogue: wraps a non-scoring filter so
+    its DocIdSet is computed ONCE per Searcher and reused across queries.
+    Where the reference caches a FixedBitSet per segment reader keyed by
+    the filter instance, here the filter's docid DataFrame is persisted
+    (memory-and-disk, i.e. it spills like any Spark cache) keyed by the
+    wrapped filter's canonical frozen-dataclass form, so two structurally
+    equal filters share one cache entry. Use inside FilteredQuery for the
+    classic repeated-filter shape (the same tenant/date-range filter ANDed
+    onto every query of a session)."""
+
+    filter: Query
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     boost: float = 1.0
 
@@ -341,6 +356,8 @@ def rewrite(q: Query) -> Query:
         return ConstantScoreQuery(rewrite(q.query), q.boost)
     if isinstance(q, FilteredQuery):
         return FilteredQuery(rewrite(q.query), rewrite(q.filter), q.boost)
+    if isinstance(q, CachingWrapperFilter):
+        return CachingWrapperFilter(rewrite(q.filter))
     if isinstance(q, DisjunctionMaxQuery):
         return DisjunctionMaxQuery(tuple(rewrite(d) for d in q.disjuncts), q.tie_breaker, q.boost)
     return q

@@ -39,6 +39,7 @@ from ..index.builder import DOCMAP_SCHEMA, POSTINGS_SCHEMA, TERMSTATS_SCHEMA
 from ..scoring.bm25 import BM25
 from .ast import (
     BooleanQuery,
+    CachingWrapperFilter,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FilteredQuery,
@@ -98,6 +99,8 @@ def _collect_terms(q: Query, out: set[str]) -> None:
             _collect_terms(c.query, out)
     elif isinstance(q, (ConstantScoreQuery,)):
         _collect_terms(q.query, out)
+    elif isinstance(q, CachingWrapperFilter):
+        _collect_terms(q.filter, out)
     elif isinstance(q, DisjunctionMaxQuery):
         for d in q.disjuncts:
             _collect_terms(d, out)
@@ -237,6 +240,9 @@ class Searcher:
         # constant score for filter-ish queries (MatchAll/ConstantScore/
         # MultiTerm): 1.0, or its micro-unit representation in exact_int
         self.const_score = 1_000_000.0 if scoring == "exact_int" else 1.0
+        # CachingWrapperFilter: persisted docid-set DataFrames keyed by the
+        # wrapped filter's canonical (frozen dataclass) repr
+        self._filter_cache: dict[str, DataFrame] = {}
         if cache_tables:
             # OFF by default, and measured strictly worse on this engine:
             # caching the postings table pays a full materialization scan of
@@ -974,6 +980,8 @@ class Searcher:
         the docmap with the range pushed into its Parquet scan. None when
         the index is unsorted / the filter doesn't target the sort field;
         (None, None) when the range matches nothing."""
+        if isinstance(f, CachingWrapperFilter):
+            f = f.filter  # bounds come from the wrapped filter's shape
         if (
             self.sort_field is None
             or not isinstance(f, NumericRangeQuery)
@@ -995,6 +1003,17 @@ class Searcher:
         compiles to a docmap Parquet predicate (pushdown does the skipping
         the reference's trie terms did); anything else reuses its scorer
         and drops the score."""
+        if isinstance(q, CachingWrapperFilter):
+            key = repr(q.filter)
+            cached = self._filter_cache.get(key)
+            if cached is None:
+                # persist (not cache): memory-and-disk, so a huge DocIdSet
+                # spills instead of evicting executor memory — the
+                # distributed analogue of the reference's per-segment
+                # FixedBitSet (CachingWrapperFilter.cs:152 DocIdSet cache)
+                cached = self._filter_docids(q.filter, stats).persist()
+                self._filter_cache[key] = cached
+            return cached
         if isinstance(q, NumericRangeQuery):
             c = F.col(q.column)
             cond = F.lit(True)
@@ -1159,6 +1178,12 @@ class Searcher:
                 "docid",
                 F.lit(float(np.float32(q.boost)) * self.const_score)
                 .cast("double").alias("score"),
+            )
+        if isinstance(q, CachingWrapperFilter):
+            # as a top-level query a cached filter is constant-score
+            # (the reference wraps it in ConstantScoreQuery for this use)
+            return self._filter_docids(q, stats).select(
+                "docid", F.lit(self.const_score).cast("double").alias("score")
             )
         if isinstance(q, MultiPhraseQuery):
             return self._score_multiphrase(q, stats)
