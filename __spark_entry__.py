@@ -828,6 +828,25 @@ def q_ft_sorted_range(spark, sf_dir):
     )
 
 
+def q_ft_group_two_pass(spark, sf_dir):
+    """Two-pass grouped search (Grouping/GroupingSearch.cs:38 +
+    Term first/second-pass collectors): matches of 'data' grouped by crawl
+    HOUR (derived from the warc_ts doc-value), top-5 groups by their best
+    BM25 score (ties by hour asc), top-3 docs within each (score desc,
+    docid asc). One shuffle + broadcast of the 5-row group list — see
+    Searcher.group_search."""
+    s = _searcher(spark, sf_dir)
+    hour = F.floor(F.col("warc_ts").cast("long") / F.lit(3600)).cast("long")
+    res = s.group_search(TermQuery("data"), hour, n_groups=5, docs_per_group=3)
+    return res.select(
+        F.col("group").alias("grp"),
+        F.col("group_rank").cast("long").alias("group_rank"),
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("doc_rank").cast("long").alias("doc_rank"),
+    )
+
+
 def q_ft_cached_filter(spark, sf_dir):
     """CachingWrapperFilter (Search/CachingWrapperFilter.cs:42 analogue):
     the crawl-window filter is wrapped so its docid set is computed once
@@ -1877,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sorted_range": q_ft_sorted_range,
         "ft_sorted_early_topk": q_ft_sorted_early_topk,
         "ft_cached_filter": q_ft_cached_filter,
+        "ft_group_two_pass": q_ft_group_two_pass,
         "ft_span_syn": q_ft_span_syn,
         "ft_join_scores": q_ft_join_scores,
         "ft_facet_ts_range": q_ft_facet_ts_range,
@@ -2508,6 +2528,22 @@ FROM scored ORDER BY score DESC, doc_id ASC
         "(ORDER BY score DESC, ts ASC, ('doc://' || doc_id) ASC) AS BIGINT) "
         "AS rank FROM scored "
         "ORDER BY score DESC, ts ASC, ('doc://' || doc_id) ASC LIMIT 10"
+    )
+
+    o["ft_group_two_pass"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + f", g AS (SELECT s0.doc_id, s0.s AS score, "
+        f"CAST(floor(({_TS_EPOCH0} + (s0.doc_id % 100000) * 60) / 3600.0) "
+        "AS BIGINT) AS grp FROM s0), "
+        "ranked AS (SELECT doc_id, score, grp, CAST(row_number() OVER "
+        "(PARTITION BY grp ORDER BY score DESC, doc_id ASC) AS BIGINT) "
+        "AS doc_rank FROM g), "
+        "heads AS (SELECT grp, score AS top_score FROM ranked "
+        "WHERE doc_rank = 1 ORDER BY top_score DESC, grp ASC LIMIT 5), "
+        "tg AS (SELECT grp, CAST(row_number() OVER "
+        "(ORDER BY top_score DESC, grp ASC) AS BIGINT) AS group_rank FROM heads) "
+        "SELECT r.grp, t.group_rank, r.doc_id, r.score, r.doc_rank "
+        "FROM ranked r JOIN tg t USING (grp) WHERE r.doc_rank <= 3"
     )
 
     o["ft_cached_filter"] = (

@@ -1642,6 +1642,53 @@ class Searcher:
                 return enriched.orderBy(*order).limit(k)
             p *= 8
 
+    def group_search(
+        self,
+        q: Query,
+        group_expr,
+        n_groups: int = 10,
+        docs_per_group: int = 3,
+    ) -> DataFrame:
+        """Two-pass grouped search (GroupingSearch.cs:38 driving
+        TermFirstPassGroupingCollector / AbstractSecondPassGroupingCollector
+        — Grouping/GroupingSearch.cs, Grouping/Term/*.cs): top ``n_groups``
+        groups ranked by their best document's relevance (ties by group
+        value asc), then the top ``docs_per_group`` docs within each
+        selected group (score desc, docid asc).
+
+        ``group_expr`` is a docmap column name or a Spark Column over
+        docmap columns (e.g. an hour bucket of a doc-values timestamp).
+
+        Physical plan: ONE shuffle — the match set joins the docmap for
+        the group value, a single window partitioned by group computes
+        within-group ranks, and the reference's two passes collapse into
+        the head rows (doc_rank == 1) of that same window; the selected
+        group list (<= n_groups rows) then BROADCASTS back onto the ranked
+        rows, so the "second pass" re-scans nothing. Returns (group,
+        group_rank, docid, score, doc_rank)."""
+        from pyspark.sql import Window
+
+        gcol = F.col(group_expr) if isinstance(group_expr, str) else group_expr
+        scored = self.score_df(q).select("docid", "score")
+        grouped = scored.join(
+            self.docmap.select("docid", gcol.alias("group")), "docid"
+        )
+        wg = Window.partitionBy("group").orderBy(F.desc("score"), F.asc("docid"))
+        ranked = grouped.withColumn("doc_rank", F.row_number().over(wg)).filter(
+            F.col("doc_rank") <= docs_per_group
+        )
+        heads = (
+            ranked.filter(F.col("doc_rank") == 1)
+            .select("group", F.col("score").alias("top_score"))
+            .orderBy(F.desc("top_score"), F.asc("group"))
+            .limit(n_groups)
+        )
+        wgr = Window.orderBy(F.desc("top_score"), F.asc("group"))
+        top_groups = heads.withColumn("group_rank", F.row_number().over(wgr))
+        return ranked.join(
+            F.broadcast(top_groups.select("group", "group_rank")), "group"
+        ).select("group", "group_rank", "docid", "score", "doc_rank")
+
     def custom_score(self, q: Query, score_expr, k: int = 10) -> DataFrame:
         """CustomScoreQuery / FunctionQuery analogue
         (Lucene.Net.Queries/CustomScoreQuery.cs:42 wrapping a relevance
