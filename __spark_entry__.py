@@ -828,6 +828,34 @@ def q_ft_sorted_range(spark, sf_dir):
     )
 
 
+def q_ft_terms_filter(spark, sf_dir):
+    """TermsFilter (Queries/TermsFilter.cs:37 analogue): BM25 'data'
+    matches whitelisted to lang ∈ {de, fr} — the filter is the union of
+    the two keyword-field posting docid sets (non-scoring; scores are the
+    unfiltered query's). Wrapped in CachingWrapperFilter, the repeated-
+    whitelist session shape."""
+    from lucenenet_spark.query.ast import CachingWrapperFilter, TermsFilter
+
+    s = _searcher(spark, sf_dir)
+    q = FilteredQuery(
+        TermQuery("data"),
+        CachingWrapperFilter(TermsFilter((("lang", "de"), ("lang", "fr")))),
+    )
+    return _topk_df(s, q, 10)
+
+
+def q_ft_dup_filter(spark, sf_dir):
+    """DuplicateFilter (Sandbox/Queries/DuplicateFilter.cs:33 analogue,
+    KM_USE_FIRST_OCCURRENCE): the match set keeps only the lowest-docid
+    document per distinct doclen value — query-time dedup by a docmap
+    column, one window over the docmap."""
+    from lucenenet_spark.query.ast import DuplicateFilter
+
+    s = _searcher(spark, sf_dir)
+    q = FilteredQuery(TermQuery("data"), DuplicateFilter("doclen"))
+    return _topk_df(s, q, 10)
+
+
 def q_ft_group_two_pass(spark, sf_dir):
     """Two-pass grouped search (Grouping/GroupingSearch.cs:38 +
     Term first/second-pass collectors): matches of 'data' grouped by crawl
@@ -1897,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sorted_early_topk": q_ft_sorted_early_topk,
         "ft_cached_filter": q_ft_cached_filter,
         "ft_group_two_pass": q_ft_group_two_pass,
+        "ft_terms_filter": q_ft_terms_filter,
+        "ft_dup_filter": q_ft_dup_filter,
         "ft_span_syn": q_ft_span_syn,
         "ft_join_scores": q_ft_join_scores,
         "ft_facet_ts_range": q_ft_facet_ts_range,
@@ -2528,6 +2558,22 @@ FROM scored ORDER BY score DESC, doc_id ASC
         "(ORDER BY score DESC, ts ASC, ('doc://' || doc_id) ASC) AS BIGINT) "
         "AS rank FROM scored "
         "ORDER BY score DESC, ts ASC, ('doc://' || doc_id) ASC LIMIT 10"
+    )
+
+    o["ft_terms_filter"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + ", scored AS (SELECT s0.doc_id, s0.s AS score FROM s0 "
+        "JOIN documents d ON d.doc_id = s0.doc_id "
+        "WHERE d.lang IN ('de', 'fr')) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    o["ft_dup_filter"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + ", surv AS (SELECT min(doc_id) AS doc_id FROM dl GROUP BY dl), "
+        "scored AS (SELECT s0.doc_id, s0.s AS score FROM s0 "
+        "JOIN surv USING (doc_id)) "
+        + _TOPK_TAIL.format(k=10)
     )
 
     o["ft_group_two_pass"] = (

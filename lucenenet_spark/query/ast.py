@@ -215,6 +215,30 @@ class CachingWrapperFilter(Query):
 
 
 @dataclass(frozen=True)
+class TermsFilter(Query):
+    """TermsFilter (Lucene.Net.Queries/TermsFilter.cs:37 analogue): a
+    non-scoring filter matching docs that contain ANY of a set of
+    (field, term) pairs — the classic category/tenant whitelist. Lowered
+    to the union of the terms' posting docid sets (ONE dictionary
+    semi-join over the sorted term storage); pair with FilteredQuery and
+    CachingWrapperFilter for the repeated-whitelist shape."""
+
+    terms: tuple[tuple[str, str], ...]  # (field, term) pairs
+
+
+@dataclass(frozen=True)
+class DuplicateFilter(Query):
+    """DuplicateFilter (Lucene.Net.Sandbox/Queries/DuplicateFilter.cs:33
+    analogue): keeps only ONE document per distinct value of ``column``
+    (a docmap / doc-values column) — KM_USE_FIRST_OCCURRENCE keeps the
+    lowest docid, KM_USE_LAST_OCCURRENCE the highest. A query-time dedup
+    filter: the match set is restricted to each value's surviving doc."""
+
+    column: str
+    keep: str = "first"  # "first" | "last"
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     boost: float = 1.0
 

@@ -41,6 +41,7 @@ from .ast import (
     BooleanQuery,
     CachingWrapperFilter,
     ConstantScoreQuery,
+    DuplicateFilter,
     DisjunctionMaxQuery,
     FilteredQuery,
     FuzzyQuery,
@@ -58,6 +59,7 @@ from .ast import (
     SpanOrQuery,
     TermQuery,
     TermRangeQuery,
+    TermsFilter,
     WildcardQuery,
     rewrite,
 )
@@ -101,6 +103,9 @@ def _collect_terms(q: Query, out: set[str]) -> None:
         _collect_terms(q.query, out)
     elif isinstance(q, CachingWrapperFilter):
         _collect_terms(q.filter, out)
+    elif isinstance(q, TermsFilter):
+        for f, t in q.terms:
+            out.add(_skey(f, t))
     elif isinstance(q, DisjunctionMaxQuery):
         for d in q.disjuncts:
             _collect_terms(d, out)
@@ -1014,6 +1019,24 @@ class Searcher:
                 cached = self._filter_docids(q.filter, stats).persist()
                 self._filter_cache[key] = cached
             return cached
+        if isinstance(q, TermsFilter):
+            # union of the (field, term) posting docid sets via the
+            # existing boolean machinery (scores computed then dropped —
+            # keyword tf==1 scoring is a single idf constant per term)
+            union = BooleanQuery.build(
+                should=[TermQuery(t, field=f) for f, t in q.terms]
+            )
+            return self._score(rewrite(union), stats).select("docid")
+        if isinstance(q, DuplicateFilter):
+            from pyspark.sql import Window
+
+            order = F.asc("docid") if q.keep == "first" else F.desc("docid")
+            w = Window.partitionBy(q.column).orderBy(order)
+            return (
+                self.docmap.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("docid")
+            )
         if isinstance(q, NumericRangeQuery):
             c = F.col(q.column)
             cond = F.lit(True)
