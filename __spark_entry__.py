@@ -828,6 +828,18 @@ def q_ft_sorted_range(spark, sf_dir):
     )
 
 
+def q_ft_group_count(spark, sf_dir):
+    """AllGroupsCollector / TotalGroupCount
+    (Grouping/AbstractAllGroupsCollector.cs:30): number of distinct crawl
+    HOURS among the matches of 'data' — one count-distinct aggregate over
+    the match set joined to the doc-values column, returned as a 1-row
+    DataFrame so the driver can hash it."""
+    s = _searcher(spark, sf_dir)
+    hour = F.floor(F.col("warc_ts").cast("long") / F.lit(3600)).cast("long")
+    n = s.group_count(TermQuery("data"), hour)
+    return spark.createDataFrame([(n,)], "n_groups long")
+
+
 def q_ft_terms_filter(spark, sf_dir):
     """TermsFilter (Queries/TermsFilter.cs:37 analogue): BM25 'data'
     matches whitelisted to lang ∈ {de, fr} — the filter is the union of
@@ -1927,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_group_two_pass": q_ft_group_two_pass,
         "ft_terms_filter": q_ft_terms_filter,
         "ft_dup_filter": q_ft_dup_filter,
+        "ft_group_count": q_ft_group_count,
         "ft_span_syn": q_ft_span_syn,
         "ft_join_scores": q_ft_join_scores,
         "ft_facet_ts_range": q_ft_facet_ts_range,
@@ -2558,6 +2571,13 @@ FROM scored ORDER BY score DESC, doc_id ASC
         "(ORDER BY score DESC, ts ASC, ('doc://' || doc_id) ASC) AS BIGINT) "
         "AS rank FROM scored "
         "ORDER BY score DESC, ts ASC, ('doc://' || doc_id) ASC LIMIT 10"
+    )
+
+    o["ft_group_count"] = (
+        _SQL_PREFIX
+        + ", m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data') "
+        f"SELECT count(DISTINCT CAST(floor(({_TS_EPOCH0} + (doc_id % 100000) "
+        "* 60) / 3600.0) AS BIGINT)) AS n_groups FROM m"
     )
 
     o["ft_terms_filter"] = (

@@ -1712,6 +1712,20 @@ class Searcher:
             F.broadcast(top_groups.select("group", "group_rank")), "group"
         ).select("group", "group_rank", "docid", "score", "doc_rank")
 
+    def group_count(self, q: Query, group_expr) -> int:
+        """AllGroupsCollector (Grouping/AbstractAllGroupsCollector.cs:30,
+        the TopGroups.TotalGroupCount side of GroupingSearch): the number
+        of DISTINCT group values in the match set — one partial-agg
+        count-distinct over (match ⋈ docmap), no row collection."""
+        gcol = F.col(group_expr) if isinstance(group_expr, str) else group_expr
+        row = (
+            self.score_df(q).select("docid")
+            .join(self.docmap.select("docid", gcol.alias("group")), "docid")
+            .agg(F.countDistinct("group").alias("n"))
+            .collect()[0]
+        )
+        return int(row["n"])
+
     def custom_score(self, q: Query, score_expr, k: int = 10) -> DataFrame:
         """CustomScoreQuery / FunctionQuery analogue
         (Lucene.Net.Queries/CustomScoreQuery.cs:42 wrapping a relevance

@@ -60,6 +60,16 @@ def test_group_search_matches_pandas(searcher, n_groups, per_group):
     assert len(g) > 0
 
 
+def test_group_count(searcher):
+    """AllGroupsCollector analogue: distinct group values of the match set."""
+    got = searcher.group_count(TermQuery("data"), (F.col("doclen") / F.lit(10)).cast("long"))
+    scored = searcher.score_df(TermQuery("data")).join(
+        searcher.docmap.select("docid", "doclen"), "docid"
+    ).toPandas()
+    assert got == (scored["doclen"] // 10).nunique()
+    assert got > 0
+
+
 def test_group_search_accepts_column_name(searcher):
     got = searcher.group_search(TermQuery("data"), "doclen", 2, 1).collect()
     assert len(got) == 2
