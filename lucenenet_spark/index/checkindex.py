@@ -184,5 +184,45 @@ def verify(spark: SparkSession, index_dir: str) -> dict:
     results["lineage_tokens"] = int(lin[1] or 0) == int(stats["sum_ttf"])
     results["lineage_postings"] = int(lin[2] or 0) == int(agg[2] or 0)
 
+    # index-sort invariant (IndexConfig.sort_field / SortingMergePolicy
+    # analogue; CheckIndex.cs has the per-segment sort check in 4.8's
+    # SortingMergePolicy tests): docid order must equal sort-key order —
+    # verified distributed via a lag window over (docid asc): every
+    # consecutive pair must be non-decreasing in the sort key. The query
+    # engine's block pruning and early-terminating collection are only
+    # correct under this invariant, so a corrupted sorted index fails
+    # CheckIndex before it can silently drop matches.
+    sort_field = (smeta.get("config") or {}).get("sort_field")
+    if sort_field:
+        dv_ddl = st.commit_meta("docmap").get("dv_ddl", "")
+        dmw = st.read_stage(
+            spark, "docmap",
+            DOCMAP_SCHEMA + (", " + dv_ddl if dv_ddl else ""),
+        ).select("docid", F.col(sort_field).cast("double").alias("__k"))
+        # distributed, no global window: lag within 8192-docid buckets
+        # (parallel), then the same lag over the tiny per-bucket
+        # (first_key, last_key) summary to cover bucket boundaries
+        dmb = dmw.withColumn("__b", (F.col("docid") / F.lit(8192)).cast("long"))
+        win = Window.partitionBy("__b").orderBy("docid")
+        viol_in = (
+            dmb.withColumn("__prev", F.lag("__k").over(win))
+            .filter(F.col("__prev").isNotNull() & (F.col("__k") < F.col("__prev")))
+            .count()
+        )
+        summ = dmb.groupBy("__b").agg(
+            F.min_by("__k", "docid").alias("__first_k"),
+            F.max_by("__k", "docid").alias("__last_k"),
+        )
+        wb = Window.orderBy("__b")
+        viol_cross = (
+            summ.withColumn("__prev_last", F.lag("__last_k").over(wb))
+            .filter(
+                F.col("__prev_last").isNotNull()
+                & (F.col("__first_k") < F.col("__prev_last"))
+            )
+            .count()
+        )
+        results["docids_follow_index_sort"] = viol_in == 0 and viol_cross == 0
+
     results["ok"] = all(v for k, v in results.items() if isinstance(v, bool))
     return results

@@ -201,6 +201,16 @@ def test_early_terminating_requires_sorted_index(spark, indexes):
         Searcher(spark, plain_dir).search_by_index_sort(TermQuery("data"), 5)
 
 
+def test_checkindex_verifies_sort_invariant(spark, indexes):
+    from lucenenet_spark.index import checkindex
+
+    sorted_dir, plain_dir = indexes
+    res = checkindex.verify(spark, sorted_dir)
+    assert res["docids_follow_index_sort"] is True
+    assert res["ok"]
+    assert "docids_follow_index_sort" not in checkindex.verify(spark, plain_dir)
+
+
 def test_fingerprint_stable_without_sort_field(spark):
     """Indexes committed before sort_field existed must keep their
     fingerprint: the default (None) is dropped from the hash input."""
