@@ -1665,6 +1665,35 @@ def q_txt_repetition(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pipe_chunk_sliding(spark, sf_dir):
+    """Sliding-window chunking — the tokenize-and-window step every LLM
+    training pipeline runs over its corpus: each doc's token stream is cut
+    into windows of 64 tokens with stride 48 (16-token overlap), the last
+    window keeping its natural (shorter) length. Pure Catalyst higher-order
+    functions (transform/sequence/slice + posexplode) — no Python in the
+    row path, so the op runs at whole-stage-codegen speed and scales
+    linearly in corpus tokens. Chunks are identified content-first
+    (md5 of the joined window) so the oracle can hash-compare."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    d = d.filter(F.size("toks") > 0)
+    d = d.withColumn(
+        "__n",
+        F.expr("CAST(ceil(greatest(size(toks) - 64, 0) / 48.0) AS INT) + 1"),
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(0, __n - 1), i -> slice(toks, i*48+1, 64))")
+        ).alias("chunk_id", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+    )
+
+
 def q_pipe_stratified_sample(spark, sf_dir):
     """Stratified deterministic sampling by language (the dataset-mixing /
     quota-sampling step of a multilingual pipeline): per-stratum keep-rates
@@ -1940,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_terms_filter": q_ft_terms_filter,
         "ft_dup_filter": q_ft_dup_filter,
         "ft_group_count": q_ft_group_count,
+        "pipe_chunk_sliding": q_pipe_chunk_sliding,
         "ft_span_syn": q_ft_span_syn,
         "ft_join_scores": q_ft_join_scores,
         "ft_facet_ts_range": q_ft_facet_ts_range,
@@ -2997,6 +3027,27 @@ SELECT doc_id,
        CAST(floor((len(tg) - len(list_distinct(tg)))::DOUBLE
             * 1000000.0 / len(tg)::DOUBLE + 0.5) AS BIGINT) AS dup_frac_x1m
 FROM g ORDER BY doc_id
+"""
+
+    o["pipe_chunk_sliding"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+),
+t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(greatest(len(toks) - 64, 0) / 48.0)
+                              AS BIGINT) + 1)) AS chunk_id,
+         toks
+  FROM t2
+)
+SELECT doc_id,
+       chunk_id,
+       CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+         AS n_tokens,
+       md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '))
+         AS chunk_md5
+FROM c
 """
 
     o["pipe_stratified_sample"] = """

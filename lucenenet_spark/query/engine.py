@@ -1590,7 +1590,11 @@ class Searcher:
         return enriched.orderBy(*sort_cols).limit(k)
 
     def search_by_index_sort(
-        self, q: Query, k: int = 10, descending: bool = False
+        self,
+        q: Query,
+        k: int = 10,
+        descending: bool = False,
+        after_docid: int | None = None,
     ) -> DataFrame:
         """EarlyTerminatingSortingCollector analogue
         (Lucene.Net.Misc/Index/Sorter/EarlyTerminatingSortingCollector.cs:49):
@@ -1618,10 +1622,21 @@ class Searcher:
         ties at the boundary force a widen. Result-identical to the full
         search_sorted plan (tests/test_index_sort.py).
 
+        ``after_docid`` (ascending only) is SearchAfter over the index
+        sort (IndexSearcher.SearchAfter with a Sort — IndexSearcher.cs:467):
+        because ascending order IS docid order, the cursor docid fully
+        identifies the resume position, and page N+1 probes the interval
+        starting at after_docid + 1 — deep pagination costs the same tiny
+        probe as page one, not a re-scan of N pages.
+
         Returns (docid, score, <sort_field>) ordered by
         (sort_field asc|desc, docid asc), limit k."""
         if self.sort_field is None:
             raise ValueError("search_by_index_sort requires a sort_field index")
+        if after_docid is not None and descending:
+            # descending order is not monotone in docid inside a tie group,
+            # so a bare docid cursor cannot encode the resume position
+            raise ValueError("after_docid pagination is ascending-only")
         field = self.sort_field
         if not hasattr(self, "_docid_bound"):
             self._docid_bound = int(
@@ -1632,9 +1647,14 @@ class Searcher:
             F.desc(field) if descending else F.asc(field),
             F.asc("docid"),
         ]
+        base = 0 if after_docid is None else after_docid + 1
         p = max(4096, 64 * k)
         while True:
-            lo, hi = (max(0, n - p), n - 1) if descending else (0, min(p, n) - 1)
+            lo, hi = (
+                (max(0, n - p), n - 1)
+                if descending
+                else (base, min(base + p, n) - 1)
+            )
             pruned = self.postings.filter(
                 (F.col("last_docid") >= lo) & (F.col("first_docid") <= hi)
             )
@@ -1649,7 +1669,9 @@ class Searcher:
                 (F.col("docid") >= lo) & (F.col("docid") <= hi)
             ).select("docid", field)
             enriched = m.join(dm, "docid")
-            covers_all = lo == 0 and hi >= n - 1
+            # "covers all" = the probe reaches the end of the pageable
+            # interval: [base, n) ascending, [0, n) descending
+            covers_all = lo == (0 if descending else base) and hi >= n - 1
             if descending and not covers_all:
                 # boundary value: the sort key at the probe's lowest docid
                 # (whether or not it matches) — ties with it may extend

@@ -201,6 +201,35 @@ def test_early_terminating_requires_sorted_index(spark, indexes):
         Searcher(spark, plain_dir).search_by_index_sort(TermQuery("data"), 5)
 
 
+def test_search_after_on_index_sort(spark, indexes):
+    """SearchAfter over the index sort: page 2 via the last docid cursor
+    equals rows k+1..2k of the single-call top-2k — and deep pages probe
+    from the cursor, not from docid 0."""
+    sorted_dir, _ = indexes
+    s = Searcher(spark, sorted_dir)
+    q = TermQuery("data")
+    all10 = [
+        (r["docid"], round(r["score"], 4))
+        for r in s.search_by_index_sort(q, 10).collect()
+    ]
+    page1 = s.search_by_index_sort(q, 5).collect()
+    cursor = page1[-1]["docid"]
+    page2 = [
+        (r["docid"], round(r["score"], 4))
+        for r in s.search_by_index_sort(q, 5, after_docid=cursor).collect()
+    ]
+    assert [(r["docid"], round(r["score"], 4)) for r in page1] == all10[:5]
+    assert page2 == all10[5:]
+
+
+def test_search_after_descending_rejected(spark, indexes):
+    sorted_dir, _ = indexes
+    with pytest.raises(ValueError, match="ascending-only"):
+        Searcher(spark, sorted_dir).search_by_index_sort(
+            TermQuery("data"), 5, descending=True, after_docid=3
+        )
+
+
 def test_checkindex_verifies_sort_invariant(spark, indexes):
     from lucenenet_spark.index import checkindex
 
