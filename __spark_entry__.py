@@ -1369,6 +1369,110 @@ _COS_X1M = (
 )
 
 
+def _fold_norm(vals) -> float:
+    """sqrt of the SEQUENTIAL left-fold of squares — the exact same IEEE
+    op order as the engine/oracle list folds, so a python-side norm equals
+    the SQL-side one bit-for-bit."""
+    acc = 0.0
+    for x in vals:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _cos6_expr(lit_vals, lit_norm: float):
+    """x1m integer cosine between the row's int-scaled vector column v6
+    and a python literal vector (fold-ordered dot, norm literal)."""
+    arr = "array(" + ", ".join("CAST(%r AS DOUBLE)" % float(x) for x in lit_vals) + ")"
+    dot = (
+        f"aggregate(zip_with(v6, {arr}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nv = (
+        "aggregate(transform(v6, x -> x * x), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"CAST(floor({dot} / (sqrt({nv}) * CAST({lit_norm!r} AS DOUBLE)) "
+        "* 1000000.0 + 0.5) AS BIGINT)"
+    )
+
+
+def q_ann_ivf_flat(spark, sf_dir):
+    """IVF-flat ANN — the coarse-quantizer scale path the LSH buckets
+    don't cover: K=8 seed centroids (the embeddings of vec_id 0..7), one
+    Lloyd assignment round, then the query probes only the nprobe=2
+    nearest cells and ranks candidates exactly.
+
+    Determinism contract (everything reproducible by the DuckDB oracle):
+    vectors are int-scaled (floor(x*1e6+0.5)); a centroid is the exact
+    INTEGER per-dim SUM of its members (not the mean — cosine is
+    scale-invariant, so cos(v, sum) == cos(v, mean) and the n_j division
+    never happens); every dot/norm is a fold in dimension order, so both
+    engines produce bit-identical doubles. At scale: assignment is one
+    broadcast of K vectors, cell sums are one groupBy(cluster, dim) agg,
+    and the probe scans only the selected cells' rows."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    e6 = emb.select(
+        "vec_id", "label",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE))"
+        ).alias("v6"),
+    )
+    seeds = {
+        int(r["vec_id"]): [float(x) for x in r["v6"]]
+        for r in e6.filter(F.col("vec_id") < 8).collect()
+    }
+    ks = sorted(seeds)
+    sc1 = F.array(*[_cos6_expr(seeds[j], _fold_norm(seeds[j])) for j in ks])
+    a1 = (F.array_position(sc1, F.array_max(sc1)) - 1).cast("int").alias("a1")
+    sums = (
+        e6.select(a1, F.posexplode("v6").alias("dim", "val"))
+        .groupBy("a1", "dim")
+        .agg(F.sum(F.col("val").cast("long")).alias("s"))
+        .collect()
+    )
+    cent: dict[int, list[int]] = {}
+    for r in sums:
+        cent.setdefault(int(r["a1"]), [0] * 64)[int(r["dim"])] = int(r["s"])
+    present = sorted(cent)
+    sc2 = F.array(*[_cos6_expr(cent[j], _fold_norm(cent[j])) for j in present])
+    pos2 = F.array_position(sc2, F.array_max(sc2)).cast("int")
+    cluster = F.element_at(
+        F.array(*[F.lit(j) for j in present]), pos2
+    ).cast("long").alias("cluster")
+
+    q6 = seeds[0]
+    nq6 = _fold_norm(q6)
+    probe_sc = []
+    for j in present:
+        acc = 0.0
+        for x, y in zip(q6, cent[j]):
+            acc = acc + float(x) * float(y)
+        cx = math.floor(acc / (nq6 * _fold_norm(cent[j])) * 1000000.0 + 0.5)
+        probe_sc.append((-cx, j))
+    probes = [j for _, j in sorted(probe_sc)[:2]]
+
+    cand = (
+        e6.select("vec_id", "label", "v6", cluster)
+        .filter(F.col("cluster").isin([int(p) for p in probes]))
+        .filter(F.col("vec_id") != 0)
+        .withColumn("cos_x1m", _cos6_expr(q6, nq6))
+    )
+    w = Window.orderBy(F.desc("cos_x1m"), F.asc("vec_id"))
+    return (
+        cand.orderBy(F.desc("cos_x1m"), F.asc("vec_id")).limit(5)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            "cluster",
+            "cos_x1m",
+            "rank",
+        )
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """The COMPOSED ANN scale path (the missing piece beyond bucket
     assignment): query vector -> its coarse LSH bucket -> exact cosine
@@ -1970,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dup_filter": q_ft_dup_filter,
         "ft_group_count": q_ft_group_count,
         "pipe_chunk_sliding": q_pipe_chunk_sliding,
+        "ann_ivf_flat": q_ann_ivf_flat,
         "ft_span_syn": q_ft_span_syn,
         "ft_join_scores": q_ft_join_scores,
         "ft_facet_ts_range": q_ft_facet_ts_range,
@@ -2803,6 +2908,71 @@ FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(floor(len(list_intersect(a.ts, b.ts))::DOUBLE * 1000000.0
       / len(list_distinct(list_concat(a.ts, b.ts)))::DOUBLE + 0.5) AS BIGINT) >= 600000
 ORDER BY a, b
+"""
+
+    # shared x1m-cosine SQL between an e6 vector column and another list
+    # column — fold in dimension order, matching the Spark-side aggregate()
+    def _cos6_sql(va: str, vb: str) -> str:
+        def dot(a, b):
+            return (
+                f"list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), "
+                "(a, b) -> a + b)"
+            )
+        return (
+            f"CAST(floor({dot(va, vb)} / (sqrt({dot(va, va)}) * "
+            f"sqrt({dot(vb, vb)})) * 1000000.0 + 0.5) AS BIGINT)"
+        )
+
+    o["ann_ivf_flat"] = f"""
+WITH e6 AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS DOUBLE)) AS v6
+  FROM embeddings
+),
+seeds AS (SELECT vec_id AS j, v6 AS sv FROM e6 WHERE vec_id < 8),
+c1 AS (
+  SELECT e.vec_id, s.j, {_cos6_sql("e.v6", "s.sv")} AS cx
+  FROM e6 e CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT vec_id, j AS a1 FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cx DESC, j ASC) AS rn
+    FROM c1) WHERE rn = 1
+),
+sums AS (
+  SELECT a.a1 AS j, t.i AS dim, SUM(CAST(e.v6[t.i] AS BIGINT)) AS s
+  FROM e6 e JOIN a1 a USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+  GROUP BY a.a1, t.i
+),
+cent AS (SELECT j, list(CAST(s AS DOUBLE) ORDER BY dim) AS cv FROM sums GROUP BY j),
+c2 AS (
+  SELECT e.vec_id, c.j, {_cos6_sql("e.v6", "c.cv")} AS cx
+  FROM e6 e CROSS JOIN cent c
+),
+a2 AS (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cx DESC, j ASC) AS rn
+    FROM c2) WHERE rn = 1
+),
+q AS (SELECT v6 AS qv FROM e6 WHERE vec_id = 0),
+pr AS (
+  SELECT c.j FROM cent c CROSS JOIN q
+  ORDER BY {_cos6_sql("q.qv", "c.cv")} DESC, c.j ASC LIMIT 2
+),
+f AS (
+  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         CAST(a2.cluster AS BIGINT) AS cluster,
+         {_cos6_sql("e.v6", "q.qv")} AS cos_x1m
+  FROM e6 e JOIN a2 USING (vec_id) CROSS JOIN q
+  WHERE a2.cluster IN (SELECT j FROM pr) AND e.vec_id != 0
+)
+SELECT vec_id, label, cluster, cos_x1m,
+       CAST(row_number() OVER (ORDER BY cos_x1m DESC, vec_id ASC) AS BIGINT) AS rank
+FROM f ORDER BY cos_x1m DESC, vec_id ASC LIMIT 5
 """
 
     o["ann_cosine_topk"] = """
