@@ -1067,6 +1067,18 @@ def q_ft_suggest(spark, sf_dir):
     return s.suggest("s", 10).select("term", F.col("df").cast("long").alias("df"))
 
 
+def q_ft_fuzzy_suggest(spark, sf_dir):
+    """Typo-tolerant autocomplete (FuzzySuggester.cs:59 analogue): the
+    mistyped prefix 'serch' still completes to 'search...' terms — term
+    prefixes within 1 edit, ranked (distance, df desc, term)."""
+    s = _searcher(spark, sf_dir)
+    return s.fuzzy_suggest("sperk", 10).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
 def q_ft_spell(spark, sf_dir):
     """Spell correction (Suggest/Spell/SpellChecker.cs): nearest dictionary
     terms by levenshtein distance, df-ranked."""
@@ -2075,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_group_count": q_ft_group_count,
         "pipe_chunk_sliding": q_pipe_chunk_sliding,
         "ann_ivf_flat": q_ann_ivf_flat,
+        "ft_fuzzy_suggest": q_ft_fuzzy_suggest,
         "ft_span_syn": q_ft_span_syn,
         "ft_join_scores": q_ft_join_scores,
         "ft_facet_ts_range": q_ft_facet_ts_range,
@@ -2823,6 +2836,17 @@ FROM best ORDER BY rank
         + "SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok "
         "WHERE term LIKE 's%' GROUP BY term "
         "ORDER BY df DESC, term ASC LIMIT 10"
+    )
+
+    o["ft_fuzzy_suggest"] = (
+        _SQL_PREFIX
+        + ", d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+        "FROM tok GROUP BY term) "
+        "SELECT term, df, "
+        "CAST(levenshtein(substr(term, 1, 5), 'sperk') AS BIGINT) AS distance "
+        "FROM d WHERE length(term) >= 5 "
+        "AND levenshtein(substr(term, 1, 5), 'sperk') <= 1 "
+        "ORDER BY distance ASC, df DESC, term ASC LIMIT 10"
     )
 
     o["ft_spell"] = (

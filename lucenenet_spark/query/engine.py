@@ -1984,6 +1984,30 @@ class Searcher:
             .limit(k)
         )
 
+    def fuzzy_suggest(self, prefix: str, k: int = 10, max_edits: int = 1) -> DataFrame:
+        """Typo-tolerant autocomplete (Suggest/Analyzing/FuzzySuggester.cs:59
+        — the Levenshtein automaton intersected with the suggest FST,
+        re-expressed as a dictionary scan): completions whose first
+        len(prefix) characters are within ``max_edits`` Levenshtein of the
+        typed prefix, ranked (distance asc, df desc, term asc). v0 compares
+        the FIXED-length term prefix (no transposition credit), documented
+        divergence from the automaton's variable-length alignment. The
+        scan is dictionary-sized (termstats, the small table), not
+        corpus-sized."""
+        t = F.col("term")
+        p = F.substring(t, 1, len(prefix))
+        dist = F.levenshtein(p, F.lit(prefix))
+        return (
+            self.termstats.filter(
+                ~t.contains(":")
+                & (F.length(t) >= len(prefix))
+                & (dist <= max_edits)
+            )
+            .select("term", "df", dist.alias("distance"))
+            .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
     def spell_correct(self, term: str, k: int = 5, max_edits: int = 2) -> DataFrame:
         """SpellChecker (Suggest/Spell/SpellChecker.cs): nearest dictionary
         terms by edit distance, ties broken by df desc then term asc."""

@@ -107,6 +107,19 @@ def test_suggest_prefix_ranked_by_df(searcher):
     assert dfs == sorted(dfs, reverse=True)
 
 
+def test_fuzzy_suggest(searcher):
+    """FuzzySuggester analogue: a substitution typo in the prefix still
+    completes; exact-prefix matches rank at distance 0 first."""
+    rows_ = searcher.fuzzy_suggest("saarch", k=5, max_edits=1).collect()
+    assert any(r["term"] == "search" for r in rows_)
+    assert all(r["distance"] <= 1 for r in rows_)
+    dists = [r["distance"] for r in rows_]
+    assert dists == sorted(dists)
+    exact = searcher.fuzzy_suggest("sear", k=5).collect()
+    assert exact and exact[0]["distance"] == 0
+    assert all(":" not in r["term"] for r in rows_)
+
+
 def test_spell_correct(searcher):
     rows_ = searcher.spell_correct("serch", k=3).collect()
     assert rows_, "expected at least one correction"
