@@ -53,6 +53,12 @@ def main() -> int:
         help="derive the text column from the raw html payload (Arrow/re2 "
         "extraction) instead of trusting a pre-extracted text column",
     )
+    ap.add_argument(
+        "--sort-field", default=None,
+        help="index-time sort (SortingMergePolicy analogue): assign docids "
+        "in global (column, url) order; the column should also be listed "
+        "in --docvalue-fields so range filters and sorted search see it",
+    )
     ap.add_argument("--overwrite", action="store_true")
     ap.add_argument("--check", action="store_true", help="run CheckIndex after build")
     args = ap.parse_args()
@@ -73,6 +79,7 @@ def main() -> int:
         analyzer=args.analyzer,
         keyword_fields=tuple(f for f in args.keyword_fields.split(",") if f),
         docvalue_fields=tuple(f for f in args.docvalue_fields.split(",") if f),
+        sort_field=args.sort_field,
     )
     if args.pages:
         pages = spark.read.parquet(args.pages)
