@@ -1067,6 +1067,25 @@ def q_ft_suggest(spark, sf_dir):
     return s.suggest("s", 10).select("term", F.col("df").cast("long").alias("df"))
 
 
+def q_ft_search_batch(spark, sf_dir):
+    """Batched multi-query search (TopDocs-per-query in ONE Spark job —
+    Searcher.search_batch, the mixed-stream throughput lever priced in
+    BENCH): two query shapes resolve their term stats in one metadata
+    lookup and run as one DAG; output is the union of per-query top-5s
+    keyed by query_id. Oracle = union of the per-query oracles."""
+    s = _searcher(spark, sf_dir)
+    res = s.search_batch(
+        {"q_data": TermQuery("data"), "q_join_row": PhraseQuery(("join", "row"))},
+        k=5,
+    )
+    return res.select(
+        "query_id",
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_ft_fuzzy_suggest(spark, sf_dir):
     """Typo-tolerant autocomplete (FuzzySuggester.cs:59 analogue): the
     mistyped prefix 'serch' still completes to 'search...' terms — term
@@ -2088,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_chunk_sliding": q_pipe_chunk_sliding,
         "ann_ivf_flat": q_ann_ivf_flat,
         "ft_fuzzy_suggest": q_ft_fuzzy_suggest,
+        "ft_search_batch": q_ft_search_batch,
         "ft_span_syn": q_ft_span_syn,
         "ft_join_scores": q_ft_join_scores,
         "ft_facet_ts_range": q_ft_facet_ts_range,
@@ -2836,6 +2856,44 @@ FROM best ORDER BY rank
         + "SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok "
         "WHERE term LIKE 's%' GROUP BY term "
         "ORDER BY df DESC, term ASC LIMIT 10"
+    )
+
+    o["ft_search_batch"] = (
+        _SQL_PREFIX + _term_ctes(["data", "join", "row"])
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+pf AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS pf
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'join' AND b.term = 'row'
+  GROUP BY a.doc_id
+),
+idfs AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)/((SELECT count(*) FROM t1) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t2) + 0.5)/((SELECT count(*) FROM t2) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+ph AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+),
+u AS (
+  SELECT 'q_data' AS query_id, doc_id, s AS score FROM s0
+  UNION ALL
+  SELECT 'q_join_row' AS query_id, doc_id, score FROM ph
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM u
+) WHERE rank <= 5
+"""
     )
 
     o["ft_fuzzy_suggest"] = (
