@@ -83,6 +83,10 @@ _ENTRY_CONFIG = IndexConfig(
     # docmap for pushed-down range filters + sort (the input_hint's crawl
     # timestamp; synthesized deterministically from doc_id below)
     docvalue_fields=("warc_ts",),
+    # multi-field TextField analogue: a second ANALYZED field (title =
+    # first 80 chars of text, deterministic so the oracle reproduces it)
+    # with its OWN norms/avgdl — see IndexConfig.text_fields
+    text_fields=("title",),
 )
 
 # 2020-01-01T00:00:00Z — warc_ts = epoch0 + (doc_id % 100000) minutes, a pure
@@ -107,6 +111,7 @@ def _entry_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(
             F.lit(_TS_EPOCH0) + F.pmod(F.col("doc_id"), F.lit(100_000)) * F.lit(60)
         ).alias("warc_ts"),
+        F.substring(F.col("text"), 1, 80).alias("title"),
     )
 
 
@@ -1065,6 +1070,16 @@ def q_ft_suggest(spark, sf_dir):
     document frequency."""
     s = _searcher(spark, sf_dir)
     return s.suggest("s", 10).select("term", F.col("df").cast("long").alias("df"))
+
+
+def q_ft_field_title(spark, sf_dir):
+    """Multi-field analyzed text (Document/TextField.cs:38 + FieldInfos
+    per-field norms): BM25 top-10 for 'data' in the TITLE field (first 80
+    chars of text, indexed as a second analyzed field). The score uses the
+    TITLE's own df/tf/doclen/avgdl — none of the body field's stats leak
+    in, which is exactly what the oracle reproduces from substr(text,1,80)."""
+    s = _searcher(spark, sf_dir)
+    return _topk_df(s, TermQuery("data", field="title"), 10)
 
 
 def q_ft_search_batch(spark, sf_dir):
@@ -2097,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap.
     return {
         # --- never gated before r3 + new this round ---
+        "ft_field_title": q_ft_field_title,
         "ft_sorted_range": q_ft_sorted_range,
         "ft_sorted_early_topk": q_ft_sorted_early_topk,
         "ft_cached_filter": q_ft_cached_filter,
@@ -2857,6 +2873,28 @@ FROM best ORDER BY rank
         "WHERE term LIKE 's%' GROUP BY term "
         "ORDER BY df DESC, term ASC LIMIT 10"
     )
+
+    o["ft_field_title"] = f"""
+WITH tokt AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(substr(text, 1, 80)),
+         '[^a-z0-9]+'), x -> x <> '')) AS term FROM documents
+),
+dlt AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokt GROUP BY doc_id),
+stt AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+               (SELECT count(*) FROM tokt)::DOUBLE AS sum_ttf),
+t0 AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tokt
+       WHERE term = 'data' GROUP BY doc_id),
+s0 AS (
+  SELECT t.doc_id, CAST(floor(
+    (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)
+            / ((SELECT count(*) FROM t0) + 0.5)) * 2.2 * t.tf)
+    / (t.tf + 1.2 * (0.25 + (0.75 * d.dl) / (st.sum_ttf / st.maxdoc)))
+    * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM t0 t JOIN dlt d USING (doc_id) CROSS JOIN stt st
+),
+scored AS (SELECT doc_id, s AS score FROM s0)
+{_TOPK_TAIL.format(k=10)}
+"""
 
     o["ft_search_batch"] = (
         _SQL_PREFIX + _term_ctes(["data", "join", "row"])

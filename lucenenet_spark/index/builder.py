@@ -157,6 +157,19 @@ class IndexBuilder:
         #: density invariants on it and append_index allocates new docid
         #: ranges from next_docid, which stays collision-free either way.
         self.docids_dense = not (config or IndexConfig()).external_docids
+        if set(self.config.text_fields) & set(self.config.keyword_fields):
+            # "lang:en" from an analyzed lang field would collide with the
+            # keyword posting of the same name
+            raise ValueError(
+                "a field cannot be both a text_field and a keyword_field"
+            )
+        if self.config.text_fields and self.config.analyzer == "english":
+            # the stemmer's namespaced-term pass-through would leave extra
+            # fields unstemmed at index time while the query side stems —
+            # a silent recall hole; forbid until per-field chains exist
+            raise ValueError(
+                "text_fields are not supported with the 'english' chain"
+            )
         if analyzer is None:
             from ..analysis.analyzer import ENGLISH_STOP_WORDS, analyzer_for
 
@@ -270,7 +283,7 @@ class IndexBuilder:
         """DDL for the configured doc-values columns, typed from the input
         schema (e.g. ``"warc_ts timestamp, lang string"``)."""
         fields = self.config.docvalue_fields
-        if not fields:
+        if not fields and not self.config.text_fields:
             return ""
         core = {c.strip().split()[0] for c in PARTIALS_SCHEMA.split(",")}
         input_cols = set(pages.columns)
@@ -283,6 +296,12 @@ class IndexBuilder:
             if f not in input_cols:
                 raise ValueError(f"docvalue field {f!r} not in input columns")
             parts.append(f"{f} {pages.schema[f].dataType.simpleString()}")
+        # extra analyzed fields: the field's exact doclen rides the docmap
+        # as an auto-added doc-value (stats derives per-field avgdl from it)
+        for tf in self.config.text_fields:
+            if tf not in input_cols:
+                raise ValueError(f"text field {tf!r} not in input columns")
+            parts.append(f"__dl_{tf} int")
         return ", ".join(parts)
 
     # ------------------------------------------------------------------ #
@@ -298,8 +317,11 @@ class IndexBuilder:
         index_positions = cfg.index_positions
         flush_docs = cfg.flush_docs
         keyword_fields = tuple(cfg.keyword_fields)
+        text_fields = tuple(cfg.text_fields)
         dv_ddl = self._dv_ddl(pages)
         dv_names = ddl_names(dv_ddl)
+        # computed per-field doclen doc-values vs pass-through input columns
+        input_dv_names = [n for n in dv_names if not n.startswith("__dl_")]
 
         def build_partials(batches):
             import pyarrow as pa
@@ -372,7 +394,11 @@ class IndexBuilder:
                     if not external:
                         next_docid = offsets[pid]
                 if out_schema is None:
-                    dv_types = [rb.schema.field(f).type for f in dv_names]
+                    dv_types = [
+                        pa.int32() if f.startswith("__dl_")
+                        else rb.schema.field(f).type
+                        for f in dv_names
+                    ]
                     out_schema = pa.schema(
                         list(_partials_pa())
                         + [pa.field(f, t) for f, t in zip(dv_names, dv_types)]
@@ -388,7 +414,24 @@ class IndexBuilder:
                     next_docid += n
                 norm_bytes = doclen_to_norm_byte_fast(lens).astype(np.int64)
 
+                # extra analyzed fields (TextField.cs:38 analogue): same
+                # chain, terms namespaced "<field>:", FIELD-OWN norms and
+                # doclens ride the postings; the per-doc field length also
+                # rides the 'd' row as the auto-added __dl_<field> dv
+                tf_results = {}
+                for tf in text_fields:
+                    tf_results[tf] = analyze_flat_arrow(
+                        rb.column(tf), analyzer, encode=False
+                    )
+
                 # doc rows (one arrow batch, no pandas)
+                dv_arrays = []
+                for f in dv_names:
+                    if f.startswith("__dl_"):
+                        tf_lens = tf_results[f[len("__dl_"):]][4]
+                        dv_arrays.append(pa.array(tf_lens.astype(np.int32)))
+                    else:
+                        dv_arrays.append(rb.column(f))
                 yield pa.RecordBatch.from_arrays(
                     [
                         _const_str("d", n),
@@ -401,7 +444,7 @@ class IndexBuilder:
                         pc.cast(pc.fill_null(pc.binary_length(texts), 0), pa.int64()),
                     ]
                     + doc_null_cols(n)
-                    + [rb.column(f) for f in dv_names],
+                    + dv_arrays,
                     schema=out_schema,
                 )
 
@@ -411,6 +454,23 @@ class IndexBuilder:
                     acc_pos.append(flat_pos)
                     acc_norm.append(norm_bytes[flat_docidx])
                     acc_len.append(lens[flat_docidx])
+                for tf in text_fields:
+                    tf_tok, _, tf_docidx, tf_pos, tf_lens = tf_results[tf]
+                    if not len(tf_docidx):
+                        continue
+                    tf_norm = doclen_to_norm_byte_fast(tf_lens).astype(np.int64)
+                    acc_tok.append(
+                        pc.binary_join_element_wise(
+                            pa.scalar(tf + ":"),
+                            tf_tok.combine_chunks()
+                            if isinstance(tf_tok, pa.ChunkedArray) else tf_tok,
+                            pa.scalar(""),
+                        )
+                    )
+                    acc_docs.append(docids[tf_docidx])
+                    acc_pos.append(tf_pos)
+                    acc_norm.append(tf_norm[tf_docidx])
+                    acc_len.append(tf_lens[tf_docidx])
                 # keyword fields (StringField.cs:43 analogue): one
                 # "<field>:<value>" token per non-null value, position 0,
                 # NOT counted in the text field length (norms unchanged)
@@ -440,9 +500,12 @@ class IndexBuilder:
                 yield out
 
         P = cfg.num_partitions
-        # keyword + doc-values columns ride the same select (dedupe: a field
-        # can be both a keyword field and a doc-value)
-        extra_cols = list(dict.fromkeys([*keyword_fields, *dv_names]))
+        # keyword + doc-values + extra text columns ride the same select
+        # (dedupe: a field can play several roles); computed __dl_ columns
+        # are NOT inputs — they materialize inside build_partials
+        extra_cols = list(
+            dict.fromkeys([*keyword_fields, *input_dv_names, *text_fields])
+        )
         if external:
             # caller-assigned docids: range partitioning keeps each pid's
             # docid range contiguous and pid order == docid order, so the
@@ -491,11 +554,22 @@ class IndexBuilder:
         )
 
     def _stage_stats(self) -> dict:
-        dm = self.storage.read_stage(self.spark, "docmap", DOCMAP_SCHEMA)
+        dv_ddl = self.storage.commit_meta("docmap").get("dv_ddl", "")
+        dm = self.storage.read_stage(
+            self.spark, "docmap", widen_ddl(DOCMAP_SCHEMA, dv_ddl)
+        )
+        # per-extra-field length totals (FieldInfos per-field norms data):
+        # avgdl for "<field>:<term>" scoring comes from the field's own
+        # __dl_<field> doc-value, never from the text field's
+        tf_aggs = [
+            F.sum(F.coalesce(F.col(f"__dl_{tf}"), F.lit(0))).alias(f"__s_{tf}")
+            for tf in self.config.text_fields
+        ]
         row = dm.agg(
             F.count(F.lit(1)).alias("maxdoc"),
             F.sum("doclen").alias("sum_ttf"),
             F.max("docid").alias("max_docid"),
+            *tf_aggs,
         ).collect()[0]
         maxdoc, sum_ttf = int(row["maxdoc"]), int(row["sum_ttf"] or 0)
         # next free docid — NOT maxdoc: after a delete-applying compaction
@@ -506,10 +580,19 @@ class IndexBuilder:
         df = self.spark.createDataFrame(
             [("text", maxdoc, sum_ttf, avgdl)], "field string, maxdoc long, sum_ttf long, avgdl float"
         )
+        field_stats = {
+            tf: {
+                "sum_ttf": int(row[f"__s_{tf}"] or 0),
+                "avgdl": float(np.float32(int(row[f"__s_{tf}"] or 0) / maxdoc))
+                if maxdoc and int(row[f"__s_{tf}"] or 0) > 0 else 1.0,
+            }
+            for tf in self.config.text_fields
+        }
         return self.storage.write_stage(
             df, "stats", self._fp(),
             meta={
                 "maxdoc": maxdoc, "sum_ttf": sum_ttf, "avgdl": avgdl,
+                "field_stats": field_stats,
                 "next_docid": next_docid, "dense_docids": self.docids_dense,
                 # analysis-chain identity: the Searcher reconstructs the
                 # SAME chain for query-side analysis (stemming etc.)

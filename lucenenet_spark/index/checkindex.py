@@ -128,16 +128,23 @@ def verify(spark: SparkSession, index_dir: str) -> dict:
     )
     results["blocks_sorted"] = int(agg[0] or 0) == 0
     results["blocks_metadata"] = int(agg[1] or 0) == 0
-    # Σ freq over all postings == Σ doclen + keyword postings (every text
-    # token is in exactly one entry; keyword-field entries — namespaced
-    # "<field>:<value>" terms — carry freq 1 each and are NOT part of the
-    # text field length)
+    # Σ freq over all postings == Σ doclen + Σ freq of namespaced postings
+    # (every text token is in exactly one entry; namespaced terms — keyword
+    # "<field>:<value>" entries at tf==1 AND extra-text-field "<field>:term"
+    # entries at their own tf — are NOT part of the text field length)
     kw = postings.filter(F.col("term").contains(":")).agg(
-        F.sum("entry_count")
+        F.sum("block_ttf")
     ).collect()[0][0]
     results["sum_freq_equals_sum_doclen"] = int(agg[3] or 0) == int(
         stats["sum_ttf"]
     ) + int(kw or 0)
+    # per-extra-field totals: Σ freq under "<field>:" == field_stats sum_ttf
+    field_stats = smeta.get("field_stats") or {}
+    for tf_name, v in field_stats.items():
+        got = postings.filter(
+            F.col("term").startswith(tf_name + ":")
+        ).agg(F.sum("block_ttf")).collect()[0][0]
+        results[f"field_sum_ttf_{tf_name}"] = int(got or 0) == int(v["sum_ttf"])
 
     # termstats df/ttf match the posting blocks
     ts_chk = (

@@ -71,6 +71,18 @@ class IndexConfig:
     # analyzer never emits ':'). Keyword postings score with norms omitted
     # (BM25Similarity with norms==null: score = idf since tf==1).
     keyword_fields: tuple[str, ...] = ()
+    # extra input columns indexed as ANALYZED text fields — the multi-field
+    # TextField analogue (Document/TextField.cs:38 + FieldInfos per-field
+    # norms; the MultiFieldQueryParser target shape, e.g. title + body):
+    # each extra field runs the SAME analysis chain, its terms are stored
+    # under the namespaced key "<field>:<term>" (one term-sorted postings
+    # table serves every field), and its postings carry the FIELD'S OWN
+    # doclen/norm bytes. Per-field length totals ride the docmap as
+    # auto-added ``__dl_<field>`` doc-values, so stats records a per-field
+    # sum_ttf/avgdl and TermQuery(field=...) scores BM25 with that field's
+    # length normalization. v0 scope: Term/Boolean/Dismax/rewritten
+    # multi-term shapes on extra fields; Phrase/Span stay default-field.
+    text_fields: tuple[str, ...] = ()
     # extra input columns stored as DOC-VALUES in the docmap — the
     # NumericDocValuesField / SortedDocValuesField analogue
     # (Index/DocValues.cs, Document/Field.cs doc-values kinds): the column
@@ -122,6 +134,8 @@ class IndexConfig:
         d = asdict(self)
         if d.get("sort_field") is None:
             d.pop("sort_field", None)
+        if not d.get("text_fields"):
+            d.pop("text_fields", None)
         return hashlib.sha256(
             json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]

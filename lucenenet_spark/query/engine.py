@@ -223,6 +223,19 @@ class Searcher:
         self.sort_field = (
             cfg_meta.get("sort_field") if not self.is_composite else None
         )
+        # extra analyzed fields (TextField.cs:38 / FieldInfos per-field
+        # norms): per-field sum_ttf sums EXACTLY across generations (each
+        # stats meta records its own field_stats), per-field avgdl derives
+        # from the composite maxdoc like the main avgdl does
+        self.text_fields = tuple(cfg_meta.get("text_fields") or ())
+        self._field_sum_ttf: dict[str, int] = {}
+        for st_ in stores:
+            for fname, v in (
+                st_.commit_meta("stats").get("field_stats") or {}
+            ).items():
+                self._field_sum_ttf[fname] = (
+                    self._field_sum_ttf.get(fname, 0) + int(v["sum_ttf"])
+                )
         am = stores[0].commit_meta("stats").get("analyzer") or {}
         self.analyzer = analyzer_for(
             am.get("name", "standard"),
@@ -238,6 +251,19 @@ class Searcher:
         self.avgdl_exact = self.sum_ttf / float(self.maxdoc) if self.maxdoc else 1.0
         self.bm25 = BM25(k1, b)
         self.cache = self.bm25.norm_cache(self.avgdl)
+        # per-extra-text-field norm caches / exact avgdls
+        self.field_cache: dict = {}
+        self.field_avgdl_exact: dict[str, float] = {}
+        for fname in self.text_fields:
+            s_ttf = self._field_sum_ttf.get(fname, 0)
+            f_avgdl = (
+                np.float32(s_ttf / self.maxdoc)
+                if self.maxdoc and s_ttf > 0 else np.float32(1.0)
+            )
+            self.field_cache[fname] = self.bm25.norm_cache(f_avgdl)
+            self.field_avgdl_exact[fname] = (
+                s_ttf / float(self.maxdoc) if self.maxdoc and s_ttf > 0 else 1.0
+            )
         self.k1 = np.float32(k1)
         self.k1d = float(k1)
         self.bd = float(b)
@@ -288,7 +314,10 @@ class Searcher:
         return out
 
     # ---------------- decode + score kernel ----------------------------- #
-    def _decode_score(self, blocks: DataFrame, st: TermStat, boost: float = 1.0) -> DataFrame:
+    def _decode_score(
+        self, blocks: DataFrame, st: TermStat, boost: float = 1.0,
+        field: str = "text",
+    ) -> DataFrame:
         """Posting blocks -> (docid, score float64-holding-float32-value).
         The vectorized analogue of Lucene41PostingsReader.RefillDocs
         (Lucene41PostingsReader.cs:385-404) fused with BM25DocScorer.Score
@@ -300,10 +329,17 @@ class Searcher:
         a double multiply BEFORE the micro-int floor, keeping integers
         exact); the float32 path applies boost in _score_term instead."""
         exact = self.scoring == "exact_int"
-        cache = self.cache
+        # norms/avgdl are PER FIELD (FieldInfos norms separation): an extra
+        # text field's postings carry that field's doclens/norm bytes, and
+        # its scoring uses that field's avgdl-derived cache
+        cache = self.cache if field == "text" else self.field_cache[field]
         w = np.float32(st.idf) * (self.k1 + np.float32(1.0))
         w_exact = self._idf_exact(st.df) * (self.k1d + 1.0) * float(boost)
-        k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
+        k1d, bd = self.k1d, self.bd
+        avgdl_exact = (
+            self.avgdl_exact if field == "text"
+            else self.field_avgdl_exact[field]
+        )
         one_minus_b = 1.0 - bd
 
         def decode(batches):
@@ -391,13 +427,14 @@ class Searcher:
         return self.spark.createDataFrame([], _EMPTY_SCHEMA)
 
     def _score_term(self, q: TermQuery, stats: dict[str, TermStat]) -> DataFrame:
-        if q.field != "text":
+        if q.field != "text" and q.field not in self.text_fields:
             return self._score_keyword_term(q, stats)
-        st = stats.get(q.term)
+        key = q.term if q.field == "text" else _skey(q.field, q.term)
+        st = stats.get(key)
         if st is None:
             return self._empty()
-        blocks = self.postings.filter(F.col("term") == q.term)
-        scored = self._decode_score(blocks, st, boost=q.boost)
+        blocks = self.postings.filter(F.col("term") == key)
+        scored = self._decode_score(blocks, st, boost=q.boost, field=q.field)
         if q.boost != 1.0 and self.scoring != "exact_int":
             scored = scored.withColumn(
                 "score",
@@ -1852,7 +1889,11 @@ class Searcher:
         return self._explain(q, int(docid), stats)
 
     def _explain(self, q: Query, docid: int, stats: dict[str, TermStat]) -> dict:
-        if isinstance(q, TermQuery) and q.field != "text":
+        if (
+            isinstance(q, TermQuery)
+            and q.field != "text"
+            and q.field not in self.text_fields
+        ):
             key = _skey(q.field, q.term)
             st = stats.get(key)
             if st is None:
@@ -1871,12 +1912,19 @@ class Searcher:
                 ],
             }
         if isinstance(q, TermQuery):
-            st = stats.get(q.term)
+            fld = q.field
+            key = q.term if fld == "text" else _skey(fld, q.term)
+            e_cache = self.cache if fld == "text" else self.field_cache[fld]
+            e_avgdl_exact = (
+                self.avgdl_exact if fld == "text"
+                else self.field_avgdl_exact[fld]
+            )
+            st = stats.get(key)
             if st is None:
-                return {"value": 0.0, "description": f"term({q.term!r}): no match", "details": []}
+                return {"value": 0.0, "description": f"term({key!r}): no match", "details": []}
             row = (
                 self.postings.filter(
-                    (F.col("term") == q.term)
+                    (F.col("term") == key)
                     & (F.col("first_docid") <= docid)
                     & (F.col("last_docid") >= docid)
                 )
@@ -1894,18 +1942,18 @@ class Searcher:
                     doclen = int(r["doclens"][i])
                     break
             if tf is None:
-                return {"value": 0.0, "description": f"term({q.term!r}): no match", "details": []}
+                return {"value": 0.0, "description": f"term({key!r}): no match", "details": []}
             if self.scoring == "exact_int":
                 idf = self._idf_exact(st.df)
                 denom = float(tf) + self.k1d * (
-                    (1.0 - self.bd) + (self.bd * float(doclen)) / self.avgdl_exact
+                    (1.0 - self.bd) + (self.bd * float(doclen)) / e_avgdl_exact
                 )
                 value = float(np.floor((idf * (self.k1d + 1.0) * tf) / denom * 1e6 + 0.5))
                 norm_detail = {"value": doclen, "description": "exact doclen", "details": []}
             else:
                 f = np.float32(tf)
                 w = np.float32(st.idf) * (self.k1 + np.float32(1.0))
-                value = float(np.float32((w * f) / (f + self.cache[norm_byte & 0xFF])))
+                value = float(np.float32((w * f) / (f + e_cache[norm_byte & 0xFF])))
                 idf = float(st.idf)
                 norm_detail = {
                     "value": norm_byte,
@@ -1914,12 +1962,14 @@ class Searcher:
                 }
             return {
                 "value": value,
-                "description": f"weight(term={q.term!r} in {docid}) [BM25 k1={self.k1d} b={self.bd}]",
+                "description": f"weight(term={key!r} in {docid}) [BM25 k1={self.k1d} b={self.bd}]",
                 "details": [
                     {"value": float(idf), "description": f"idf(docFreq={st.df}, maxDocs={self.maxdoc})", "details": []},
                     {"value": tf, "description": "termFreq", "details": []},
                     norm_detail,
-                    {"value": float(self.avgdl if self.scoring == 'lucene' else self.avgdl_exact),
+                    {"value": float(
+                        (self.avgdl if fld == "text" else np.float32(e_avgdl_exact))
+                        if self.scoring == 'lucene' else e_avgdl_exact),
                      "description": "avgFieldLength", "details": []},
                 ],
             }

@@ -1,0 +1,125 @@
+"""Multi-field analyzed text (Document/TextField.cs:38 + FieldInfos
+per-field norms; the MultiFieldQueryParser target shape):
+``IndexConfig.text_fields`` indexes extra columns through the SAME chain
+under "<field>:<term>" keys with the FIELD'S OWN doclen/norm bytes, and
+TermQuery(field=...) scores BM25 with that field's avgdl."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucenenet_spark.data.pages import pages_spark_df
+from lucenenet_spark.index import IndexConfig, build_index
+from lucenenet_spark.query.ast import BooleanQuery, TermQuery
+from lucenenet_spark.query.engine import Searcher
+
+CFG = IndexConfig(
+    num_partitions=4, bucket_width=2, flush_docs=64,
+    stop_filter=False, ascii_tokens=True, text_fields=("title",),
+)
+
+
+def _pages(spark, n, seed):
+    return pages_spark_df(spark, n, seed=seed).withColumn(
+        "title", F.expr("substring(text, 1, 60)")
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mf") / "idx")
+    pages = _pages(spark, 200, seed=7)
+    build_index(spark, pages, out, CFG, overwrite=True)
+    pdf = pages.select("url", "text", "title").toPandas()
+    s = Searcher(spark, out, scoring="exact_int")
+    dm = {r["url"]: r["docid"] for r in s.docmap.select("url", "docid").collect()}
+    return s, pdf, dm
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def _expected_title_scores(pdf, dm, term):
+    """Pure-python BM25 over the TITLE field with integer micro-units —
+    the same op order as the engine's exact_int kernel."""
+    docs = {dm[r.url]: _toks(r.title) for r in pdf.itertuples()}
+    n = len(docs)
+    dls = {d: len(t) for d, t in docs.items()}
+    sum_ttf = sum(dls.values())
+    avgdl = sum_ttf / float(n)
+    matches = {d: t.count(term) for d, t in docs.items() if term in t}
+    df = len(matches)
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    out = {}
+    for d, tf in matches.items():
+        denom = float(tf) + 1.2 * (0.25 + (0.75 * dls[d]) / avgdl)
+        out[d] = math.floor((idf * 2.2 * tf) / denom * 1e6 + 0.5)
+    return out
+
+
+@pytest.mark.parametrize("term", ["the", "data", "w00042"])
+def test_title_term_scores_with_title_stats(built, term):
+    s, pdf, dm = built
+    got = {r["docid"]: r["score"] for r in s.score_df(TermQuery(term, field="title")).collect()}
+    assert got == _expected_title_scores(pdf, dm, term)
+
+
+def test_title_and_text_are_independent(built):
+    s, pdf, dm = built
+    title = {r["docid"] for r in s.score_df(TermQuery("data", field="title")).collect()}
+    text = {r["docid"] for r in s.score_df(TermQuery("data")).collect()}
+    # every title match's doc also contains the term in text (title is a
+    # prefix of text), but not vice versa
+    assert title and title < text
+
+
+def test_mixed_field_boolean_sums(built):
+    s, _, _ = built
+    q = BooleanQuery.build(
+        should=[TermQuery("data"), TermQuery("data", field="title")]
+    )
+    both = {r["docid"]: r["score"] for r in s.score_df(q).collect()}
+    a = {r["docid"]: r["score"] for r in s.score_df(TermQuery("data")).collect()}
+    b = {r["docid"]: r["score"] for r in s.score_df(TermQuery("data", field="title")).collect()}
+    for d, sc in both.items():
+        assert sc == a.get(d, 0) + b.get(d, 0)
+
+
+def test_explain_title_term_value_equals_score(built):
+    s, _, _ = built
+    top = s.search(TermQuery("the", field="title"), 3).collect()
+    for r in top:
+        ex = s.explain(TermQuery("the", field="title"), r["docid"])
+        assert ex["value"] == float(r["score"])
+        assert "title:" in ex["description"]
+
+
+def test_guards(spark):
+    import dataclasses
+
+    with pytest.raises(ValueError, match="english"):
+        build_index(
+            spark, _pages(spark, 10, seed=1), "/tmp/mf_guard1",
+            dataclasses.replace(CFG, analyzer="english"), overwrite=True,
+        )
+    with pytest.raises(ValueError, match="keyword_field"):
+        build_index(
+            spark, _pages(spark, 10, seed=1), "/tmp/mf_guard2",
+            dataclasses.replace(CFG, keyword_fields=("title",)), overwrite=True,
+        )
+    with pytest.raises(ValueError, match="not in input"):
+        build_index(
+            spark, pages_spark_df(spark, 10, seed=1), "/tmp/mf_guard3",
+            CFG, overwrite=True,
+        )
+
+
+def test_checkindex_ok_on_multifield(spark, built):
+    from lucenenet_spark.index import checkindex
+
+    s, _, _ = built
+    res = checkindex.verify(spark, s.index_dir)
+    assert res["ok"], res
