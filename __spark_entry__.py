@@ -1082,6 +1082,19 @@ def q_ft_field_title(spark, sf_dir):
     return _topk_df(s, TermQuery("data", field="title"), 10)
 
 
+def q_ft_dismax_fields(spark, sf_dir):
+    """MultiFieldQueryParser's canonical output shape
+    (QueryParser/MultiFieldQueryParser.cs:43 building a DisjunctionMaxQuery
+    across fields): 'data' searched in BOTH the body and the title field,
+    scored per-field with each field's own stats, combined by dismax
+    (tie_breaker=0: best field wins)."""
+    s = _searcher(spark, sf_dir)
+    q = DisjunctionMaxQuery(
+        (TermQuery("data"), TermQuery("data", field="title")), tie_breaker=0.0
+    )
+    return _topk_df(s, q, 10)
+
+
 def q_ft_search_batch(spark, sf_dir):
     """Batched multi-query search (TopDocs-per-query in ONE Spark job —
     Searcher.search_batch, the mixed-stream throughput lever priced in
@@ -2113,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never gated before r3 + new this round ---
         "ft_field_title": q_ft_field_title,
+        "ft_dismax_fields": q_ft_dismax_fields,
         "ft_sorted_range": q_ft_sorted_range,
         "ft_sorted_early_topk": q_ft_sorted_early_topk,
         "ft_cached_filter": q_ft_cached_filter,
@@ -2895,6 +2909,32 @@ s0 AS (
 scored AS (SELECT doc_id, s AS score FROM s0)
 {_TOPK_TAIL.format(k=10)}
 """
+
+    o["ft_dismax_fields"] = (
+        _SQL_PREFIX + _term_ctes(["data"])
+        + f""",
+tokt AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(substr(text, 1, 80)),
+         '[^a-z0-9]+'), x -> x <> '')) AS term FROM documents
+),
+dlt AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokt GROUP BY doc_id),
+stt AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+               (SELECT count(*) FROM tokt)::DOUBLE AS sum_ttf),
+tt0 AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tokt
+        WHERE term = 'data' GROUP BY doc_id),
+st0 AS (
+  SELECT t.doc_id, CAST(floor(
+    (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM tt0) + 0.5)
+            / ((SELECT count(*) FROM tt0) + 0.5)) * 2.2 * t.tf)
+    / (t.tf + 1.2 * (0.25 + (0.75 * d.dl) / (st.sum_ttf / st.maxdoc)))
+    * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM tt0 t JOIN dlt d USING (doc_id) CROSS JOIN stt st
+),
+u AS (SELECT doc_id, s FROM s0 UNION ALL SELECT doc_id, s FROM st0),
+scored AS (SELECT doc_id, CAST(max(s) AS BIGINT) AS score FROM u GROUP BY doc_id)
+{_TOPK_TAIL.format(k=10)}
+"""
+    )
 
     o["ft_search_batch"] = (
         _SQL_PREFIX + _term_ctes(["data", "join", "row"])
