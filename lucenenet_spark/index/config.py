@@ -80,8 +80,9 @@ class IndexConfig:
     # doclen/norm bytes. Per-field length totals ride the docmap as
     # auto-added ``__dl_<field>`` doc-values, so stats records a per-field
     # sum_ttf/avgdl and TermQuery(field=...) scores BM25 with that field's
-    # length normalization. v0 scope: Term/Boolean/Dismax/rewritten
-    # multi-term shapes on extra fields; Phrase/Span stay default-field.
+    # length normalization. v0 scope: Term/Boolean/Dismax/Phrase
+    # (exact+slop) on extra fields; Spans stay default-field and
+    # multi-term rewrites score norms-omitted.
     text_fields: tuple[str, ...] = ()
     # extra input columns stored as DOC-VALUES in the docmap — the
     # NumericDocValuesField / SortedDocValuesField analogue

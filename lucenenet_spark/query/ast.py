@@ -83,9 +83,14 @@ class BooleanQuery(Query):
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
+    """``field`` may name an extra ANALYZED field (IndexConfig.text_fields):
+    the phrase then runs over that field's namespaced positional postings
+    and scores with the field's own norms/avgdl."""
+
     terms: tuple[str, ...]
     slop: int = 0
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)

@@ -79,7 +79,8 @@ def _collect_terms(q: Query, out: set[str]) -> None:
     if isinstance(q, TermQuery):
         out.add(_skey(q.field, q.term))
     elif isinstance(q, PhraseQuery):
-        out.update(q.terms)
+        fld = getattr(q, "field", "text")
+        out.update(_skey(fld, t) for t in q.terms)
     elif isinstance(q, MultiPhraseQuery):
         for slot in q.slots:
             out.update(slot)
@@ -551,17 +552,21 @@ class Searcher:
         """ExactPhraseScorer / SloppyPhraseScorer (ExactPhraseScorer.cs:26-99)
         as a join of positional postings + a vectorized position-intersection
         kernel; scored like a pseudo-term with freq = phrase occurrences and
-        idf = sum of constituent idfs."""
-        if any(t not in stats for t in q.terms):
+        idf = sum of constituent idfs. ``q.field`` may name an extra text
+        field: each slot seeks the namespaced "<field>:<term>" postings and
+        scoring uses the field's own norms/avgdl."""
+        fld = getattr(q, "field", "text")
+        keys = [_skey(fld, t) for t in q.terms]
+        if any(k not in stats for k in keys):
             return self._empty()
         if not self.has_positions:
             raise ValueError(
                 "phrase queries need an index built with index_positions=True"
             )
-        idf_sum = np.float32(sum(float(stats[t].idf) for t in q.terms))
+        idf_sum = np.float32(sum(float(stats[k].idf) for k in keys))
         per_term = []
-        for i, t in enumerate(q.terms):
-            blocks = self.postings.filter(F.col("term") == t)
+        for i, k in enumerate(keys):
+            blocks = self.postings.filter(F.col("term") == k)
             dec = self._decode_positions(blocks, need_norms=(i == 0)).select(
                 "docid",
                 F.col("positions").alias(f"pos_{i}"),
@@ -574,10 +579,11 @@ class Searcher:
         # float32 path applies it per-score in the kernel), so boosted
         # phrases keep the reproducible-integer contract
         idf_sum_exact = 0.0
-        for t in q.terms:
-            idf_sum_exact = idf_sum_exact + self._idf_exact(stats[t].df)
+        for k in keys:
+            idf_sum_exact = idf_sum_exact + self._idf_exact(stats[k].df)
         return self._positions_kernel(
-            joined, len(q.terms), q.slop, idf_sum, idf_sum_exact, q.boost
+            joined, len(q.terms), q.slop, idf_sum, idf_sum_exact, q.boost,
+            field=fld,
         )
 
     def _positions_kernel(
@@ -588,17 +594,24 @@ class Searcher:
         idf_sum: np.float32,
         idf_sum_exact: float,
         qboost: float,
+        field: str = "text",
     ) -> DataFrame:
         """Shared position-intersection + pseudo-term BM25 scorer behind
         PhraseQuery AND MultiPhraseQuery: ``joined`` carries one sorted
         position array per slot (pos_0..pos_{n-1}) plus docid/norm_byte/
-        doclen; slot i must have a position p0+i (within ±slop)."""
-        cache = self.cache
+        doclen; slot i must have a position p0+i (within ±slop). ``field``
+        selects the norm cache / avgdl — a phrase on an extra text field
+        carries that FIELD'S doclens in its postings."""
+        cache = self.cache if field == "text" else self.field_cache[field]
         w = idf_sum * (self.k1 + np.float32(1.0))
         boost = np.float32(qboost)
         exact = self.scoring == "exact_int"
         w_exact = idf_sum_exact * (self.k1d + 1.0) * float(qboost)
-        k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
+        k1d, bd = self.k1d, self.bd
+        avgdl_exact = (
+            self.avgdl_exact if field == "text"
+            else self.field_avgdl_exact[field]
+        )
         one_minus_b = 1.0 - bd
 
         def phrase_score(batches):

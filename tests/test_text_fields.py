@@ -97,6 +97,47 @@ def test_explain_title_term_value_equals_score(built):
         assert "title:" in ex["description"]
 
 
+def test_phrase_on_title_field(built):
+    """PhraseQuery(field='title'): phrase occurrences counted in the TITLE
+    positions, scored as a pseudo-term with the title's stats."""
+    from lucenenet_spark.query.ast import PhraseQuery
+
+    s, pdf, dm = built
+    docs = {dm[r.url]: _toks(r.title) for r in pdf.itertuples()}
+    n = len(docs)
+    dls = {d: len(t) for d, t in docs.items()}
+    avgdl = sum(dls.values()) / float(n)
+
+    # find a phrase pair that occurs in at least one title
+    pair = None
+    for t in docs.values():
+        if len(t) >= 2:
+            pair = (t[0], t[1])
+            break
+    assert pair
+    pfs = {
+        d: sum(1 for i in range(len(t) - 1) if (t[i], t[i + 1]) == pair)
+        for d, t in docs.items()
+    }
+    pfs = {d: c for d, c in pfs.items() if c}
+    dfa = sum(1 for t in docs.values() if pair[0] in t)
+    dfb = sum(1 for t in docs.values() if pair[1] in t)
+    idf = math.log(1.0 + (n - dfa + 0.5) / (dfa + 0.5)) + math.log(
+        1.0 + (n - dfb + 0.5) / (dfb + 0.5)
+    )
+    want = {
+        d: math.floor(
+            (idf * 2.2 * c) / (c + 1.2 * (0.25 + (0.75 * dls[d]) / avgdl)) * 1e6 + 0.5
+        )
+        for d, c in pfs.items()
+    }
+    got = {
+        r["docid"]: r["score"]
+        for r in s.score_df(PhraseQuery(pair, field="title")).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_guards(spark):
     import dataclasses
 
