@@ -286,6 +286,18 @@ def q_ft_phrase(spark, sf_dir):
     return _topk_df(_searcher(spark, sf_dir), PhraseQuery(("part", "filter")), 10)
 
 
+def q_ft_phrase_sloppy(spark, sf_dir):
+    """SloppyPhraseScorer (SloppyPhraseScorer.cs PhraseFreq): "part
+    filter"~2 with the reference's damped freq — each anchor contributes
+    sloppyFreq(matchLength) = 1/(1+matchLength) (BM25Similarity.cs:74),
+    matchLength = adjusted-window size of the nearest-candidate match,
+    match iff matchLength <= slop. Same positional-join physical plan as
+    the exact phrase; the kernel sums integer micro-unit slop factors so
+    the score stays bit-reproducible against the SQL oracle."""
+    q = PhraseQuery(("part", "filter"), slop=2)
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
 def q_ft_prefix(spark, sf_dir):
     """PrefixQuery via term-dictionary scan + CONSTANT_SCORE_AUTO rewrite
     (PrefixQuery.cs:37, MultiTermQuery.cs:95)."""
@@ -505,8 +517,10 @@ def q_ft_multi_phrase(spark, sf_dir):
 def q_ft_lucene_rank(spark, sf_dir):
     """Driver-visible gate for the FLOAT32 Lucene scoring path (the engine
     default; every other ft_* entry runs the exact_int oracle mode). Runs a
-    FOUR-SHAPE battery — disjunction, conjunction, exact phrase, and
-    minimum-should-match — each twice (unpruned and with block-max WAND,
+    SIX-SHAPE battery — disjunction, conjunction, exact phrase,
+    minimum-should-match, sloppy phrase (damped sloppyFreq,
+    SloppyPhraseScorer.cs), and ordered span (SpanScorer.cs damping) —
+    each twice (unpruned and with block-max WAND,
     which falls back where pruning doesn't apply) in ``scoring="lucene"``
     mode, and verifies ALL runs against the in-repo numpy golden oracle
     (scoring/oracle.py: float32 BM25 in reference op order, float64
@@ -547,6 +561,11 @@ def q_ft_lucene_rank(spark, sf_dir):
                 minimum_should_match=2,
             ),
         ),
+        # r4: the damped sloppyFreq shapes (SloppyPhraseScorer.cs PhraseFreq
+        # + SpanScorer.cs SetFreqCurrentDoc) — freq = sum of 1/(1+matchLength)
+        # slop factors, float64-accumulated in anchor order, cast once
+        ("sloppy", PhraseQuery(("part", "filter"), slop=2)),
+        ("span", SpanNearQuery(("data", "merge"), slop=2, in_order=True)),
     ]
     terms = ["data", "spark", "part", "filter", "merge"]
 
@@ -731,9 +750,11 @@ def q_ft_sort_by_field(spark, sf_dir):
 def q_ft_span_near(spark, sf_dir):
     """Spans module, ordered proximity (SpanNearQuery.cs:38-66,
     NearSpansOrdered.cs:42-89): 'data' then 'merge' in order within slop 2,
-    scored as a pseudo-term (freq = matching anchors, idf = sum of both
-    idfs). Physical plan: two positional posting seeks joined on docid +
-    one vectorized greedy-chain kernel."""
+    scored as a pseudo-term with the reference's SpanScorer damping: each
+    anchor's greedy-chain match contributes sloppyFreq(End - Start) =
+    1/(1+window) (SpanScorer.cs SetFreqCurrentDoc, BM25Similarity.cs:74);
+    idf = sum of both idfs. Physical plan: two positional posting seeks
+    joined on docid + one vectorized greedy-chain kernel."""
     q = SpanNearQuery(("data", "merge"), slop=2, in_order=True)
     return _topk_df(_searcher(spark, sf_dir), q, 10)
 
@@ -741,7 +762,8 @@ def q_ft_span_near(spark, sf_dir):
 def q_ft_span_near_unord(spark, sf_dir):
     """Spans module, unordered proximity (NearSpansUnordered.cs:36-60):
     'query' and 'join' in either order within a joint window of slop 1
-    (|Δpos| <= 2)."""
+    (|Δpos| <= 2); each anchor contributes sloppyFreq(|Δpos| + 1) for its
+    nearest partner (max(end) - min(start) of two unit spans)."""
     q = SpanNearQuery(("query", "join"), slop=1, in_order=False)
     return _topk_df(_searcher(spark, sf_dir), q, 10)
 
@@ -760,23 +782,25 @@ def q_ft_span_syn(spark, sf_dir):
 
 def q_ft_span_first(spark, sf_dir):
     """SpanFirstQuery.cs:33-49: 'table' spans ending within the first 8
-    positions; tf truncated to the prefix window, idf from the term's full
-    document frequency."""
+    positions; tf truncated to the prefix window and damped by
+    sloppyFreq(1) = 1/2 per unit span (SpanScorer.cs), idf from the term's
+    full document frequency."""
     return _topk_df(_searcher(spark, sf_dir), SpanFirstQuery("table", end=8), 10)
 
 
 def q_ft_span_or(spark, sf_dir):
-    """SpanOrQuery.cs:36-58: union of 'data'/'vector' spans scored as one
-    pseudo-term (freq = total occurrences of either, idf = sum of both) —
-    lowered by rewrite() to a single-slot MultiPhraseQuery, so the
-    physical plan is the slot-union positional join."""
+    """SpanOrQuery.cs:36-58: union of 'data'/'vector' spans scored through
+    SpanScorer — every unit span contributes sloppyFreq(1) = 1/2, idf =
+    sum of both — lowered by rewrite() to a single-clause SpanNearQuery,
+    so the physical plan is the slot-union positional join."""
     q = SpanOrQuery(("data", "vector"))
     return _topk_df(_searcher(spark, sf_dir), q, 10)
 
 
 def q_ft_span_not(spark, sf_dir):
     """SpanNotQuery.cs:38-61: 'data' occurrences with no 'merge' within
-    one position either side (pre=post=1); tf = surviving positions, idf
+    one position either side (pre=post=1); tf = surviving positions damped
+    by sloppyFreq(1) = 1/2 each (SpanScorer.cs), idf
     from 'data' alone."""
     q = SpanNotQuery("data", "merge", pre=1, post=1)
     return _topk_df(_searcher(spark, sf_dir), q, 10)
@@ -2124,7 +2148,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and/or r2, unchanged since, with in-repo suite coverage) absorb the
     # cap.
     return {
-        # --- never gated before r3 + new this round ---
+        # --- changed or new in r4 (sloppyFreq damping touched every span
+        # entry + the float32 battery; ft_phrase_sloppy is new) ---
+        "ft_phrase_sloppy": q_ft_phrase_sloppy,
+        "ft_span_near": q_ft_span_near,
+        "ft_span_near_unord": q_ft_span_near_unord,
+        "ft_span_syn": q_ft_span_syn,
+        "ft_span_first": q_ft_span_first,
+        "ft_span_or": q_ft_span_or,
+        "ft_span_not": q_ft_span_not,
+        "ft_lucene_rank": q_ft_lucene_rank,
+        # --- r3-gated green, unchanged ---
         "ft_field_title": q_ft_field_title,
         "ft_dismax_fields": q_ft_dismax_fields,
         "ft_sorted_range": q_ft_sorted_range,
@@ -2138,17 +2172,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_flat": q_ann_ivf_flat,
         "ft_fuzzy_suggest": q_ft_fuzzy_suggest,
         "ft_search_batch": q_ft_search_batch,
-        "ft_span_syn": q_ft_span_syn,
         "ft_join_scores": q_ft_join_scores,
         "ft_facet_ts_range": q_ft_facet_ts_range,
         "txt_decontam": q_txt_decontam,
         "txt_repetition": q_txt_repetition,
         "pipe_stratified_sample": q_pipe_stratified_sample,
-        "ft_span_near": q_ft_span_near,
-        "ft_span_near_unord": q_ft_span_near_unord,
-        "ft_span_first": q_ft_span_first,
-        "ft_span_or": q_ft_span_or,
-        "ft_span_not": q_ft_span_not,
         "web_extract_text": q_web_extract_text,
         "ft_recency_boost": q_ft_recency_boost,
         "ft_boosting": q_ft_boosting,
@@ -2188,7 +2216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_field_keyword": q_ft_field_keyword,
         "ft_field_mixed": q_ft_field_mixed,
         "ft_filtered_range": q_ft_filtered_range,
-        "ft_lucene_rank": q_ft_lucene_rank,
         "ft_mlt": q_ft_mlt,
         "ft_highlight": q_ft_highlight,
         "ft_rescore": q_ft_rescore,
@@ -2302,21 +2329,66 @@ scored AS (
         + _TOPK_TAIL.format(k=10)
     )
 
-    # spans: anchored-existence matches over the 1-based tokp position table
-    # (relative offsets equal the engine's 0-based ones). ordered n=2: a
-    # 'merge' strictly after the 'data' anchor within slop+1; unordered n=2:
-    # either side within the joint window slop+1. freq = DISTINCT anchors.
-    def _span_pf(t0: str, t1: str, cond: str) -> str:
+    # sloppy phrase: per 'part' anchor, the nearest adjusted 'filter'
+    # position (adj = pos - 1) within +-slop; matchLength = that distance
+    # (n=2: the window is exactly |adj - anchor|); each anchor contributes
+    # the micro-unit slop factor floor(1e6/(1+matchLength)+0.5), summed
+    # exactly and divided once — bit-identical to the engine kernel
+    o["ft_phrase_sloppy"] = (
+        _SQL_PREFIX + _term_ctes(["part", "filter"])
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+pf AS (
+  SELECT doc_id, CAST(sum(sf) AS DOUBLE) / 1000000.0 AS pf FROM (
+    SELECT a.doc_id AS doc_id, a.pos AS apos,
+           CAST(floor(1000000.0 / (1.0 + min(abs((b.pos - 1) - a.pos))) + 0.5) AS BIGINT) AS sf
+    FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id
+      AND abs((b.pos - 1) - a.pos) <= 2
+    WHERE a.term = 'part' AND b.term = 'filter'
+    GROUP BY a.doc_id, a.pos
+  ) GROUP BY doc_id
+),
+idfs AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)/((SELECT count(*) FROM t1) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+scored AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # spans: anchor-enumerated matches over the 1-based tokp position table
+    # (relative offsets equal the engine's 0-based ones), with the
+    # reference's SpanScorer sloppyFreq damping: each anchor contributes
+    # 1/(1+matchLength), matchLength = covering window size (`mexpr`, in
+    # terms of the anchor a.pos and the chain end min(b.pos)). Integer
+    # micro-unit slop factors summed exactly, divided once — the same
+    # bit-reproducible arithmetic the engine kernel uses. ordered n=2: the
+    # chain end is the nearest 'b' strictly after the anchor within the
+    # window; unordered n=2: the nearest 'b' either side.
+    def _span_pf(t0: str, t1: str, cond: str, mexpr: str) -> str:
         return f"""
 tokp AS (
   SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
   FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
 ),
 pf AS (
-  SELECT a.doc_id, count(DISTINCT a.pos)::DOUBLE AS pf
-  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND ({cond})
-  WHERE a.term = '{t0}' AND b.term = '{t1}'
-  GROUP BY a.doc_id
+  SELECT doc_id, CAST(sum(sf) AS DOUBLE) / 1000000.0 AS pf FROM (
+    SELECT a.doc_id AS doc_id, a.pos AS apos,
+           CAST(floor(1000000.0 / (1.0 + ({mexpr})) + 0.5) AS BIGINT) AS sf
+    FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND ({cond})
+    WHERE a.term = '{t0}' AND b.term = '{t1}'
+    GROUP BY a.doc_id, a.pos
+  ) GROUP BY doc_id
 ),
 idfs AS (
   SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5))
@@ -2333,7 +2405,11 @@ scored AS (
 
     o["ft_span_near"] = (
         _SQL_PREFIX + _term_ctes(["data", "merge"]) + ","
-        + _span_pf("data", "merge", "b.pos > a.pos AND b.pos <= a.pos + 3")
+        + _span_pf(
+            "data", "merge",
+            "b.pos > a.pos AND b.pos <= a.pos + 3",
+            "min(b.pos) - a.pos + 1",  # End - Start of the greedy chain
+        )
         + _TOPK_TAIL.format(k=10)
     )
 
@@ -2350,11 +2426,14 @@ tokp AS (
   FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
 ),
 pf AS (
-  SELECT a.doc_id, count(DISTINCT a.pos)::DOUBLE AS pf
-  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id
-    AND b.pos > a.pos AND b.pos <= a.pos + 3
-  WHERE a.term IN ('data', 'vector') AND b.term = 'merge'
-  GROUP BY a.doc_id
+  SELECT doc_id, CAST(sum(sf) AS DOUBLE) / 1000000.0 AS pf FROM (
+    SELECT a.doc_id AS doc_id, a.pos AS apos,
+           CAST(floor(1000000.0 / (1.0 + (min(b.pos) - a.pos + 1)) + 0.5) AS BIGINT) AS sf
+    FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id
+      AND b.pos > a.pos AND b.pos <= a.pos + 3
+    WHERE a.term IN ('data', 'vector') AND b.term = 'merge'
+    GROUP BY a.doc_id, a.pos
+  ) GROUP BY doc_id
 ),
 idfs AS (
   SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5))
@@ -2374,7 +2453,11 @@ scored AS (
 
     o["ft_span_near_unord"] = (
         _SQL_PREFIX + _term_ctes(["query", "join"]) + ","
-        + _span_pf("query", "join", "abs(b.pos - a.pos) <= 2")
+        + _span_pf(
+            "query", "join",
+            "abs(b.pos - a.pos) <= 2",
+            "min(abs(b.pos - a.pos)) + 1",  # max(end)-min(start), unit spans
+        )
         + _TOPK_TAIL.format(k=10)
     )
 
@@ -2389,7 +2472,8 @@ tokp AS (
   FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
 ),
 pf AS (
-  SELECT doc_id, count(*)::DOUBLE AS pf FROM tokp
+  -- each qualifying unit span contributes sloppyFreq(1) = 1/2
+  SELECT doc_id, count(*)::DOUBLE * 0.5 AS pf FROM tokp
   WHERE term = 'table' AND pos <= 8 GROUP BY doc_id
 ),
 idfs AS (
@@ -2412,7 +2496,9 @@ scored AS (
         _SQL_PREFIX + _term_ctes(["data", "vector"])
         + f""",
 pf AS (
-  SELECT doc_id, count(*)::DOUBLE AS pf FROM tok
+  -- each member's unit span contributes sloppyFreq(1) = 1/2 (positions of
+  -- distinct terms never collide, so plain count == deduped union count)
+  SELECT doc_id, count(*)::DOUBLE * 0.5 AS pf FROM tok
   WHERE term IN ('data', 'vector') GROUP BY doc_id
 ),
 idfs AS (
@@ -2440,7 +2526,8 @@ tokp AS (
   FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
 ),
 pf AS (
-  SELECT doc_id, count(*)::DOUBLE AS pf FROM tokp a
+  -- each surviving unit span contributes sloppyFreq(1) = 1/2
+  SELECT doc_id, count(*)::DOUBLE * 0.5 AS pf FROM tokp a
   WHERE a.term = 'data' AND NOT EXISTS (
     SELECT 1 FROM tokp b WHERE b.doc_id = a.doc_id AND b.term = 'merge'
       AND b.pos BETWEEN a.pos - 1 AND a.pos + 1)

@@ -85,7 +85,17 @@ class BooleanQuery(Query):
 class PhraseQuery(Query):
     """``field`` may name an extra ANALYZED field (IndexConfig.text_fields):
     the phrase then runs over that field's namespaced positional postings
-    and scores with the field's own norms/avgdl."""
+    and scores with the field's own norms/avgdl.
+
+    slop > 0 scores per the reference's SloppyPhraseScorer: each match
+    contributes sloppyFreq(matchLength) = 1/(1+matchLength) to freq
+    (BM25Similarity.cs:74), matchLength = size of the adjusted-position
+    window (0 for an exact occurrence), match iff matchLength <= slop.
+    Match enumeration is anchor-based (one candidate combination per
+    slot-0 position, each later slot choosing its nearest adjusted
+    position) — a deterministic convention; the reference's PhraseQueue
+    enumeration is itself order-dependent and approximate
+    (SloppyPhraseScorer.cs PhraseFreq doc comment)."""
 
     terms: tuple[str, ...]
     slop: int = 0
@@ -281,13 +291,17 @@ class SpanNearQuery(Query):
     members missing from the index simply contribute no spans (a clause
     whose EVERY member is missing can never match). Unordered supports
     exactly two clauses (the joint-window constraint for n>2 needs the
-    reference's SpansCell queue and is out of scope). Scoring follows this
-    engine's sloppy-phrase convention: freq = number of matching anchor
-    positions of clause 0, idf = sum over every indexed member term of
-    every clause (the all-member-stats SpanWeight), and the reference's
-    SpanScorer sloppyFreq damping 1/(1+slopInMatch), SloppySimScorer, is
-    intentionally not reproduced — same documented divergence as
-    SloppyPhraseScorer."""
+    reference's SpansCell queue and is out of scope). Scoring follows the
+    reference's SpanScorer (SpanScorer.cs SetFreqCurrentDoc): each
+    enumerated span match contributes sloppyFreq(matchLength) =
+    1/(1+matchLength) to freq, matchLength = End - Start of the covering
+    window (n unit spans packed adjacently give matchLength = n); idf =
+    sum over every indexed member term of every clause (the
+    all-member-stats SpanWeight). Enumeration convention: one span per
+    clause-0 anchor position — ordered takes the greedy minimal chain,
+    unordered the nearest clause-1 span; the reference's own enumeration
+    is likewise order-dependent and approximate (SloppyPhraseScorer.cs
+    PhraseFreq doc comment)."""
 
     terms: tuple["str | tuple[str, ...] | SpanOrQuery", ...]
     slop: int = 0
@@ -310,12 +324,13 @@ class SpanNearQuery(Query):
 @dataclass(frozen=True)
 class SpanOrQuery(Query):
     """SpanOrQuery.cs:36-58 over term clauses: the union of the terms'
-    spans, scored as one pseudo-term (freq = total matching spans = total
-    occurrences of any member term; idf = sum over member terms, the same
-    all-member-stats weight the reference's SpanWeight builds). With
-    unit-length term spans this is exactly a single-slot MultiPhraseQuery
-    (the slot-union of positions), so :func:`rewrite` lowers it to one —
-    the engine and oracle never see the class itself."""
+    spans scored through SpanScorer — every member's unit span contributes
+    sloppyFreq(1) = 1/2 to freq (deduped per position: two members at one
+    position are one match site); idf = sum over member terms, the same
+    all-member-stats weight the reference's SpanWeight builds. With
+    unit-length term spans this is a single-clause SpanNearQuery (the
+    slot-union of positions), so :func:`rewrite` lowers it to one — the
+    engine and oracle never see the class itself."""
 
     terms: tuple[str, ...]
     boost: float = 1.0
@@ -358,12 +373,15 @@ def rewrite(q: Query) -> Query:
     - 1-clause BooleanQuery unwrap (BooleanQuery.cs:535-560): a BooleanQuery
       with a single MUST/SHOULD clause and no minShouldMatch constraint
       rewrites to its inner query.
-    - SpanOrQuery over unit term spans lowers to a single-slot
-      MultiPhraseQuery (identical span-union + all-member-idf semantics).
+    - SpanOrQuery over unit term spans lowers to a single-clause
+      SpanNearQuery (identical span-union + all-member-idf semantics, and
+      the SpanScorer sloppyFreq damping applies: matchLength 1 per unit
+      span -> 1/2 per match site; a MultiPhraseQuery lowering would score
+      the phrase convention, slop factor 1).
     - recursion into nested boolean clauses.
     """
     if isinstance(q, SpanOrQuery):
-        return MultiPhraseQuery((tuple(q.terms),), 0, q.boost)
+        return SpanNearQuery((tuple(q.terms),), 0, True, q.boost)
     if isinstance(q, BooleanQuery):
         clauses = tuple(BooleanClause(rewrite(c.query), c.occur) for c in q.clauses)
         q = BooleanQuery(clauses, q.minimum_should_match, q.boost)
@@ -376,10 +394,18 @@ def rewrite(q: Query) -> Query:
             inner = scoring[0].query
             if q.boost != 1.0:
                 # the group boost folds into the unwrapped clause
-                # (BooleanQuery.cs:541-546: clone.Boost *= Boost)
+                # (BooleanQuery.cs:541-546: clone.Boost *= Boost) — but only
+                # into query types that carry a boost field; constant-score
+                # filters (TermsFilter, DuplicateFilter, CachingWrapper-
+                # Filter) have none, so the wrapper is kept for them
                 import dataclasses
 
-                inner = dataclasses.replace(inner, boost=inner.boost * q.boost)
+                if any(f.name == "boost" for f in dataclasses.fields(inner)):
+                    inner = dataclasses.replace(
+                        inner, boost=inner.boost * q.boost
+                    )
+                else:
+                    return q
             return inner
     if isinstance(q, ConstantScoreQuery):
         return ConstantScoreQuery(rewrite(q.query), q.boost)

@@ -623,10 +623,21 @@ class Searcher:
             is globally sorted. No per-row or per-position Python loops.
 
             Semantics are IDENTICAL to the row-at-a-time form: slop==0
-            needs position p0+i present in term i's list; slop>0 needs any
-            position of term i within [p0+i-slop, p0+i+slop] (an existence
-            range probe: left/right searchsorted bounds differ)."""
+            needs position p0+i present in term i's list (freq = match
+            count, slop factor 1). slop>0 follows the reference's
+            SloppyPhraseScorer (SloppyPhraseScorer.cs PhraseFreq,
+            matchLength = adjusted-window size, match iff matchLength <=
+            slop) with damped freq contributions 1/(1+matchLength)
+            (BM25Similarity.cs:74 SloppyFreq): per anchor a0 (slot-0
+            adjusted position), each slot contributes its NEAREST adjusted
+            position (tie -> earlier), matchLength = max - min over the
+            chosen adjusted positions incl. the anchor. Enumeration is
+            anchor-based — one candidate combination per slot-0 position —
+            a deterministic convention; the reference's own PhraseQueue
+            enumeration is likewise order-dependent and approximate (see
+            the SloppyPhraseScorer.cs PhraseFreq doc comment)."""
             M = np.int64(1) << 33  # > 2*max position; rows separated safely
+            BIG = np.int64(1) << 40  # poison distance; masked by `match`
 
             def flat_keys(col):
                 lens = col.map(len).to_numpy(np.int64)
@@ -643,6 +654,8 @@ class Searcher:
                     continue
                 base_keys, base_rows = flat_keys(pdf["pos_0"])
                 match = np.ones(len(base_keys), dtype=bool)
+                maxc = np.zeros(len(base_keys), dtype=np.int64)
+                minc = np.zeros(len(base_keys), dtype=np.int64)
                 for i in range(1, nterms):
                     keys_i, _ = flat_keys(pdf[f"pos_{i}"])
                     if slop == 0:
@@ -655,23 +668,61 @@ class Searcher:
                             else np.zeros(len(cand), dtype=bool)
                         )
                     else:
-                        lo = np.searchsorted(keys_i, base_keys + (i - slop), "left")
-                        hi = np.searchsorted(keys_i, base_keys + (i + slop), "right")
-                        found = hi > lo
+                        # nearest adjusted position per anchor (adj = pos-i;
+                        # composite keys keep rows separated, so a cross-row
+                        # neighbor's distance always exceeds `slop`)
+                        adj = keys_i - i
+                        n_i = len(adj)
+                        if n_i == 0:
+                            match[:] = False
+                            break
+                        idxr = np.searchsorted(adj, base_keys, "left")
+                        right = adj[np.minimum(idxr, n_i - 1)]
+                        dr = np.where(idxr < n_i, right - base_keys, BIG)
+                        left = adj[np.maximum(idxr - 1, 0)]
+                        dl_ = np.where(idxr > 0, base_keys - left, BIG)
+                        found = np.minimum(dl_, dr) <= slop
+                        c = np.where(dl_ <= dr, -dl_, dr)  # tie -> earlier
+                        np.maximum(maxc, c, out=maxc)
+                        np.minimum(minc, c, out=minc)
                     match &= found
-                freqs = np.bincount(base_rows[match], minlength=len(pdf)).astype(np.int64)
-                hit = freqs > 0
+                if slop > 0:
+                    matchlen = maxc - minc
+                    match &= matchlen <= slop
+                counts = np.bincount(base_rows[match], minlength=len(pdf)).astype(np.int64)
+                hit = counts > 0
                 if not hit.any():
                     continue
-                f = freqs[hit]
                 docids = pdf["docid"].to_numpy(np.int64)[hit]
+                if slop == 0:
+                    # exact phrase: slop factor 1 per match, freq = count
+                    fd = counts[hit].astype(np.float64)
+                    f64 = fd
+                else:
+                    # damped freq: exact mode sums integer micro-unit slop
+                    # factors (bit-reproducible in any engine); lucene mode
+                    # sums 1/(1+matchLength) in float64 in anchor order and
+                    # casts once (the engine-wide double-accumulate
+                    # convention, see scoring/oracle.py module docstring)
+                    m_m = matchlen[match].astype(np.float64)
+                    rows_m = base_rows[match]
+                    if exact:
+                        sf_int = np.floor(1e6 / (1.0 + m_m) + 0.5)
+                        fd = (
+                            np.bincount(rows_m, weights=sf_int, minlength=len(pdf))[hit]
+                            / 1e6
+                        )
+                        f64 = None
+                    else:
+                        f64 = np.bincount(
+                            rows_m, weights=1.0 / (1.0 + m_m), minlength=len(pdf)
+                        )[hit]
                 if exact:
-                    fd = f.astype(np.float64)
                     dl = pdf["doclen"].to_numpy(np.float64)[hit]
                     denom = fd + k1d * (one_minus_b + (bd * dl) / avgdl_exact)
                     score = np.floor((w_exact * fd) / denom * 1e6 + 0.5)
                 else:
-                    f32 = f.astype(np.float32)
+                    f32 = f64.astype(np.float32)
                     nb = pdf["norm_byte"].to_numpy(np.int64)[hit] & 0xFF
                     score = (boost * ((w * f32) / (f32 + cache[nb])).astype(np.float32)).astype(
                         np.float32
@@ -863,24 +914,49 @@ class Searcher:
                         np.minimum(idx, len(keys_i) - 1, out=idx)
                         cur = keys_i[idx]
                     match &= (cur - base_keys) <= window
+                    # SpanScorer matchLength = End - Start: the covering
+                    # window of the greedy chain in positions
+                    mlen = (cur - base_keys) + 1
                 else:
                     keys_1, _ = flat_keys(pdf["pos_1"])
-                    lo = np.searchsorted(keys_1, base_keys - window, "left")
-                    hi = np.searchsorted(keys_1, base_keys + window, "right")
-                    match &= hi > lo
-                freqs = np.bincount(base_rows[match], minlength=len(pdf)).astype(np.int64)
-                hit = freqs > 0
+                    n1 = len(keys_1)
+                    if n1 == 0:
+                        continue
+                    # nearest clause-1 span per anchor (joint minimal window)
+                    idxr = np.searchsorted(keys_1, base_keys, "left")
+                    right = keys_1[np.minimum(idxr, n1 - 1)]
+                    dr = np.where(idxr < n1, right - base_keys, np.int64(1) << 40)
+                    left = keys_1[np.maximum(idxr - 1, 0)]
+                    dl_ = np.where(idxr > 0, base_keys - left, np.int64(1) << 40)
+                    d = np.minimum(dl_, dr)
+                    match &= d <= window
+                    mlen = d + 1  # max(end) - min(start) of two unit spans
+                counts = np.bincount(base_rows[match], minlength=len(pdf)).astype(np.int64)
+                hit = counts > 0
                 if not hit.any():
                     continue
-                f = freqs[hit]
                 docids = pdf["docid"].to_numpy(np.int64)[hit]
+                # SpanScorer.cs SetFreqCurrentDoc: freq += sloppyFreq(
+                # matchLength) per enumerated span, sloppyFreq = 1/(1+d)
+                # (BM25Similarity.cs:74). exact mode sums integer micro-unit
+                # factors (bit-reproducible); lucene mode sums float64 in
+                # anchor order, cast once (double-accumulate convention).
+                m_m = mlen[match].astype(np.float64)
+                rows_m = base_rows[match]
                 if exact:
-                    fd = f.astype(np.float64)
+                    sf_int = np.floor(1e6 / (1.0 + m_m) + 0.5)
+                    fd = (
+                        np.bincount(rows_m, weights=sf_int, minlength=len(pdf))[hit]
+                        / 1e6
+                    )
                     dl = pdf["doclen"].to_numpy(np.float64)[hit]
                     denom = fd + k1d * (one_minus_b + (bd * dl) / avgdl_exact)
                     score = np.floor((w_exact * fd) / denom * 1e6 + 0.5)
                 else:
-                    f32 = f.astype(np.float32)
+                    f64 = np.bincount(
+                        rows_m, weights=1.0 / (1.0 + m_m), minlength=len(pdf)
+                    )[hit]
+                    f32 = f64.astype(np.float32)
                     nb = pdf["norm_byte"].to_numpy(np.int64)[hit] & 0xFF
                     score = (
                         boost * ((w * f32) / (f32 + cache[nb])).astype(np.float32)
@@ -933,15 +1009,18 @@ class Searcher:
                 hit = freqs > 0
                 if not hit.any():
                     continue
+                # every unit term span has matchLength = End - Start = 1, so
+                # SpanScorer's sloppyFreq contributes 1/(1+1) per match
+                # (exact halves: no float drift)
                 f = freqs[hit]
                 docids = pdf["docid"].to_numpy(np.int64)[hit]
                 if exact:
-                    fd = f.astype(np.float64)
+                    fd = f.astype(np.float64) * 0.5
                     dl = pdf["doclen"].to_numpy(np.float64)[hit]
                     denom = fd + k1d * (one_minus_b + (bd * dl) / avgdl_exact)
                     score = np.floor((w_exact * fd) / denom * 1e6 + 0.5)
                 else:
-                    f32 = f.astype(np.float32)
+                    f32 = (f.astype(np.float64) * 0.5).astype(np.float32)
                     nb = pdf["norm_byte"].to_numpy(np.int64)[hit] & 0xFF
                     score = (
                         boost * ((w * f32) / (f32 + cache[nb])).astype(np.float32)
@@ -1010,15 +1089,17 @@ class Searcher:
                 hit = freqs > 0
                 if not hit.any():
                     continue
+                # surviving unit spans contribute sloppyFreq(1) = 1/2 each
+                # (SpanScorer.cs SetFreqCurrentDoc; exact halves)
                 f = freqs[hit]
                 docids = pdf["docid"].to_numpy(np.int64)[hit]
                 if exact:
-                    fd = f.astype(np.float64)
+                    fd = f.astype(np.float64) * 0.5
                     dl = pdf["doclen"].to_numpy(np.float64)[hit]
                     denom = fd + k1d * (one_minus_b + (bd * dl) / avgdl_exact)
                     score = np.floor((w_exact * fd) / denom * 1e6 + 0.5)
                 else:
-                    f32 = f.astype(np.float32)
+                    f32 = (f.astype(np.float64) * 0.5).astype(np.float32)
                     nb = pdf["norm_byte"].to_numpy(np.int64)[hit] & 0xFF
                     score = (
                         boost * ((w * f32) / (f32 + cache[nb])).astype(np.float32)

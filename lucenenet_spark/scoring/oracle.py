@@ -14,6 +14,16 @@ Scoring contract (SURVEY.md §4.4):
   (ConjunctionScorer.cs:120-128) — we deliberately use the disjunction
   convention for ALL boolean shapes so the semantics are order-independent
   and therefore implementable as a distributed hash aggregation;
+- sloppy phrase / span freq follows the reference's damping
+  (BM25Similarity.cs:74 SloppyFreq = 1/(1+distance), applied per match in
+  SloppyPhraseScorer.PhraseFreq and SpanScorer.SetFreqCurrentDoc): each
+  match contributes 1/(1+matchLength); the factors accumulate in float64 in
+  anchor order and cast to float32 once (the reference accumulates the freq
+  itself in float32 — the same documented double-accumulate convention as
+  the boolean sums above). Match ENUMERATION is anchor-based (one
+  combination per slot-0/clause-0 position; see PhraseQuery/SpanNearQuery
+  docstrings) — a deterministic convention mirroring the reference's own
+  order-dependent approximate PhraseQueue enumeration;
 - tie-break: score desc, then docid asc (HitQueue.cs:77-87).
 """
 
@@ -270,7 +280,8 @@ class OracleIndex:
     def _eval_span_not(self, q: SpanNotQuery) -> dict[int, float]:
         """SpanNotQuery.cs:38-61: include positions with no exclude in
         [p-pre, p+post]; idf from the include term only (see the dataclass
-        docstring for the documented divergence)."""
+        docstring for the documented divergence). Each surviving unit span
+        contributes sloppyFreq(1) = 1/2 (SpanScorer.cs SetFreqCurrentDoc)."""
         plist = self.postings.get(q.include, {})
         if not plist:
             return {}
@@ -279,7 +290,7 @@ class OracleIndex:
         out: dict[int, float] = {}
         for d, (_f, poss) in plist.items():
             expos = exc.get(d, (0, []))[1]
-            freq = sum(
+            freq = 0.5 * sum(
                 1
                 for p in poss
                 if not any(p - q.pre <= e <= p + q.post for e in expos)
@@ -324,7 +335,9 @@ class OracleIndex:
         out: dict[int, float] = {}
         for d in sorted(common):
             positions = [sorted(p[d][1]) for p in per_term]
-            freq = 0
+            # SpanScorer.cs SetFreqCurrentDoc: freq += 1/(1+matchLength)
+            # per span, matchLength = End - Start of the covering window
+            freq = 0.0
             for p0 in positions[0]:
                 if q.in_order:
                     cur, ok = p0, True
@@ -335,10 +348,12 @@ class OracleIndex:
                             break
                         cur = nxt[0]  # greedy minimal keeps the window tight
                     if ok and cur - p0 <= window:
-                        freq += 1
+                        freq += 1.0 / (1.0 + (cur - p0 + 1))
                 else:
-                    if any(abs(p1 - p0) <= window for p1 in positions[1]):
-                        freq += 1
+                    cands = [abs(p1 - p0) for p1 in positions[1]]
+                    d_min = min(cands) if cands else None
+                    if d_min is not None and d_min <= window:
+                        freq += 1.0 / (1.0 + (d_min + 1))
             if freq > 0:
                 s = self.bm25.score(
                     np.array([freq]), np.array([self.norm_byte[d]]), idf, self._cache
@@ -356,7 +371,8 @@ class OracleIndex:
         idf = self.bm25.idf(len(plist), self.stats.maxdoc)[0]
         out: dict[int, float] = {}
         for d, (_f, poss) in plist.items():
-            freq = sum(1 for p in poss if p < q.end)
+            # each qualifying unit span contributes sloppyFreq(1) = 1/2
+            freq = 0.5 * sum(1 for p in poss if p < q.end)
             if freq > 0:
                 s = self.bm25.score(
                     np.array([freq]), np.array([self.norm_byte[d]]), idf, self._cache
@@ -364,19 +380,30 @@ class OracleIndex:
                 out[d] = float(np.float32(np.float32(q.boost) * s))
         return out
 
-    def _sloppy_freq(self, d: int, per_term, slop: int) -> int:
-        # count windows where all terms appear with relative displacement <= slop
+    def _sloppy_freq(self, d: int, per_term, slop: int) -> float:
+        """SloppyPhraseScorer.cs PhraseFreq convention: per slot-0 anchor,
+        every later slot contributes its NEAREST adjusted position (adj =
+        pos - slot; tie -> earlier); matchLength = max - min over the
+        chosen adjusted positions incl. the anchor; match iff every slot
+        has a candidate within +-slop AND matchLength <= slop; freq +=
+        1/(1+matchLength) per match (BM25Similarity.cs:74 SloppyFreq)."""
         positions = [np.asarray(p[d][1]) for p in per_term]
-        count = 0
+        freq = 0.0
         for p0 in positions[0]:
             ok = True
+            maxc = minc = 0
             for i, pos in enumerate(positions[1:], 1):
-                if not np.any(np.abs(pos - i - p0) <= slop):
+                diffs = (pos - i) - p0
+                j = int(np.argmin(np.abs(diffs)))  # ties: first = earlier
+                c = int(diffs[j])
+                if abs(c) > slop:
                     ok = False
                     break
-            if ok:
-                count += 1
-        return count
+                maxc = max(maxc, c)
+                minc = min(minc, c)
+            if ok and maxc - minc <= slop:
+                freq += 1.0 / (1.0 + (maxc - minc))
+        return freq
 
     def _eval_boolean(self, q: BooleanQuery) -> dict[int, float]:
         must, should, must_not = q.parts()

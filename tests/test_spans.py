@@ -97,10 +97,25 @@ def test_three_term_greedy_chain(idx):
     assert _docs(idx, q1) == [0, 5]
 
 
-def test_ordered_slop0_equals_exact_phrase(idx):
+def test_ordered_slop0_matches_exact_phrase_docs(idx):
+    # same MATCH SET as the exact phrase, but SpanScorer damping applies:
+    # a 2-term adjacent window has matchLength = End - Start = 2, so each
+    # match contributes 1/3 instead of the phrase convention's 1
+    # (SpanScorer.cs SetFreqCurrentDoc + BM25Similarity.cs:74)
     span = idx._eval(SpanNearQuery(("alpha", "beta"), slop=0, in_order=True))
     phrase = idx._eval(PhraseQuery(("alpha", "beta")))
-    assert span == phrase  # identical docs AND identical float32 scores
+    assert sorted(span.keys()) == sorted(phrase.keys())
+    assert all(span[d] < phrase[d] for d in span)
+    # pin the damped freq exactly: doc 0 has one adjacent match -> freq 1/3
+    import numpy as np
+    idf = np.float32(
+        float(idx.bm25.idf(len(idx.postings["alpha"]), idx.stats.maxdoc)[0])
+        + float(idx.bm25.idf(len(idx.postings["beta"]), idx.stats.maxdoc)[0])
+    )
+    want = idx.bm25.score(
+        np.array([1.0 / 3.0]), np.array([idx.norm_byte[0]]), idf, idx._cache
+    )[0]
+    assert np.float32(span[0]) == np.float32(want)
 
 
 def test_anchor_freq_counts(idx):
@@ -130,21 +145,32 @@ def test_unordered_requires_two_clauses(idx):
         idx._eval(SpanNearQuery(("alpha", "beta", "gamma"), in_order=False))
 
 
-def test_span_or_rewrites_to_multiphrase(idx):
+def test_span_or_rewrites_to_single_clause_near(idx):
     q = SpanOrQuery(("alpha", "gamma"), boost=2.0)
     r = rewrite(q)
-    assert r == MultiPhraseQuery((("alpha", "gamma"),), 0, 2.0)
+    assert r == SpanNearQuery((("alpha", "gamma"),), 0, True, 2.0)
     # union-of-spans match set: every doc containing either term
     assert sorted(idx._eval(q).keys()) == [0, 1, 2, 3, 4, 5, 6]
 
 
-def test_span_or_freq_is_total_occurrences(idx):
-    # doc 6 "alpha alpha beta": freq(alpha|beta) = 3 -> strictly higher
-    # score than freq 2 docs of identical doclen would get; compare against
-    # a manual multiphrase with the same slot
+def test_span_or_freq_is_damped_occurrences(idx):
+    # each member's unit span contributes sloppyFreq(1) = 1/2
+    # (SpanScorer.cs SetFreqCurrentDoc); match set equals the slot-union
+    # multiphrase but scores are damped
     direct = idx._eval(MultiPhraseQuery((("alpha", "beta"),), 0))
     via_or = idx._eval(SpanOrQuery(("alpha", "beta")))
-    assert direct == via_or
+    assert sorted(direct.keys()) == sorted(via_or.keys())
+    assert all(via_or[d] < direct[d] for d in via_or)
+    # doc 6 "alpha alpha beta": 3 union positions -> freq 1.5
+    import numpy as np
+    idf = np.float32(
+        float(idx.bm25.idf(len(idx.postings["alpha"]), idx.stats.maxdoc)[0])
+        + float(idx.bm25.idf(len(idx.postings["beta"]), idx.stats.maxdoc)[0])
+    )
+    want = idx.bm25.score(
+        np.array([1.5]), np.array([idx.norm_byte[6]]), idf, idx._cache
+    )[0]
+    assert np.float32(via_or[6]) == np.float32(want)
 
 
 def test_span_not_excludes_window(idx):
