@@ -511,17 +511,43 @@ def analyze_flat_arrow(
 
 
 def encode_terms(
-    analyzer: StandardAnalyzer, codes: np.ndarray, uniques: np.ndarray
+    analyzer: StandardAnalyzer,
+    codes: np.ndarray,
+    uniques: np.ndarray,
+    text_fields: tuple[str, ...] = (),
 ) -> tuple[np.ndarray, np.ndarray]:
     """Apply the analyzer's term filter (stemmer) to a dictionary-encoded
     batch and return (codes, uniques) with uniques SORTED and merged —
     np.unique's inverse both sorts and collapses stems that several surface
     forms map to, at vocabulary cost, never per-token cost. Generic-path
-    chains are skipped: their analyze() already applied the full chain."""
+    chains are skipped: their analyze() already applied the full chain.
+
+    ``text_fields``: extra ANALYZED fields whose terms arrive namespaced
+    "<field>:term". Term filters themselves skip ':'-containing terms (they
+    could be keyword postings, which must stay verbatim), so this function
+    re-applies the filter to the SUFFIX of text-field-namespaced terms —
+    the index side then matches what ``analyze_query`` produces for those
+    fields (the reference analyzes every TextField with the full per-field
+    chain, TextField.cs:38 + PerFieldAnalyzerWrapper)."""
     if arrow_fast_path_for(analyzer):
         tf = analyzer.term_filter_unique(uniques)
         if tf is not None:
             uniques = np.asarray(tf, dtype=object)
+            if text_fields:
+                tfset = set(text_fields)
+                idxs = [
+                    i
+                    for i, t in enumerate(uniques)
+                    if ":" in t and t.split(":", 1)[0] in tfset
+                ]
+                if idxs:
+                    parts = [uniques[i].split(":", 1) for i in idxs]
+                    sufs = analyzer.term_filter_unique(
+                        np.array([p[1] for p in parts], dtype=object)
+                    )
+                    if sufs is not None:
+                        for i, (p, s) in zip(idxs, zip(parts, sufs)):
+                            uniques[i] = p[0] + ":" + s
     suniq, inv = np.unique(uniques, return_inverse=True)
     return inv.astype(np.int64)[codes], suniq
 

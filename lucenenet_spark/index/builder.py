@@ -163,13 +163,12 @@ class IndexBuilder:
             raise ValueError(
                 "a field cannot be both a text_field and a keyword_field"
             )
-        if self.config.text_fields and self.config.analyzer == "english":
-            # the stemmer's namespaced-term pass-through would leave extra
-            # fields unstemmed at index time while the query side stems —
-            # a silent recall hole; forbid until per-field chains exist
-            raise ValueError(
-                "text_fields are not supported with the 'english' chain"
-            )
+        # NOTE: term-filter chains (english stemmer, ascii_folding) work on
+        # extra text_fields: encode_terms() applies the filter to the
+        # SUFFIX of "<field>:term" postings, so the index side matches the
+        # query side's analyze_query for every analyzed field. Keyword
+        # postings are exempt (their values must stay verbatim) because
+        # only text_fields prefixes are suffix-filtered.
         if analyzer is None:
             from ..analysis.analyzer import ENGLISH_STOP_WORDS, analyzer_for
 
@@ -369,7 +368,9 @@ class IndexBuilder:
                 enc = pc.dictionary_encode(tokens)
                 uniq = enc.dictionary.to_numpy(zero_copy_only=False)
                 codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-                scodes, suniq = encode_terms(analyzer, codes, uniq)
+                scodes, suniq = encode_terms(
+                    analyzer, codes, uniq, text_fields=text_fields
+                )
                 out = _invert_codes(
                     scodes, suniq, d, p, nb, dl, state_pid, seg, index_positions
                 )
@@ -1053,6 +1054,15 @@ def assign_sorted_docids(
     counts = (
         keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt")).toPandas()
     ).sort_values("__bucket")
+    # NULL sort keys comparison-propagate to a NULL bucket; off_map[NULL]
+    # would then assign NULL docids and silently corrupt the build — the
+    # check rides the existing per-bucket count agg, no extra pass
+    if counts["__bucket"].isna().any():
+        n_null = int(counts.loc[counts["__bucket"].isna(), "cnt"].sum())
+        raise ValueError(
+            f"sort_field {sort_field!r} has {n_null} NULL value(s); an "
+            "index sort needs a total order — fill or filter nulls first"
+        )
     offs: dict[int, int] = {}
     acc = int(docid_base)
     for b, c in zip(counts["__bucket"], counts["cnt"]):

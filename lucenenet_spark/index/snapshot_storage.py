@@ -253,7 +253,12 @@ class SnapshotStorage(IndexStorage):
         Iceberg): a stale drop entry must not outlive its GC, or a later
         append/delete that recreates the same relative path (delta
         numbering restarts after a compaction) would be destroyed by the
-        next reader's roll-forward."""
+        next reader's roll-forward. The clearing commit is CAS-guarded:
+        it re-reads the snapshot and only commits if no writer landed in
+        between (a reader must never clobber a writer's stage entries);
+        on a lost race the drop_dirs stay pending and the NEXT
+        roll-forward — which will see the writer's manifest — clears
+        them (the physical deletes are idempotent)."""
         snap = self.current_snapshot()
         pending = snap.get("drop_dirs", [])
         if not pending:
@@ -277,7 +282,9 @@ class SnapshotStorage(IndexStorage):
                 and not os.listdir(parent)
             ):
                 os.rmdir(parent)
-        self._commit_snapshot({"stages": snap["stages"], "drop_dirs": []})
+        latest = self.current_snapshot()
+        if latest.get("snapshot_id") == snap.get("snapshot_id"):
+            self._commit_snapshot({"stages": snap["stages"], "drop_dirs": []})
         return dropped
 
     # ------------------------------------------------------------------ #

@@ -285,6 +285,10 @@ class Searcher:
             # anyway. Kept as an option for small hot indexes only.
             self.postings = self.postings.cache()
             self.termstats = self.termstats.cache()
+        # the UNPRUNED postings view: cached filter sets must be built
+        # against this, never against a temporarily block-pruned
+        # self.postings (FilteredQuery sort-field prune / index-sort probe)
+        self._base_postings = self.postings
 
     def _idf_exact(self, df: int) -> float:
         """Reference idf formula in pure double (BM25Similarity.cs:67-70
@@ -1146,8 +1150,17 @@ class Searcher:
                 # persist (not cache): memory-and-disk, so a huge DocIdSet
                 # spills instead of evicting executor memory — the
                 # distributed analogue of the reference's per-segment
-                # FixedBitSet (CachingWrapperFilter.cs:152 DocIdSet cache)
-                cached = self._filter_docids(q.filter, stats).persist()
+                # FixedBitSet (CachingWrapperFilter.cs:152 DocIdSet cache).
+                # Build against the UNPRUNED postings: if this first
+                # materialization happens while self.postings is swapped to
+                # a block-pruned view, the cached set would be silently
+                # incomplete for every later (wider) reuse.
+                saved = self.postings
+                self.postings = self._base_postings
+                try:
+                    cached = self._filter_docids(q.filter, stats).persist()
+                finally:
+                    self.postings = saved
                 self._filter_cache[key] = cached
             return cached
         if isinstance(q, TermsFilter):

@@ -76,3 +76,27 @@ def test_rewrite_recurses_into_wrapper():
     )  # 1-clause boolean: rewrites to its inner term
     r = rewrite(CachingWrapperFilter(inner))
     assert r == CachingWrapperFilter(TermQuery("x"))
+
+
+def test_cache_built_under_prune_is_complete(searcher):
+    """A cached filter first materialized while self.postings is swapped to
+    a block-pruned view must still hold the FULL docid set (the set is
+    built against the searcher's unpruned base postings)."""
+    searcher._filter_cache.clear()
+    f = CachingWrapperFilter(TermQuery("search"))
+    full = {r["docid"] for r in searcher._score(rewrite(TermQuery("search")),
+            searcher.term_stats(["search"])).collect()}
+    assert len(full) > 1
+    lo = sorted(full)[0]
+    # simulate the index-sort probe: prune postings to blocks covering only
+    # the smallest matching docid, then build the cache inside the swap
+    saved = searcher.postings
+    searcher.postings = saved.filter(F.col("first_docid") <= lo).filter(
+        F.col("last_docid") >= lo
+    )
+    try:
+        cached = searcher._filter_docids(f, searcher.term_stats(["search"]))
+    finally:
+        searcher.postings = saved
+    got = {r["docid"] for r in cached.collect()}
+    assert got == full  # complete despite being materialized under a prune

@@ -162,6 +162,19 @@ def test_assign_sorted_docids_dense_rank(spark):
     assert keys == sorted(keys)
 
 
+def test_assign_sorted_docids_rejects_null_keys(spark):
+    """NULL sort keys would land in a NULL bucket and produce NULL docids
+    (silent corruption); the build must fail loudly instead."""
+    from pyspark.sql import functions as F
+
+    pages = _pages(spark, 60, seed=3).withColumn(
+        "warc_ts",
+        F.when(F.col("url").endswith("1"), F.lit(None)).otherwise(F.col("warc_ts")),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        assign_sorted_docids(pages, "warc_ts", num_partitions=4).collect()
+
+
 @pytest.mark.parametrize("descending", [False, True])
 @pytest.mark.parametrize("term", ["data", "w00042", "nonexistent_term_xyz"])
 def test_early_terminating_sort_matches_full(spark, indexes, descending, term):

@@ -226,3 +226,54 @@ def test_append_and_delete_after_compaction_survive_gc(spark, tmp_path):
     assert s.tombstones is not None and s.tombstones.count() == 1
     # appended docs searchable, new tombstone honored
     assert s.count(MatchAllDocsQuery()) == n_compacted + 30 - 1
+
+
+def test_roll_forward_does_not_clobber_concurrent_writer(tmp_path):
+    """Regression: the reader-side roll-forward re-commits the manifest to
+    clear drop_dirs; if a writer commit lands between the roll-forward's
+    snapshot read and its clearing commit, the writer's stage entries must
+    survive (CAS guard) — the drops stay pending and clear on the next
+    quiet roll-forward."""
+    import os
+
+    from lucenenet_spark.index.snapshot_storage import SnapshotStorage
+
+    root = str(tmp_path / "idx")
+    st = SnapshotStorage(root)
+    junk = os.path.join(root, "data", "junk", "0")
+    os.makedirs(junk)
+    st._commit_snapshot(
+        {
+            "stages": {"a": {"dir": "data/a/0", "meta": {"fingerprint": "f"}}},
+            "drop_dirs": [os.path.join("data", "junk", "0")],
+        }
+    )
+    orig = st.current_snapshot
+    raced = {"done": False}
+
+    def racy():
+        s = orig()
+        if not raced["done"]:
+            raced["done"] = True
+            # a writer lands AFTER the roll-forward read its snapshot
+            w = SnapshotStorage(root)
+            ws = w.current_snapshot()
+            stages = dict(ws["stages"])
+            stages["b"] = {"dir": "data/b/0", "meta": {"fingerprint": "g"}}
+            w._commit_snapshot(
+                {"stages": stages, "drop_dirs": ws.get("drop_dirs", [])}
+            )
+        return s
+
+    st.current_snapshot = racy
+    assert st.recover_pending_compaction()  # physical GC still happens
+    assert not os.path.exists(junk)
+
+    final = SnapshotStorage(root).current_snapshot()
+    assert "b" in final["stages"], "writer commit was clobbered"
+    assert final["drop_dirs"], "drops must stay pending on a lost race"
+    # the next (quiet) roll-forward clears them; deletes are idempotent
+    st2 = SnapshotStorage(root)
+    st2.recover_pending_compaction()
+    last = st2.current_snapshot()
+    assert last["drop_dirs"] == [] and "b" in last["stages"]

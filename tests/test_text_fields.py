@@ -141,11 +141,6 @@ def test_phrase_on_title_field(built):
 def test_guards(spark):
     import dataclasses
 
-    with pytest.raises(ValueError, match="english"):
-        build_index(
-            spark, _pages(spark, 10, seed=1), "/tmp/mf_guard1",
-            dataclasses.replace(CFG, analyzer="english"), overwrite=True,
-        )
     with pytest.raises(ValueError, match="keyword_field"):
         build_index(
             spark, _pages(spark, 10, seed=1), "/tmp/mf_guard2",
@@ -164,3 +159,56 @@ def test_checkindex_ok_on_multifield(spark, built):
     s, _, _ = built
     res = checkindex.verify(spark, s.index_dir)
     assert res["ok"], res
+
+
+def _filter_chain_df(spark):
+    rows = [
+        ("u://0", "plain body words here", "running quickly café", "news"),
+        ("u://1", "other body text rows", "runner naïve tables", "blogs"),
+        ("u://2", "third body entry words", "unrelated title words", "news"),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, text string, title string, src string"
+    )
+
+
+def test_english_chain_stems_extra_text_fields(spark, tmp_path):
+    """encode_terms applies the stemmer to the SUFFIX of text-field
+    postings, so a stemmed query term (what analyze_query yields) matches
+    — the TextField.cs:38 + PerFieldAnalyzerWrapper contract. Keyword
+    postings stay verbatim."""
+    import dataclasses
+
+    out = str(tmp_path / "mf_en")
+    cfg = dataclasses.replace(
+        CFG, analyzer="english", keyword_fields=("src",),
+    )
+    build_index(spark, _filter_chain_df(spark), out, cfg, overwrite=True)
+    s = Searcher(spark, out, scoring="exact_int")
+    # query side: EnglishAnalyzer.analyze_query("running") -> ["run"]
+    toks = s.analyzer.analyze_query("running")
+    assert toks == ["run"]
+    hits = {r["docid"] for r in s.score_df(TermQuery("run", field="title")).collect()}
+    dm = {r["url"]: r["docid"] for r in s.docmap.select("url", "docid").collect()}
+    assert hits == {dm["u://0"]}  # "running" -> "run" (Porter keeps "runner")
+    # the raw surface form is NOT indexed (the suffix really was stemmed)
+    assert s.score_df(TermQuery("running", field="title")).count() == 0
+    # keyword postings are exempt from the suffix filter: verbatim value
+    # ("news" would stem to "new" if the filter leaked into keywords)
+    assert s.score_df(TermQuery("news", field="src")).count() == 2
+    assert s.score_df(TermQuery("new", field="src")).count() == 0
+
+
+def test_folding_chain_folds_extra_text_fields(spark, tmp_path):
+    import dataclasses
+
+    out = str(tmp_path / "mf_fold")
+    cfg = dataclasses.replace(CFG, analyzer="ascii_folding", ascii_tokens=False)
+    build_index(spark, _filter_chain_df(spark), out, cfg, overwrite=True)
+    s = Searcher(spark, out, scoring="exact_int")
+    assert s.analyzer.analyze_query("café") == ["cafe"]
+    dm = {r["url"]: r["docid"] for r in s.docmap.select("url", "docid").collect()}
+    hits = {r["docid"] for r in s.score_df(TermQuery("cafe", field="title")).collect()}
+    assert hits == {dm["u://0"]}
+    hits2 = {r["docid"] for r in s.score_df(TermQuery("naive", field="title")).collect()}
+    assert hits2 == {dm["u://1"]}
