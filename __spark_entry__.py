@@ -298,6 +298,78 @@ def q_ft_phrase_sloppy(spark, sf_dir):
     return _topk_df(_searcher(spark, sf_dir), q, 10)
 
 
+_LANG_SEARCHERS: dict[str, Searcher] = {}
+
+# the FrenchLightStemmer image of the corpus's FIXED 31-word vocabulary —
+# only these 8 words change under the stem (verified per-run by the entry's
+# vocabulary guard; the stemmer itself is pinned by tests/test_french.py's
+# golden suite vs the published UniNE algorithm)
+_FR_STEM_MAP = {
+    "customer": "custom", "filter": "filt", "merge": "merg",
+    "order": "ord", "small": "smal", "table": "tabl",
+    "value": "valu", "vector": "vecto",
+}
+_CORPUS_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window"
+).split()
+
+
+def _lang_searcher(spark, sf_dir):
+    """A THIRD index over the same corpus, built with per-document
+    language routing (IndexConfig.lang_field/lang_chains): documents with
+    lang='fr' run the FrenchLightAnalyzer chain
+    (Analysis/Fr/FrenchAnalyzer.cs:187-212 — the UniNE light stemmer,
+    FrenchLightStemmer.cs:69-350), everything else the default chain. ONE
+    term-sorted postings table serves the mixed corpus."""
+    import dataclasses
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    if key in _LANG_SEARCHERS:
+        return _LANG_SEARCHERS[key]
+    cfg = dataclasses.replace(
+        _ENTRY_CONFIG, lang_field="lang", lang_chains=(("fr", "french"),),
+        text_fields=(),  # lang routing is incompatible with text_fields
+    )
+    idx = os.path.join(_INDEX_ROOT, key + "_langroute")
+    build_index(spark, _entry_pages(spark, sf_dir), idx, cfg)  # resumes
+    s = Searcher(spark, idx, scoring="exact_int")
+    _LANG_SEARCHERS[key] = s
+    return s
+
+
+def q_ft_lang_router(spark, sf_dir):
+    """Language-routed analysis — the per-DOCUMENT PerFieldAnalyzerWrapper
+    analogue for multilingual corpora: lang='fr' documents are stemmed by
+    the French light chain at index time, the rest keep the default chain,
+    and query-side Searcher.analyzer_for_lang('fr') reproduces the same
+    chain. Query: a SHOULD disjunction of the French stem 'tabl' and the
+    surface 'table' — the stem hits only routed docs, the surface only
+    unrouted ones, so rows verify the routing boundary exactly. The DuckDB
+    oracle embeds the stem image of the corpus's fixed 31-word vocabulary
+    (DuckDB has no UniNE stemmer offline); the entry GUARDS that embedding
+    by failing loudly if the index vocabulary leaves the 31-word closure,
+    and the stemmer itself is pinned by tests/test_french.py."""
+    s = _lang_searcher(spark, sf_dir)
+    # vocabulary guard: every indexed term must be a known surface, a known
+    # stem, or a namespaced field posting — else the embedded oracle
+    # mapping would be silently incomplete
+    allowed = set(_CORPUS_VOCAB) | set(_FR_STEM_MAP.values())
+    vocab = [
+        r["term"]
+        for r in s.termstats.select("term").distinct().collect()
+        if ":" not in r["term"]
+    ]
+    unknown = sorted(set(vocab) - allowed)
+    if unknown:
+        raise AssertionError(
+            f"lang-router oracle mapping is incomplete for terms {unknown[:10]}"
+        )
+    q = BooleanQuery.build(should=[TermQuery("tabl"), TermQuery("table")])
+    return _topk_df(s, q, 10)
+
+
 def q_ft_prefix(spark, sf_dir):
     """PrefixQuery via term-dictionary scan + CONSTANT_SCORE_AUTO rewrite
     (PrefixQuery.cs:37, MultiTermQuery.cs:95)."""
@@ -2151,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed or new in r4 (sloppyFreq damping touched every span
         # entry + the float32 battery; ft_phrase_sloppy is new) ---
         "ft_phrase_sloppy": q_ft_phrase_sloppy,
+        "ft_lang_router": q_ft_lang_router,
         "ft_span_near": q_ft_span_near,
         "ft_span_near_unord": q_ft_span_near_unord,
         "ft_span_syn": q_ft_span_syn,
@@ -2363,6 +2436,30 @@ scored AS (
   FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
 )
 """
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # lang-routed analysis: the tok CTE applies the FrenchLightStemmer
+    # image of the fixed 31-word corpus vocabulary to lang='fr' docs (the
+    # entry guards the closure; stemmer pinned by tests/test_french.py) —
+    # then the ordinary 2-term disjunction scoring over the routed terms
+    _fr_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _FR_STEM_MAP.items()
+    )
+    o["ft_lang_router"] = (
+        f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'fr' THEN CASE t {_fr_case} ELSE t END
+              ELSE t END AS term
+  FROM (SELECT doc_id, lang, unnest({_TOKS_DUCK}) AS t FROM documents)
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
+"""
+        + _term_ctes(["tabl", "table"])
+        + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
         + _TOPK_TAIL.format(k=10)
     )
 

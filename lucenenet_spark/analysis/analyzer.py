@@ -174,6 +174,32 @@ class EnglishAnalyzer(StandardAnalyzer):
         )
 
 
+class FrenchLightAnalyzer(StandardAnalyzer):
+    """FrenchAnalyzer (Analysis/Fr/FrenchAnalyzer.cs:187-212 chain):
+    StandardTokenizer -> Elision -> LowerCase -> StopFilter(French) ->
+    FrenchLightStemFilter (the UniNE light stemmer, Savoy SAC 2006 —
+    Analysis/Fr/FrenchLightStemmer.cs:69-350). Divergence note: the
+    reference's ElisionFilter strips "l'" from "l'avion" inside one UAX#29
+    token; our tokenizer already splits on the apostrophe, so elision is
+    realized by including the article tokens (l, d, qu, ...) in the stop
+    set (analysis/french.py FRENCH_STOP_WORDS) — same pattern as
+    EnglishAnalyzer's possessive note.
+
+    Indexing stays on the Arrow fast path: the stem applies per UNIQUE
+    term at dictionary-encode time (term_filter_unique)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .french import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .french import french_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([french_light_stem(t) for t in a.tokens], a.positions)
+
+
 class ASCIIFoldingAnalyzer(StandardAnalyzer):
     """StandardTokenizer -> LowerCase -> StopFilter -> ASCIIFolding
     (Analysis/Miscellaneous/ASCIIFoldingFilter.cs): accented/decomposable
@@ -312,6 +338,7 @@ class StopAnalyzer(StandardAnalyzer):
 _SHIPPED_CHAINS = (
     StandardAnalyzer,
     EnglishAnalyzer,
+    FrenchLightAnalyzer,
     ASCIIFoldingAnalyzer,
     KeywordAnalyzer,
     WhitespaceAnalyzer,
@@ -354,6 +381,14 @@ def analyzer_for(
         return StandardAnalyzer(stop_words, max_token_length, ascii_only)
     if name == "english":
         return EnglishAnalyzer(stop_words, max_token_length, ascii_only)
+    if name == "french":
+        from .french import FRENCH_STOP_WORDS
+
+        # the stop_words argument is an on/off signal here: a build with
+        # stop_filter=True passes the English set, but a French chain stops
+        # FRENCH words (FrenchAnalyzer.cs:116 DEFAULT_STOP_SET)
+        sw = FRENCH_STOP_WORDS if stop_words else frozenset()
+        return FrenchLightAnalyzer(sw, max_token_length, ascii_only)
     if name == "ascii_folding":
         return ASCIIFoldingAnalyzer(stop_words, max_token_length, ascii_only)
     if name == "simple":
@@ -515,6 +550,7 @@ def encode_terms(
     codes: np.ndarray,
     uniques: np.ndarray,
     text_fields: tuple[str, ...] = (),
+    apply_filter: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Apply the analyzer's term filter (stemmer) to a dictionary-encoded
     batch and return (codes, uniques) with uniques SORTED and merged —
@@ -528,8 +564,12 @@ def encode_terms(
     re-applies the filter to the SUFFIX of text-field-namespaced terms —
     the index side then matches what ``analyze_query`` produces for those
     fields (the reference analyzes every TextField with the full per-field
-    chain, TextField.cs:38 + PerFieldAnalyzerWrapper)."""
-    if arrow_fast_path_for(analyzer):
+    chain, TextField.cs:38 + PerFieldAnalyzerWrapper).
+
+    ``apply_filter=False`` skips the term filter entirely (sort/merge
+    only) — used by lang-routed builds, which pre-apply each route's
+    filter per document group in :func:`term_filter_flat`."""
+    if apply_filter and arrow_fast_path_for(analyzer):
         tf = analyzer.term_filter_unique(uniques)
         if tf is not None:
             uniques = np.asarray(tf, dtype=object)
@@ -550,6 +590,27 @@ def encode_terms(
                             uniques[i] = p[0] + ":" + s
     suniq, inv = np.unique(uniques, return_inverse=True)
     return inv.astype(np.int64)[codes], suniq
+
+
+def term_filter_flat(analyzer: StandardAnalyzer, flat):
+    """Apply a chain's per-unique term filter to a flat Arrow token array:
+    one dictionary encode, the filter over the (tiny) vocabulary, one C++
+    take back to flat — vocabulary-cost Python, never per token. Used by
+    lang-routed builds to pre-apply each route's filter; generic-path
+    chains already applied their full chain inside analyze()."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not arrow_fast_path_for(analyzer) or len(flat) == 0:
+        return flat
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    d = pc.dictionary_encode(flat)
+    uniq = d.dictionary.to_numpy(zero_copy_only=False)
+    tf = analyzer.term_filter_unique(np.asarray(uniq, dtype=object))
+    if tf is None:
+        return flat
+    return pc.take(pa.array(list(tf), pa.string()), d.indices)
 
 
 def _analyze_flat_generic(texts, analyzer: StandardAnalyzer, encode: bool) -> tuple:

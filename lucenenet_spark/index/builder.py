@@ -163,6 +163,12 @@ class IndexBuilder:
             raise ValueError(
                 "a field cannot be both a text_field and a keyword_field"
             )
+        if self.config.lang_chains and not self.config.lang_field:
+            raise ValueError("lang_chains requires lang_field")
+        if self.config.lang_chains and self.config.text_fields:
+            # extra-field suffix filtering at encode time is chain-global;
+            # routing it per document needs per-field routes — out of scope
+            raise ValueError("lang routing is incompatible with text_fields")
         # NOTE: term-filter chains (english stemmer, ascii_folding) work on
         # extra text_fields: encode_terms() applies the filter to the
         # SUFFIX of "<field>:term" postings, so the index side matches the
@@ -317,6 +323,29 @@ class IndexBuilder:
         flush_docs = cfg.flush_docs
         keyword_fields = tuple(cfg.keyword_fields)
         text_fields = tuple(cfg.text_fields)
+        lang_field = cfg.lang_field
+        route_analyzers: tuple = ()
+        if cfg.lang_chains:
+            if lang_field not in pages.columns:
+                raise ValueError(f"lang_field {lang_field!r} not in input columns")
+            from ..analysis.analyzer import ENGLISH_STOP_WORDS, analyzer_for
+
+            # per-language chains constructed driver-side (validates the
+            # names) and shipped in the closure like the default analyzer
+            route_analyzers = tuple(
+                (
+                    lang,
+                    analyzer_for(
+                        name,
+                        stop_words=(
+                            ENGLISH_STOP_WORDS if cfg.stop_filter else frozenset()
+                        ),
+                        max_token_length=cfg.max_token_length,
+                        ascii_only=cfg.ascii_tokens,
+                    ),
+                )
+                for lang, name in cfg.lang_chains
+            )
         dv_ddl = self._dv_ddl(pages)
         dv_names = ddl_names(dv_ddl)
         # computed per-field doclen doc-values vs pass-through input columns
@@ -369,7 +398,10 @@ class IndexBuilder:
                 uniq = enc.dictionary.to_numpy(zero_copy_only=False)
                 codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
                 scodes, suniq = encode_terms(
-                    analyzer, codes, uniq, text_fields=text_fields
+                    analyzer, codes, uniq, text_fields=text_fields,
+                    # routed batches pre-applied each chain's filter —
+                    # re-stemming with the default chain would corrupt
+                    apply_filter=not route_analyzers,
                 )
                 out = _invert_codes(
                     scodes, suniq, d, p, nb, dl, state_pid, seg, index_positions
@@ -405,9 +437,60 @@ class IndexBuilder:
                         + [pa.field(f, t) for f, t in zip(dv_names, dv_types)]
                     )
                 texts = rb.column("text")
-                flat_tok, _, flat_docidx, flat_pos, lens = analyze_flat_arrow(
-                    texts, analyzer, encode=False
-                )
+                if route_analyzers:
+                    # per-document chain routing: split the batch by lang
+                    # code, analyze each group with its chain (Arrow-side
+                    # work unchanged per group), pre-apply each chain's
+                    # term filter (flush must not re-stem with the default
+                    # chain), and stitch via the original row indices —
+                    # _invert_codes lexsorts, so stream order is free
+                    from ..analysis.analyzer import term_filter_flat
+
+                    lang_vals = rb.column(lang_field).to_numpy(
+                        zero_copy_only=False
+                    )
+                    taken = np.zeros(n, dtype=bool)
+                    groups = []
+                    for lang, chain in route_analyzers:
+                        sel = np.flatnonzero((lang_vals == lang) & ~taken)
+                        if len(sel):
+                            taken[sel] = True
+                            groups.append((sel, chain))
+                    rest = np.flatnonzero(~taken)
+                    if len(rest):
+                        groups.append((rest, analyzer))
+                    toks_parts, idx_parts, pos_parts = [], [], []
+                    lens = np.zeros(n, dtype=np.int64)
+                    for sel, chain in groups:
+                        sub_tok, _, sub_idx, sub_pos, sub_lens = (
+                            analyze_flat_arrow(
+                                texts.take(pa.array(sel, pa.int64())),
+                                chain, encode=False,
+                            )
+                        )
+                        sub_tok = term_filter_flat(chain, sub_tok)
+                        if len(sub_idx):
+                            toks_parts.append(
+                                sub_tok.combine_chunks()
+                                if isinstance(sub_tok, pa.ChunkedArray)
+                                else sub_tok
+                            )
+                            idx_parts.append(sel[sub_idx])
+                            pos_parts.append(sub_pos)
+                        lens[sel] = sub_lens
+                    e_i = np.array([], dtype=np.int64)
+                    flat_tok = (
+                        pa.concat_arrays(toks_parts)
+                        if toks_parts else pa.array([], pa.string())
+                    )
+                    flat_docidx = (
+                        np.concatenate(idx_parts) if idx_parts else e_i
+                    )
+                    flat_pos = np.concatenate(pos_parts) if pos_parts else e_i
+                else:
+                    flat_tok, _, flat_docidx, flat_pos, lens = analyze_flat_arrow(
+                        texts, analyzer, encode=False
+                    )
                 if external:
                     docids = rb.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
                 else:
@@ -505,7 +588,10 @@ class IndexBuilder:
         # (dedupe: a field can play several roles); computed __dl_ columns
         # are NOT inputs — they materialize inside build_partials
         extra_cols = list(
-            dict.fromkeys([*keyword_fields, *input_dv_names, *text_fields])
+            dict.fromkeys(
+                [*keyword_fields, *input_dv_names, *text_fields]
+                + ([lang_field] if route_analyzers else [])
+            )
         )
         if external:
             # caller-assigned docids: range partitioning keeps each pid's
@@ -602,6 +688,9 @@ class IndexBuilder:
                     "stop_filter": self.config.stop_filter,
                     "ascii_tokens": self.config.ascii_tokens,
                     "max_token_length": self.config.max_token_length,
+                    # per-document chain routes (lang code -> chain name);
+                    # the Searcher exposes analyzer_for_lang from this
+                    "lang_routes": dict(self.config.lang_chains),
                 },
                 # FULL build config: maintenance jobs run with config=None
                 # (append/compact/stream) reconstruct it from here instead
@@ -1141,9 +1230,11 @@ def stored_config(index_dir: str) -> IndexConfig | None:
     if d is not None:
         fields = {f.name for f in dataclasses.fields(IndexConfig)}
         d = {k: v for k, v in d.items() if k in fields}
-        for k in ("keyword_fields", "docvalue_fields"):
+        for k in ("keyword_fields", "docvalue_fields", "text_fields"):
             if k in d and d[k] is not None:
                 d[k] = tuple(d[k])
+        if d.get("lang_chains"):
+            d["lang_chains"] = tuple(tuple(x) for x in d["lang_chains"])
         return IndexConfig(**d)
     am = meta.get("analyzer")
     if am:

@@ -126,6 +126,19 @@ class IndexConfig:
     # global monotonicity, so sorted indexes are rebuilt or compacted, not
     # appended to (enforced in append_index).
     sort_field: str | None = None
+    # per-document analysis-chain routing (PerFieldAnalyzerWrapper's
+    # per-DOCUMENT sibling for multilingual corpora): ``lang_field`` names
+    # an input column holding a language code; ``lang_chains`` maps code ->
+    # chain name ((("fr", "french"), ("en", "english")), tuples for
+    # hashability). Documents whose code matches a route are analyzed by
+    # that chain (tokens, stop list, term filter, doclen/norms all from
+    # it); everything else uses the default ``analyzer``. One index serves
+    # the mixed corpus — terms share the single term-sorted postings table,
+    # and query-side analysis picks the chain via
+    # Searcher.analyzer_for_lang(code). v1 scope: incompatible with
+    # text_fields (extra-field suffix filtering is chain-global).
+    lang_field: str | None = None
+    lang_chains: tuple[tuple[str, str], ...] = ()
 
     def fingerprint(self) -> str:
         """Stable hash of the config — stamped into every stage's commit
@@ -137,6 +150,10 @@ class IndexConfig:
             d.pop("sort_field", None)
         if not d.get("text_fields"):
             d.pop("text_fields", None)
+        if d.get("lang_field") is None:
+            d.pop("lang_field", None)
+        if not d.get("lang_chains"):
+            d.pop("lang_chains", None)
         return hashlib.sha256(
             json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]

@@ -246,6 +246,10 @@ class Searcher:
             max_token_length=am.get("max_token_length", 255),
             ascii_only=am.get("ascii_tokens", False),
         )
+        #: lang code -> chain name for lang-routed indexes (the build's
+        #: IndexConfig.lang_chains); analyzer_for_lang picks the chain
+        self.lang_routes: dict[str, str] = dict(am.get("lang_routes") or {})
+        self._analyzer_meta = am
         # avgdl over the composite, float32 exactly as BM25Similarity.cs:91-102
         self.avgdl = np.float32(sum_ttf / float(maxdoc)) if maxdoc and sum_ttf > 0 else np.float32(1.0)
         # double-precision avgdl for exact_int mode (no float32 rounding)
@@ -289,6 +293,27 @@ class Searcher:
         # against this, never against a temporarily block-pruned
         # self.postings (FilteredQuery sort-field prune / index-sort probe)
         self._base_postings = self.postings
+
+    def analyzer_for_lang(self, lang: str):
+        """The analysis chain for one language of a lang-routed index
+        (IndexConfig.lang_chains): query text targeting documents of that
+        language must be analyzed with the SAME chain the build used for
+        them — the per-document PerFieldAnalyzerWrapper contract. Unrouted
+        languages use the index's default chain."""
+        from ..analysis.analyzer import ENGLISH_STOP_WORDS, analyzer_for
+
+        name = self.lang_routes.get(lang)
+        if name is None:
+            return self.analyzer
+        am = self._analyzer_meta
+        return analyzer_for(
+            name,
+            stop_words=(
+                ENGLISH_STOP_WORDS if am.get("stop_filter", True) else frozenset()
+            ),
+            max_token_length=am.get("max_token_length", 255),
+            ascii_only=am.get("ascii_tokens", False),
+        )
 
     def _idf_exact(self, df: int) -> float:
         """Reference idf formula in pure double (BM25Similarity.cs:67-70
