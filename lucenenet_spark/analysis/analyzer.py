@@ -125,6 +125,26 @@ class StandardAnalyzer:
         ml = self.max_token_length
         return [t for t in toks if len(t) <= ml]
 
+    def tokenize_arrow(self, texts):
+        """Arrow-native tokenization of a whole string column -> ListArray
+        of RAW tokens (empty-string artifacts and over-long tokens are
+        dropped downstream by analyze_flat_arrow's shared filter). The
+        default is the one-re2-split equivalent of :meth:`tokenize`;
+        shipped chains with different split semantics (Whitespace, Keyword)
+        override it with their own Arrow expression — an override DECLARES
+        Arrow/Python tokenize equivalence, which the suite asserts."""
+        import pyarrow.compute as pc
+
+        low = pc.utf8_lower(texts)
+        if not self.ascii_only and self.cjk_pad:
+            # UAX#29 CJK classes: isolate ideographs / katakana runs so the
+            # letter/digit split emits them as their own tokens (identical
+            # to the TOKEN_RE_PYTHON alternation)
+            low = pc.replace_substring_regex(
+                low, pattern=CJK_PAD_RE2, replacement=" \\1 "
+            )
+        return pc.split_pattern_regex(low, self.split_re_re2)
+
     def analyze(self, text: str) -> Analyzed:
         """Full chain with positions. Position = index in the pre-stop token
         stream, so phrase matching sees the same gaps the reference does."""
@@ -227,15 +247,29 @@ class ASCIIFoldingAnalyzer(StandardAnalyzer):
 
 class KeywordAnalyzer(StandardAnalyzer):
     """KeywordAnalyzer (Analysis/Core/KeywordAnalyzer.cs): the entire input
-    is ONE token, unanalyzed — the StringField chain."""
-
-    arrow_fast_path = False
+    is ONE token, unanalyzed — the StringField chain. Rides the Arrow fast
+    path via a trivial tokenize_arrow (0/1-length lists, no lowercase, no
+    token-length cap — the value stays verbatim)."""
 
     def __init__(self):
         super().__init__(stop_words=frozenset())
+        # no cap: the whole value IS the token, any length (tokenize()
+        # never applied one; the Arrow path's shared cap filter must agree)
+        self.max_token_length = 1 << 31
 
     def tokenize(self, text: str) -> list[str]:
         return [text] if text else []
+
+    def tokenize_arrow(self, texts):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keep = pc.fill_null(pc.not_equal(texts, ""), False)
+        values = texts.filter(keep)
+        offs = np.concatenate(
+            [[0], np.cumsum(keep.to_numpy(zero_copy_only=False).astype(np.int32))]
+        ).astype(np.int32)
+        return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), values)
 
     def analyze(self, text: str) -> Analyzed:
         toks = self.tokenize(text)
@@ -244,11 +278,12 @@ class KeywordAnalyzer(StandardAnalyzer):
 
 class WhitespaceAnalyzer(StandardAnalyzer):
     """WhitespaceAnalyzer (Analysis/Core/WhitespaceAnalyzer.cs): split on
-    whitespace only, no lowercasing, no stop filter. Stays on the generic
-    path: Python str.split() splits on UNICODE whitespace while re2's \\s
-    is ASCII — one re2 split cannot reproduce it exactly."""
-
-    arrow_fast_path = False
+    whitespace only, no lowercasing, no stop filter. Rides the Arrow fast
+    path via ``utf8_split_whitespace`` (utf8proc UNICODE whitespace, which
+    re2's ASCII \\s could not express — the reason this chain used to be
+    generic); run-collapse edge artifacts ('' at ends) are dropped by the
+    shared downstream filter, so tokens and positions match Python
+    str.split() exactly (asserted by the suite's equivalence test)."""
 
     def __init__(self, max_token_length: int = MAX_TOKEN_LENGTH):
         super().__init__(stop_words=frozenset(), max_token_length=max_token_length)
@@ -258,6 +293,11 @@ class WhitespaceAnalyzer(StandardAnalyzer):
             return []
         ml = self.max_token_length
         return [t for t in text.split() if len(t) <= ml]
+
+    def tokenize_arrow(self, texts):
+        import pyarrow.compute as pc
+
+        return pc.utf8_split_whitespace(texts)
 
 
 _LETTERS_ONLY: re.Pattern | None = None
@@ -361,6 +401,11 @@ def arrow_fast_path_for(analyzer: StandardAnalyzer) -> bool:
     to avoid double-application."""
     if not analyzer.arrow_fast_path:
         return False
+    if type(analyzer).tokenize_arrow is not StandardAnalyzer.tokenize_arrow:
+        # the chain ships its OWN Arrow tokenizer (Whitespace/Keyword) —
+        # an override declares tokenize()/tokenize_arrow() equivalence,
+        # asserted by the suite for every shipped chain
+        return True
     return type(analyzer).tokenize in {c.tokenize for c in _SHIPPED_CHAINS}
 
 
@@ -488,20 +533,13 @@ def analyze_flat_arrow(
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     if not arrow_fast_path_for(analyzer):
-        # custom chain (Keyword/Whitespace or user subclass): honor its
-        # analyze() row-by-row — correctness over speed for unknown chains;
-        # the known split-expressible chains stay on the C++ path
+        # true custom chain (user subclass overriding tokenize() without an
+        # Arrow twin): honor its analyze() row-by-row — correctness over
+        # speed for unknown chains; every SHIPPED chain (incl. Whitespace/
+        # Keyword via their tokenize_arrow overrides) stays on the C++ path
         return _analyze_flat_generic(texts, analyzer, encode)
     n = len(texts)
-    low = pc.utf8_lower(texts)
-    if not analyzer.ascii_only and analyzer.cjk_pad:
-        # UAX#29 CJK classes: isolate ideographs / katakana runs so the
-        # letter/digit split emits them as their own tokens (identical to
-        # the TOKEN_RE_PYTHON alternation)
-        low = pc.replace_substring_regex(
-            low, pattern=CJK_PAD_RE2, replacement=" \\1 "
-        )
-    sp = pc.split_pattern_regex(low, analyzer.split_re_re2)
+    sp = analyzer.tokenize_arrow(texts)
     lens_all = pc.list_value_length(sp)
     lens_all = pc.fill_null(lens_all, 0).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(sp)

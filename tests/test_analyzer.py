@@ -101,3 +101,60 @@ def test_analyze_flat_arrow_equivalent_to_analyze():
         assert doclens[i] == len(ref.tokens)
     # sorted unique dictionary
     assert list(uniques) == sorted(set(uniques))
+
+
+def _assert_arrow_matches_analyze(a, texts):
+    import pyarrow as pa
+
+    from lucenenet_spark.analysis.analyzer import (
+        analyze_flat_arrow,
+        arrow_fast_path_for,
+    )
+
+    assert arrow_fast_path_for(a)
+    codes, uniques, doc_idx, positions, doclens = analyze_flat_arrow(
+        pa.array(texts), a
+    )
+    tokens = uniques[codes] if len(codes) else codes
+    for i, t in enumerate(texts):
+        ref = a.analyze(t or "")
+        m = doc_idx == i
+        assert list(tokens[m]) == ref.tokens, f"doc {i}: {list(tokens[m])} != {ref.tokens}"
+        assert list(positions[m]) == ref.positions, f"doc {i}"
+        assert doclens[i] == len(ref.tokens)
+
+
+def test_whitespace_analyzer_arrow_fast_path():
+    """WhitespaceAnalyzer rides the Arrow path (utf8_split_whitespace);
+    tokens/positions must equal Python str.split() exactly, including
+    Unicode whitespace, case preservation, and the token-length cap."""
+    from lucenenet_spark.analysis.analyzer import WhitespaceAnalyzer
+
+    texts = [
+        None, "", "  Hello   World ", "a b\tc", "Tab NBSP separated",
+        "thin space", "line sep", "CR\r\nLF", "MiXeD CaSe Stays",
+        "under_score kept-as is,punct", "北京 大学", "x" * 300 + " ok",
+        "　ideographic　space　", "nextline", "zwsp​notsplit",
+    ]
+    _assert_arrow_matches_analyze(WhitespaceAnalyzer(), texts)
+
+
+def test_keyword_analyzer_arrow_fast_path():
+    """KeywordAnalyzer rides the Arrow path: whole value = one verbatim
+    token (any length, case preserved), empty/null = no token."""
+    from lucenenet_spark.analysis.analyzer import KeywordAnalyzer
+
+    texts = [None, "", "One Whole Value", "  spaces kept  ", "x" * 5000, "Köln"]
+    _assert_arrow_matches_analyze(KeywordAnalyzer(), texts)
+
+
+def test_custom_tokenize_override_stays_generic():
+    """A user subclass overriding tokenize() WITHOUT an Arrow twin must
+    drop to the generic row path (its semantics are unknown to re2)."""
+    from lucenenet_spark.analysis.analyzer import arrow_fast_path_for
+
+    class Custom(StandardAnalyzer):
+        def tokenize(self, text):
+            return [text[::-1]] if text else []
+
+    assert not arrow_fast_path_for(Custom())
