@@ -831,6 +831,28 @@ def q_ft_span_near(spark, sf_dir):
     return _topk_df(_searcher(spark, sf_dir), q, 10)
 
 
+def q_ft_span_field(spark, sf_dir):
+    """SpanNearQuery on an extra ANALYZED field (r4): 'data' then 'merge'
+    in order within slop 2 over the TITLE field — clause spans seek the
+    namespaced "title:<term>" postings and the kernel scores with the
+    title field's own norms/avgdl (TextField.cs:38 + the Spans module's
+    per-field SpanWeight). Same SpanScorer sloppyFreq damping as
+    ft_span_near."""
+    q = SpanNearQuery(("data", "merge"), slop=2, in_order=True, field="title")
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
+def q_ft_prefix_scored_field(spark, sf_dir):
+    """SCORING_BOOLEAN MultiTermQuery rewrite on an extra ANALYZED field
+    (r4): PrefixQuery('s', field='title') expands over the title
+    namespace's term dictionary and scores each expanded term with the
+    FULL BM25 kernel using the title field's norms/avgdl — previously
+    extra-field rewrites scored norms-omitted (the keyword path), which
+    the reference reserves for StringFields."""
+    q = PrefixQuery("s", field="title", rewrite_method="scoring_boolean")
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
 def q_ft_span_near_unord(spark, sf_dir):
     """Spans module, unordered proximity (NearSpansUnordered.cs:36-60):
     'query' and 'join' in either order within a joint window of slop 1
@@ -2224,6 +2246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry + the float32 battery; ft_phrase_sloppy is new) ---
         "ft_phrase_sloppy": q_ft_phrase_sloppy,
         "ft_lang_router": q_ft_lang_router,
+        "ft_span_field": q_ft_span_field,
+        "ft_prefix_scored_field": q_ft_prefix_scored_field,
         "ft_span_near": q_ft_span_near,
         "ft_span_near_unord": q_ft_span_near_unord,
         "ft_span_syn": q_ft_span_syn,
@@ -2547,6 +2571,73 @@ scored AS (
 """
         + _TOPK_TAIL.format(k=10)
     )
+
+    # span on the TITLE text field: positions over the title tokenization,
+    # damped greedy-chain slop factors, title dl/avgdl and title dfs
+    _TOKT = (
+        "list_filter(string_split_regex(lower(substr(text, 1, 80)), "
+        "'[^a-z0-9]+'), x -> x <> '')"
+    )
+
+    def _title_df(t: str) -> str:
+        return f"(SELECT count(DISTINCT doc_id) FROM tokpt WHERE term = '{t}')"
+
+    o["ft_span_field"] = f"""
+WITH tokpt AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKT} AS toks FROM documents)
+),
+dlt AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokpt GROUP BY doc_id),
+stt AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+               (SELECT count(*) FROM tokpt)::DOUBLE AS sum_ttf),
+pf AS (
+  SELECT doc_id, CAST(sum(sf) AS DOUBLE) / 1000000.0 AS pf FROM (
+    SELECT a.doc_id AS doc_id, a.pos AS apos,
+           CAST(floor(1000000.0 / (2.0 + min(b.pos) - a.pos) + 0.5) AS BIGINT) AS sf
+    FROM tokpt a JOIN tokpt b ON b.doc_id = a.doc_id
+      AND b.pos > a.pos AND b.pos <= a.pos + 3
+    WHERE a.term = 'data' AND b.term = 'merge'
+    GROUP BY a.doc_id, a.pos
+  ) GROUP BY doc_id
+),
+idfs AS (
+  SELECT (ln(1.0 + (stt.maxdoc - {_title_df('data')} + 0.5)/({_title_df('data')} + 0.5))
+        + ln(1.0 + (stt.maxdoc - {_title_df('merge')} + 0.5)/({_title_df('merge')} + 0.5))) AS idf_sum,
+        stt.maxdoc, stt.sum_ttf
+  FROM stt
+),
+scored AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dlt d USING (doc_id) CROSS JOIN idfs i
+)
+{_TOPK_TAIL.format(k=10)}
+"""
+
+    # scored prefix rewrite on the TITLE field: expansion = the title
+    # vocabulary's 's%' terms, per-term BM25 with title norms/avgdl and
+    # per-term df, disjunction-summed per doc (ScoringRewrite)
+    o["ft_prefix_scored_field"] = f"""
+WITH tokt AS (
+  SELECT doc_id, unnest({_TOKT}) AS term FROM documents
+),
+dlt AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokt GROUP BY doc_id),
+stt AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+               (SELECT count(*) FROM tokt)::DOUBLE AS sum_ttf),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokt
+       WHERE term LIKE 's%' GROUP BY doc_id, term),
+dfp AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokt
+        WHERE term LIKE 's%' GROUP BY term),
+s AS (
+  SELECT t.doc_id, CAST(floor(
+    (ln(1.0 + (st.maxdoc - f.df + 0.5)/(f.df + 0.5)) * 2.2 * t.tf)
+    / (t.tf + 1.2*(0.25 + (0.75*d.dl)/(st.sum_ttf/st.maxdoc)))
+    * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM tf t JOIN dfp f USING (term) JOIN dlt d USING (doc_id) CROSS JOIN stt st
+),
+scored AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM s GROUP BY doc_id)
+{_TOPK_TAIL.format(k=10)}
+"""
 
     o["ft_span_near_unord"] = (
         _SQL_PREFIX + _term_ctes(["query", "join"]) + ","

@@ -307,6 +307,10 @@ class SpanNearQuery(Query):
     slop: int = 0
     in_order: bool = True
     boost: float = 1.0
+    #: extra ANALYZED field (IndexConfig.text_fields): clause spans seek
+    #: the namespaced "<field>:<term>" postings and score with the
+    #: field's own norms/avgdl (same contract as PhraseQuery.field)
+    field: str = "text"
 
     def clause_alts(self) -> tuple[tuple[str, ...], ...]:
         """Normalize clauses to per-slot alternative-term tuples."""
@@ -334,6 +338,7 @@ class SpanOrQuery(Query):
 
     terms: tuple[str, ...]
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
@@ -352,6 +357,7 @@ class SpanNotQuery(Query):
     pre: int = 0
     post: int = 0
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
@@ -364,6 +370,7 @@ class SpanFirstQuery(Query):
     term: str
     end: int
     boost: float = 1.0
+    field: str = "text"
 
 
 def rewrite(q: Query) -> Query:
@@ -381,7 +388,7 @@ def rewrite(q: Query) -> Query:
     - recursion into nested boolean clauses.
     """
     if isinstance(q, SpanOrQuery):
-        return SpanNearQuery((tuple(q.terms),), 0, True, q.boost)
+        return SpanNearQuery((tuple(q.terms),), 0, True, q.boost, q.field)
     if isinstance(q, BooleanQuery):
         clauses = tuple(BooleanClause(rewrite(c.query), c.occur) for c in q.clauses)
         q = BooleanQuery(clauses, q.minimum_should_match, q.boost)

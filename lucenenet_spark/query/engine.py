@@ -85,15 +85,18 @@ def _collect_terms(q: Query, out: set[str]) -> None:
         for slot in q.slots:
             out.update(slot)
     elif isinstance(q, SpanNearQuery):
+        fld = getattr(q, "field", "text")
         for alts in q.clause_alts():
-            out.update(alts)
+            out.update(_skey(fld, t) for t in alts)
     elif isinstance(q, SpanOrQuery):
-        out.update(q.terms)
+        fld = getattr(q, "field", "text")
+        out.update(_skey(fld, t) for t in q.terms)
     elif isinstance(q, SpanFirstQuery):
-        out.add(q.term)
+        out.add(_skey(getattr(q, "field", "text"), q.term))
     elif isinstance(q, SpanNotQuery):
-        out.add(q.include)
-        out.add(q.exclude)
+        fld = getattr(q, "field", "text")
+        out.add(_skey(fld, q.include))
+        out.add(_skey(fld, q.exclude))
     elif isinstance(q, FilteredQuery):
         _collect_terms(q.query, out)
         _collect_terms(q.filter, out)
@@ -843,11 +846,12 @@ class Searcher:
             raise ValueError(
                 "span queries need an index built with index_positions=True"
             )
+        fld = getattr(q, "field", "text")
         slots: list[list[str]] = []
         for alts_raw in q.clause_alts():
             # a union clause's missing members just contribute no spans; a
             # clause with NO indexed member can never match (SpanOrQuery.cs)
-            alts = [t for t in alts_raw if t in stats]
+            alts = [_skey(fld, t) for t in alts_raw if _skey(fld, t) in stats]
             if not alts:
                 return self._empty()
             slots.append(alts)
@@ -886,7 +890,8 @@ class Searcher:
         for t in all_terms:
             idf_sum_exact = idf_sum_exact + self._idf_exact(stats[t].df)
         return self._span_kernel(
-            joined, len(slots), q.slop, q.in_order, idf_sum, idf_sum_exact, q.boost
+            joined, len(slots), q.slop, q.in_order, idf_sum, idf_sum_exact,
+            q.boost, field=fld,
         )
 
     def _span_kernel(
@@ -898,18 +903,26 @@ class Searcher:
         idf_sum: np.float32,
         idf_sum_exact: float,
         qboost: float,
+        field: str = "text",
     ) -> DataFrame:
         """Vectorized span matcher on flat (row, position) int64 keys — the
         same batch-flattening trick as ``_positions_kernel`` (rows are
         batch-ordered and positions ascending, so the flat key array is
         globally sorted; a chain that escapes its row overshoots the window
-        bound ``slop + nterms - 1 << M`` and can never false-positive)."""
-        cache = self.cache
+        bound ``slop + nterms - 1 << M`` and can never false-positive).
+        ``field`` selects the norm cache / avgdl — spans on an extra text
+        field carry that FIELD'S doclens in their namespaced postings
+        (same contract as the phrase kernel)."""
+        cache = self.cache if field == "text" else self.field_cache[field]
         w = idf_sum * (self.k1 + np.float32(1.0))
         boost = np.float32(qboost)
         exact = self.scoring == "exact_int"
         w_exact = idf_sum_exact * (self.k1d + 1.0) * float(qboost)
-        k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
+        k1d, bd = self.k1d, self.bd
+        avgdl_exact = (
+            self.avgdl_exact if field == "text"
+            else self.field_avgdl_exact[field]
+        )
         one_minus_b = 1.0 - bd
         window = np.int64(slop + nterms - 1)
 
@@ -1000,24 +1013,30 @@ class Searcher:
         """SpanFirstQuery.cs:33-49: a unit term span at 0-based position p
         has end() == p+1 and matches when p+1 <= end (token among the first
         ``end`` positions); tf is the count of qualifying positions — one
-        vectorized ``vals < end`` mask + bincount."""
-        if q.term not in stats:
+        vectorized ``vals < end`` mask + bincount. ``field`` seeks the
+        namespaced postings and scores with that field's norms/avgdl."""
+        fld = getattr(q, "field", "text")
+        key = _skey(fld, q.term)
+        if key not in stats:
             return self._empty()
         if not self.has_positions:
             raise ValueError(
                 "span queries need an index built with index_positions=True"
             )
-        blocks = self.postings.filter(F.col("term") == q.term)
+        blocks = self.postings.filter(F.col("term") == key)
         joined = self._decode_positions(blocks).select(
             "docid", "positions", "norm_byte", "doclen"
         )
-        st = stats[q.term]
-        cache = self.cache
+        st = stats[key]
+        cache = self.cache if fld == "text" else self.field_cache[fld]
         w = np.float32(st.idf) * (self.k1 + np.float32(1.0))
         boost = np.float32(qboost := q.boost)
         exact = self.scoring == "exact_int"
         w_exact = self._idf_exact(st.df) * (self.k1d + 1.0) * float(qboost)
-        k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
+        k1d, bd = self.k1d, self.bd
+        avgdl_exact = (
+            self.avgdl_exact if fld == "text" else self.field_avgdl_exact[fld]
+        )
         one_minus_b = 1.0 - bd
         end = int(q.end)
 
@@ -1066,29 +1085,34 @@ class Searcher:
         LEFT-joined to the exclude term's (docs without the exclude keep
         every position), then one flat-key kernel — per include position a
         single lo/hi searchsorted pair decides survival."""
-        if q.include not in stats:
+        fld = getattr(q, "field", "text")
+        ikey, ekey = _skey(fld, q.include), _skey(fld, q.exclude)
+        if ikey not in stats:
             return self._empty()
         if not self.has_positions:
             raise ValueError(
                 "span queries need an index built with index_positions=True"
             )
         inc = self._decode_positions(
-            self.postings.filter(F.col("term") == q.include)
+            self.postings.filter(F.col("term") == ikey)
         ).select("docid", F.col("positions").alias("pos_inc"), "norm_byte", "doclen")
-        if q.exclude in stats:
+        if ekey in stats:
             exc = self._decode_positions(
-                self.postings.filter(F.col("term") == q.exclude), need_norms=False
+                self.postings.filter(F.col("term") == ekey), need_norms=False
             ).select("docid", F.col("positions").alias("pos_exc"))
             joined = inc.join(exc, "docid", "left_outer")
         else:
             joined = inc.withColumn("pos_exc", F.lit(None).cast("array<long>"))
-        st = stats[q.include]
-        cache = self.cache
+        st = stats[ikey]
+        cache = self.cache if fld == "text" else self.field_cache[fld]
         w = np.float32(st.idf) * (self.k1 + np.float32(1.0))
         boost = np.float32(q.boost)
         exact = self.scoring == "exact_int"
         w_exact = self._idf_exact(st.df) * (self.k1d + 1.0) * float(q.boost)
-        k1d, bd, avgdl_exact = self.k1d, self.bd, self.avgdl_exact
+        k1d, bd = self.k1d, self.bd
+        avgdl_exact = (
+            self.avgdl_exact if fld == "text" else self.field_avgdl_exact[fld]
+        )
         one_minus_b = 1.0 - bd
         pre, post = np.int64(q.pre), np.int64(q.post)
 
@@ -1245,13 +1269,19 @@ class Searcher:
             ts = ts.orderBy(*order).limit(n)
         blocks = self.postings.join(F.broadcast(ts), "term")
         exact = self.scoring == "exact_int"
-        if getattr(q, "field", "text") != "text":
+        fld = getattr(q, "field", "text")
+        if fld != "text" and fld not in self.text_fields:
             return self._scored_rewrite_keyword(blocks, q, exact)
+        # an extra ANALYZED field scores the full BM25 kernel with the
+        # FIELD'S norms/avgdl (its namespaced postings carry the field's
+        # doclens) — only KEYWORD fields take the norms-omitted path
         maxdoc = self.maxdoc
         k1f, k1d, bd = self.k1, self.k1d, self.bd
-        avgdl_exact = self.avgdl_exact
+        avgdl_exact = (
+            self.avgdl_exact if fld == "text" else self.field_avgdl_exact[fld]
+        )
         one_minus_b = 1.0 - bd
-        cache = self.cache
+        cache = self.cache if fld == "text" else self.field_cache[fld]
         qboost = float(getattr(q, "boost", 1.0))
 
         def decode(batches):

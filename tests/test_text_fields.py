@@ -212,3 +212,78 @@ def test_folding_chain_folds_extra_text_fields(spark, tmp_path):
     assert hits == {dm["u://0"]}
     hits2 = {r["docid"] for r in s.score_df(TermQuery("naive", field="title")).collect()}
     assert hits2 == {dm["u://1"]}
+
+
+def test_span_on_title_field(spark, built):
+    """SpanNearQuery(field='title') seeks namespaced postings and scores
+    with the title field's norms — match set equals the exact title phrase
+    at slop 0, scores damped by SpanScorer's sloppyFreq."""
+    from lucenenet_spark.query.ast import PhraseQuery, SpanNearQuery
+
+    s, pdf, dm = built
+    # find a term pair adjacent in at least one title
+    pair = None
+    for r in pdf.itertuples():
+        t = _toks(r.title)
+        if len(t) >= 2 and t[0] != t[1]:
+            pair = (t[0], t[1])
+            break
+    assert pair
+    span = {
+        r["docid"]: r["score"]
+        for r in s.score_df(
+            SpanNearQuery(pair, slop=0, in_order=True, field="title")
+        ).collect()
+    }
+    phrase = {
+        r["docid"]: r["score"]
+        for r in s.score_df(PhraseQuery(pair, field="title")).collect()
+    }
+    assert sorted(span) == sorted(phrase) and len(span) > 0
+    assert all(span[d] < phrase[d] for d in span)  # 1/3 damping per match
+    # field isolation: the default-field span of the same pair is computed
+    # over BODY positions, not title positions
+    body = {
+        r["docid"]
+        for r in s.score_df(SpanNearQuery(pair, slop=0, in_order=True)).collect()
+    }
+    body_pairs = {
+        dm[r.url]
+        for r in pdf.itertuples()
+        if any(
+            a == pair[0] and b == pair[1]
+            for a, b in zip(_toks(r.text), _toks(r.text)[1:])
+        )
+    }
+    assert body == body_pairs
+
+
+def test_scored_prefix_rewrite_on_title_uses_field_norms(spark, built):
+    """scoring_boolean MTQ on a text field scores the full BM25 kernel
+    with the field's norms/avgdl (not the keyword norms-omitted path):
+    verify against a pure-python per-term disjunction over titles."""
+    from lucenenet_spark.query.ast import PrefixQuery
+
+    s, pdf, dm = built
+    docs = {dm[r.url]: _toks(r.title) for r in pdf.itertuples()}
+    n = len(docs)
+    dls = {d: len(t) for d, t in docs.items()}
+    avgdl = sum(dls.values()) / float(n)
+    want: dict[int, float] = {}
+    terms = sorted({t for ts in docs.values() for t in ts if t.startswith("s")})
+    for term in terms:
+        matches = {d: ts.count(term) for d, ts in docs.items() if term in ts}
+        df = len(matches)
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, tf in matches.items():
+            denom = float(tf) + 1.2 * (0.25 + (0.75 * dls[d]) / avgdl)
+            want[d] = want.get(d, 0.0) + math.floor(
+                (idf * 2.2 * tf) / denom * 1e6 + 0.5
+            )
+    got = {
+        r["docid"]: r["score"]
+        for r in s.score_df(
+            PrefixQuery("s", field="title", rewrite_method="scoring_boolean")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
