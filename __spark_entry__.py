@@ -1269,11 +1269,34 @@ def q_dd_exact(spark, sf_dir):
     )
 
 
-def q_dd_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH near-dup candidates: 3-token shingles -> 8 md5-derived
-    min-hashes -> 4 bands of 2 -> band-bucket self-join. The banding join is
-    the scale path: candidate generation never compares all pairs."""
+_MINHASH_PERMS = 128  # real-recall signature width (was a toy 8 until r4)
+
+
+def _minhash_band_rows(n_docs: int) -> int:
+    """Scale-aware rows-per-band r = clamp(2, 8, ceil(log2(n)/4)): for any
+    fixed background Jaccard j0 < 1 of unrelated pairs, a band collision
+    has probability j0^r, so growing r with log2(n) keeps EXPECTED random
+    band collisions ~linear in corpus size instead of quadratic — the same
+    scale-aware argument as the embedding-LSH band width. The sweet spot
+    moves with r ((1/b)^(1/r) threshold), which is the honest trade: more
+    docs -> candidates reserved for more-similar pairs."""
+    import math as _m
+
+    return int(min(8, max(2, _m.ceil(_m.log2(max(n_docs, 2)) / 4.0))))
+
+
+def q_dd_minhash_lsh(spark, sf_dir, num_perms: int = _MINHASH_PERMS,
+                     band_rows: int | None = None):
+    """MinHash + LSH near-dup candidates: 3-token shingles -> ``num_perms``
+    md5-derived min-hashes -> ``num_perms // r`` bands of ``r`` rows ->
+    band-bucket self-join. The banding join is the scale path: candidate
+    generation never compares all pairs, and r defaults to the scale-aware
+    shape (see _minhash_band_rows) so random collisions stay linear in
+    corpus size. The md5(j:shingle) hash contract is unchanged, so the
+    DuckDB oracle reproduces signatures bit-for-bit at any shape."""
     d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    if band_rows is None:
+        band_rows = _minhash_band_rows(d.count())
     # guard: a doc with <3 tokens has NO 3-shingles — sequence(0, size-3)
     # would otherwise produce a descending range and slice() would throw
     sh = d.select(
@@ -1287,15 +1310,16 @@ def q_dd_minhash_lsh(spark, sf_dir):
             )
         ).alias("sh"),
     ).distinct()
-    seeds = F.explode(F.expr(f"sequence(0, {_N_PLANES - 1})")).alias("j")
+    n_used = (num_perms // band_rows) * band_rows  # whole bands only
+    seeds = F.explode(F.expr(f"sequence(0, {n_used - 1})")).alias("j")
     hashed = sh.select("doc_id", "sh", seeds).withColumn(
         "h",
         F.conv(F.substring(F.md5(F.concat_ws(":", F.col("j"), F.col("sh"))), 1, 8), 16, 10).cast("long"),
     )
     mh = hashed.groupBy("doc_id", "j").agg(F.min("h").alias("mh"))
-    # bands of 2 consecutive signature rows (key = j-ordered minhash concat)
+    # bands of r consecutive signature rows (key = j-ordered minhash concat)
     bands = (
-        mh.withColumn("band", (F.col("j") / 2).cast("int"))
+        mh.withColumn("band", (F.col("j") / band_rows).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
             F.concat_ws(
@@ -1451,11 +1475,12 @@ def q_nd_jaccard(spark, sf_dir):
 
 def q_dd_lsh_verify(spark, sf_dir):
     """The full two-stage near-dup pipeline: MinHash-LSH candidate
-    generation (q_dd_minhash_lsh) chained into exact Jaccard verification —
-    band-bucket join proposes, token-intersection join disposes. Output:
-    candidate pairs whose TRUE token-set Jaccard ≥ 0.5 (sub-τ threshold on
-    purpose: LSH at 4 bands × 2 rows has partial recall at 0.6, so the
-    verify stage is doing real filtering here, not rubber-stamping)."""
+    generation (q_dd_minhash_lsh, 128 perms, scale-aware band shape)
+    chained into exact Jaccard verification — band-bucket join proposes,
+    token-intersection join disposes. Output: candidate pairs whose TRUE
+    token-set Jaccard ≥ 0.5 (sub-threshold on purpose: the banding has
+    partial recall near its sweet spot, so the verify stage is doing real
+    filtering here, not rubber-stamping)."""
     cand = q_dd_minhash_lsh(spark, sf_dir)
     tok = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("t")
@@ -2255,6 +2280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_or": q_ft_span_or,
         "ft_span_not": q_ft_span_not,
         "ft_lucene_rank": q_ft_lucene_rank,
+        "dd_minhash_lsh": q_dd_minhash_lsh,
+        "dd_lsh_verify": q_dd_lsh_verify,
+        "nd_shingle_jaccard": q_nd_shingle_jaccard,
         # --- r3-gated green, unchanged ---
         "ft_field_title": q_ft_field_title,
         "ft_dismax_fields": q_ft_dismax_fields,
@@ -2323,13 +2351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_phrase": q_ft_multi_phrase,
         "ft_suggest": q_ft_suggest,
         "ft_spell": q_ft_spell,
-        "dd_minhash_lsh": q_dd_minhash_lsh,
-        "dd_lsh_verify": q_dd_lsh_verify,
         "dd_simhash": q_dd_simhash,
         "nd_jaccard": q_nd_jaccard,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "nd_shingle_jaccard": q_nd_shingle_jaccard,
         # --- unchanged r1+r2 double-green entries (absorb the 50-entry cap;
         # every entry CHANGED in r3 sits above this line and gets a gate row) ---
         "txt_quality": q_txt_quality,
@@ -3283,15 +3308,23 @@ sh AS (
   JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
   JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
 ),
+shape AS (
+  -- scale-aware rows-per-band: clamp(2, 8, ceil(log2(n)/4)), whole bands
+  -- only ({_MINHASH_PERMS} // r * r perms used) — mirrors _minhash_band_rows
+  SELECT r, ({_MINHASH_PERMS} // r) * r AS n_used FROM (
+    SELECT least(8, greatest(2, CAST(ceil(log2((SELECT count(*) FROM documents)) / 4.0) AS INT))) AS r
+  )
+),
 hs AS (
   SELECT doc_id, j, min(CAST(concat('0x', substr(md5(j || ':' || sh), 1, 8)) AS BIGINT)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, {_N_PLANES})) AS j)
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {_MINHASH_PERMS})) AS j)
+  WHERE j < (SELECT n_used FROM shape)
   GROUP BY doc_id, j
 ),
 bands AS (
-  SELECT doc_id, CAST(j // 2 AS INT) AS band,
+  SELECT doc_id, CAST(j // (SELECT r FROM shape) AS INT) AS band,
          string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
-  FROM hs GROUP BY doc_id, CAST(j // 2 AS INT)
+  FROM hs GROUP BY doc_id, CAST(j // (SELECT r FROM shape) AS INT)
 )"""
 
     o["dd_minhash_lsh"] = (

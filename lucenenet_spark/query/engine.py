@@ -1728,6 +1728,7 @@ class Searcher:
         keys: DataFrame,
         key_col: str,
         score_mode: str = "total",
+        broadcast_threshold: int = 2_000_000,
     ) -> DataFrame:
         """Query-time score-carrying join — JoinUtil.CreateJoinQuery
         analogue (Lucene.Net.Join/JoinUtil.cs:41-86 with
@@ -1737,11 +1738,16 @@ class Searcher:
         JoinUtil's None mode is the n_from count column, always emitted).
 
         ``keys`` is a (docid, <key_col>) mapping — a doc-values column or
-        an external mapping table. The from match set is query-sized and
+        an external mapping table. A query-sized from match set is
         BROADCAST into the mapping join, which is the faithful analogue of
         the reference's design (TermsIncludingScoreQuery materializes the
-        entire from-side terms+scores structure in memory); the only
-        shuffle is the aggregation over DISTINCT join values."""
+        entire from-side terms+scores structure in memory) — but GUARDED:
+        the match set is bounded above by the sum of the query terms' dfs
+        (one termstats lookup), and a from side estimated past
+        ``broadcast_threshold`` rows (or a term-free shape like MatchAll /
+        pure ranges, whose match set is unbounded by dfs) falls back to a
+        shuffle join instead of OOMing executors with the broadcast. The
+        only other shuffle is the aggregation over DISTINCT join values."""
         aggs = {
             "total": F.sum("score"),
             "max": F.max("score"),
@@ -1751,8 +1757,13 @@ class Searcher:
         if score_mode not in aggs:
             raise ValueError(f"unknown ScoreMode {score_mode!r}")
         scored = self.score_df(from_query)
+        terms: set[str] = set()
+        _collect_terms(rewrite(from_query), terms)
+        stats = self.term_stats(sorted(terms)) if terms else {}
+        est = sum(st.df for st in stats.values())
+        small = bool(terms) and est <= int(broadcast_threshold)
         joined = keys.select(F.col("docid"), F.col(key_col)).join(
-            F.broadcast(scored), "docid", "inner"
+            F.broadcast(scored) if small else scored, "docid", "inner"
         )
         return joined.groupBy(key_col).agg(
             aggs[score_mode].alias("score"),

@@ -322,3 +322,40 @@ def test_join_scores_score_modes(searcher, spark):
 
     with _pytest.raises(ValueError):
         searcher.join_scores(q, keys, "grp", "nope")
+
+
+def test_join_scores_broadcast_guard(searcher):
+    """The from-side broadcast is guarded by the df-sum estimate: a small
+    term query keeps the broadcast hint; a high-df / term-free shape
+    (MatchAllDocsQuery) falls back to a shuffle join instead of
+    broadcasting an unbounded match set."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.query.ast import MatchAllDocsQuery
+
+    keys = searcher.docmap.select(
+        "docid", F.concat(F.lit("g"), F.pmod("docid", F.lit(3))).alias("grp")
+    )
+
+    def planned(q, **kw):
+        df = searcher.join_scores(q, keys, "grp", "total", **kw)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    assert "broadcast" in planned(TermQuery("heart")).lower()
+    assert "broadcast" not in planned(MatchAllDocsQuery()).lower()
+    # a term query pushed over the threshold also demotes to shuffle
+    assert "broadcast" not in planned(
+        TermQuery("heart"), broadcast_threshold=0
+    ).lower()
+    # results are identical either way
+    a = {
+        (r["grp"], r["n_from"])
+        for r in searcher.join_scores(TermQuery("heart"), keys, "grp").collect()
+    }
+    b = {
+        (r["grp"], r["n_from"])
+        for r in searcher.join_scores(
+            TermQuery("heart"), keys, "grp", broadcast_threshold=0
+        ).collect()
+    }
+    assert a == b and a
