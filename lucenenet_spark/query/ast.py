@@ -289,9 +289,13 @@ class SpanNearQuery(Query):
     ``SpanNear(SpanOr(syn1, syn2), term)`` synonym idiom. A union clause's
     spans are the union of its members' unit spans (SpanOrQuery.cs:36-58);
     members missing from the index simply contribute no spans (a clause
-    whose EVERY member is missing can never match). Unordered supports
-    exactly two clauses (the joint-window constraint for n>2 needs the
-    reference's SpansCell queue and is out of scope). Scoring follows the
+    whose EVERY member is missing can never match). Unordered supports any
+    clause count (r4): per anchor, every other clause contributes its
+    nearest position and the joint window max-min must satisfy
+    NearSpansUnordered's matchLength - totalLength <= slop rule — the
+    anchor-based re-expression of the reference's SpansCell queue
+    (NearSpansUnordered.cs:36; exact for n=2, nearest-choice convention
+    for n>2). Scoring follows the
     reference's SpanScorer (SpanScorer.cs SetFreqCurrentDoc): each
     enumerated span match contributes sloppyFreq(matchLength) =
     1/(1+matchLength) to freq, matchLength = End - Start of the covering

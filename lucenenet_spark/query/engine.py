@@ -855,8 +855,7 @@ class Searcher:
             if not alts:
                 return self._empty()
             slots.append(alts)
-        if not q.in_order and len(slots) != 2:
-            raise ValueError("unordered SpanNearQuery supports exactly 2 clauses")
+
         per_slot = []
         for i, alts in enumerate(slots):
             blocks = self.postings.filter(F.col("term").isin(alts))
@@ -960,19 +959,36 @@ class Searcher:
                     # window of the greedy chain in positions
                     mlen = (cur - base_keys) + 1
                 else:
-                    keys_1, _ = flat_keys(pdf["pos_1"])
-                    n1 = len(keys_1)
-                    if n1 == 0:
-                        continue
-                    # nearest clause-1 span per anchor (joint minimal window)
-                    idxr = np.searchsorted(keys_1, base_keys, "left")
-                    right = keys_1[np.minimum(idxr, n1 - 1)]
-                    dr = np.where(idxr < n1, right - base_keys, np.int64(1) << 40)
-                    left = keys_1[np.maximum(idxr - 1, 0)]
-                    dl_ = np.where(idxr > 0, base_keys - left, np.int64(1) << 40)
-                    d = np.minimum(dl_, dr)
-                    match &= d <= window
-                    mlen = d + 1  # max(end) - min(start) of two unit spans
+                    # unordered n-clause window (NearSpansUnordered.cs:36
+                    # SpansCell queue, re-expressed anchor-based): per
+                    # anchor, every other clause contributes its NEAREST
+                    # position (tie -> earlier); the joint window is
+                    # max - min over the chosen positions incl. the anchor,
+                    # and Lucene's slop rule matchLength - totalLength <=
+                    # slop becomes range <= slop + n - 1 for unit spans.
+                    # Nearest-per-clause is this engine's documented
+                    # enumeration convention (exact for n=2).
+                    BIG = np.int64(1) << 40
+                    maxc = np.zeros(len(base_keys), dtype=np.int64)
+                    minc = np.zeros(len(base_keys), dtype=np.int64)
+                    for i in range(1, nterms):
+                        keys_i, _ = flat_keys(pdf[f"pos_{i}"])
+                        n_i = len(keys_i)
+                        if n_i == 0:
+                            match[:] = False
+                            break
+                        idxr = np.searchsorted(keys_i, base_keys, "left")
+                        right = keys_i[np.minimum(idxr, n_i - 1)]
+                        dr = np.where(idxr < n_i, right - base_keys, BIG)
+                        left = keys_i[np.maximum(idxr - 1, 0)]
+                        dl_ = np.where(idxr > 0, base_keys - left, BIG)
+                        match &= np.minimum(dl_, dr) <= window
+                        c = np.where(dl_ <= dr, -dl_, dr)
+                        np.maximum(maxc, c, out=maxc)
+                        np.minimum(minc, c, out=minc)
+                    rng = maxc - minc
+                    match &= rng <= window
+                    mlen = rng + 1  # max(end) - min(start) of unit spans
                 counts = np.bincount(base_rows[match], minlength=len(pdf)).astype(np.int64)
                 hit = counts > 0
                 if not hit.any():

@@ -6,7 +6,15 @@ Classic/QueryParser.cs) needed by the reference-style query sets:
 
 - bare terms, AND/OR/NOT, +/- prefixes, ^boost
 - quoted phrases (with ~slop) and '|'-alternative multi-phrases
-- trailing-* prefix terms, term~N fuzzy
+- trailing-* prefix terms, mid-pattern */? wildcards (te?t, te*t ->
+  WildcardQuery), term~N fuzzy
+- backslash escaping (QueryParserBase.Escape / discardEscapeChar):
+  ``\+literal`` parses as a term instead of a MUST modifier, ``te\*t``
+  keeps a literal ``*`` through parsing (the ANALYZER then runs as
+  always — on the text field it splits on '*' exactly as indexing did;
+  keyword-field values stay verbatim, so ``lang:a\*b`` matches a literal
+  star). Scope: escapes apply within a word (no escaped whitespace), and
+  ``~`` is not escapable mid-word.
 - [a TO b] ranges (term ranges on text; NumericRange on any other field —
   the doc-values path, so ``warc_ts:[2020-01-01 TO 2020-06-01]`` compiles
   to a pushed-down timestamp range)
@@ -35,6 +43,7 @@ from .ast import (
     Query,
     TermQuery,
     TermRangeQuery,
+    WildcardQuery,
     rewrite,
 )
 
@@ -57,6 +66,36 @@ _TOKEN_RX = re.compile(
 )
 
 _FIELD_WORD_RX = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+
+_WILD_RX = re.compile(r"(?<!\\)[*?]")  # unescaped wildcard metachars
+
+
+def _unescape(w: str) -> str:
+    """discardEscapeChar (QueryParserBase.cs): '\\x' -> 'x'."""
+    return re.sub(r"\\(.)", r"\1", w)
+
+
+def _wildcard_pattern(w: str) -> str:
+    """Raw word -> WildcardQuery pattern: unescaped */? stay wildcards,
+    escaped chars become literals ([] classes express literal */?[])."""
+    out: list[str] = []
+    i = 0
+    while i < len(w):
+        c = w[i]
+        if c == "\\" and i + 1 < len(w):
+            nxt = w[i + 1]
+            out.append(f"[{nxt}]" if nxt in "*?" else nxt)
+            i += 2
+        elif c == "[":
+            out.append("[[]")
+            i += 1
+        elif c == "]":
+            out.append("[]]")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 _ISO_TS_RX = re.compile(
@@ -228,22 +267,45 @@ class _Parser:
         has_fuzzy = m.group("edits") is not None or "~" in self.s[m.start(): m.end()]
         if fm:
             fld, rest = fm.group(1), fm.group(2)
-            if rest.endswith("*") and len(rest) > 1:
-                push(PrefixQuery(rest[:-1], boost, field=fld))
+            if _WILD_RX.search(rest):
+                # trailing-*-only keeps the PrefixQuery shape (the classic
+                # parser's GetWildcardQuery prefix optimization); anything
+                # else — mid-pattern * or ? — is a WildcardQuery
+                if (
+                    rest.endswith("*")
+                    and len(rest) > 1
+                    and "\\" not in rest
+                    and not _WILD_RX.search(rest[:-1])
+                ):
+                    push(PrefixQuery(rest[:-1], boost, field=fld))
+                else:
+                    push(WildcardQuery(_wildcard_pattern(rest), boost, field=fld))
             elif has_fuzzy:
                 edits = int(m.group("edits")) if m.group("edits") else 2
-                push(FuzzyQuery(rest, max_edits=edits, boost=boost, field=fld))
+                push(FuzzyQuery(
+                    _unescape(rest), max_edits=edits, boost=boost, field=fld
+                ))
             else:
-                push(TermQuery(rest, boost, field=fld))
-        elif w.endswith("*") and len(w) > 1:
-            push(PrefixQuery(w[:-1].lower(), boost))
+                push(TermQuery(_unescape(rest), boost, field=fld))
+        elif _WILD_RX.search(w):
+            if (
+                w.endswith("*")
+                and len(w) > 1
+                and "\\" not in w
+                and not _WILD_RX.search(w[:-1])
+            ):
+                push(PrefixQuery(w[:-1].lower(), boost))
+            else:
+                # text terms are indexed lowercase; lowering the pattern
+                # (incl. [] literal classes) preserves its semantics
+                push(WildcardQuery(_wildcard_pattern(w).lower(), boost))
         elif has_fuzzy:
             edits = int(m.group("edits")) if m.group("edits") else 2
-            terms = self.analyzer.analyze_query(w)
+            terms = self.analyzer.analyze_query(_unescape(w))
             if terms:
                 push(FuzzyQuery(terms[0], max_edits=edits, boost=boost))
         else:
-            terms = self.analyzer.analyze_query(w)
+            terms = self.analyzer.analyze_query(_unescape(w))
             if len(terms) == 1:
                 push(TermQuery(terms[0], boost))
             elif len(terms) > 1:

@@ -326,8 +326,6 @@ class OracleIndex:
                 {d: (len(set(ps)), sorted(set(ps))) for d, (_n, ps) in merged.items()}
             )
         idf = np.float32(sum(idf_terms))
-        if not q.in_order and len(q.terms) != 2:
-            raise ValueError("unordered SpanNearQuery supports exactly 2 clauses")
         common = set(per_term[0].keys())
         for p in per_term[1:]:
             common &= p.keys()
@@ -350,10 +348,25 @@ class OracleIndex:
                     if ok and cur - p0 <= window:
                         freq += 1.0 / (1.0 + (cur - p0 + 1))
                 else:
-                    cands = [abs(p1 - p0) for p1 in positions[1]]
-                    d_min = min(cands) if cands else None
-                    if d_min is not None and d_min <= window:
-                        freq += 1.0 / (1.0 + (d_min + 1))
+                    # unordered n-clause window: every other clause
+                    # contributes its NEAREST position (tie -> earlier);
+                    # joint window = max - min incl. the anchor, match iff
+                    # range <= slop + n - 1 (NearSpansUnordered's
+                    # matchLength - totalLength <= slop for unit spans)
+                    ok = True
+                    maxc = minc = 0
+                    for plist in positions[1:]:
+                        c = min(
+                            (p1 - p0 for p1 in plist),
+                            key=lambda d: (abs(d), d),
+                        )
+                        if abs(c) > window:
+                            ok = False
+                            break
+                        maxc = max(maxc, c)
+                        minc = min(minc, c)
+                    if ok and maxc - minc <= window:
+                        freq += 1.0 / (1.0 + (maxc - minc + 1))
             if freq > 0:
                 s = self.bm25.score(
                     np.array([freq]), np.array([self.norm_byte[d]]), idf, self._cache

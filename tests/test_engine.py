@@ -90,6 +90,8 @@ QUERIES = [
     SpanNearQuery((("tiger", "forest"), "night"), slop=3, in_order=True),
     SpanNearQuery((SpanOrQuery(("human", "fearful")), ("heart", "symmetry")), slop=1),
     SpanNearQuery((("heart", "data"), "human"), slop=2, in_order=False),
+    SpanNearQuery(("tiger", "burning", "bright"), slop=1, in_order=False),
+    SpanNearQuery(("night", "forest", "tiger"), slop=4, in_order=False),
 ]
 
 

@@ -140,3 +140,61 @@ def test_parser_never_crashes_property():
     # the regression that prompted this: a boost marker with no number
     q = parse_query("tiger^. OR cat^", analyzer=AZ)
     assert {c.query.term for c in q.clauses} == {"tiger", "cat"}
+
+
+def test_mid_pattern_wildcards():
+    """Classic/QueryParser.cs wildcard grammar: te?t / te*t become
+    WildcardQuery; a trailing-*-only word keeps the PrefixQuery shape."""
+    from lucenenet_spark.query.ast import PrefixQuery, WildcardQuery
+
+    assert parse_query("te?t") == WildcardQuery("te?t")
+    assert parse_query("te*t") == WildcardQuery("te*t")
+    assert parse_query("t*e?t") == WildcardQuery("t*e?t")
+    assert parse_query("data*") == PrefixQuery("data")
+    # wildcard patterns lowercase like indexed terms
+    assert parse_query("Te?T") == WildcardQuery("te?t")
+    # field-qualified wildcards
+    assert parse_query("lang:e?") == WildcardQuery("e?", field="lang")
+    assert parse_query("lang:e*n") == WildcardQuery("e*n", field="lang")
+    assert parse_query("lang:en*") == PrefixQuery("en", field="lang")
+
+
+def test_escaping():
+    """QueryParserBase.Escape / discardEscapeChar: backslash suppresses
+    parser interpretation; the analyzer then runs as always."""
+    from lucenenet_spark.query.ast import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        PhraseQuery,
+        TermQuery,
+        WildcardQuery,
+    )
+
+    # \+literal is a term, not a MUST modifier
+    assert parse_query(r"\+literal") == TermQuery("literal")
+    plus = parse_query("+must other")
+    assert isinstance(plus, BooleanQuery)
+    assert plus.clauses[0].occur is Occur.MUST
+    # te\*t: escaped star is NOT a wildcard; the text analyzer splits on
+    # '*' exactly as indexing would (no '*' ever exists in text terms)
+    assert parse_query(r"te\*t") == PhraseQuery(("te", "t"))
+    # keyword fields keep escaped metachars verbatim (values unanalyzed)
+    assert parse_query(r"lang:\*") == TermQuery("*", field="lang")
+    assert parse_query(r"lang:a\*b") == TermQuery("a*b", field="lang")
+    # escaped star INSIDE a real wildcard pattern -> literal [] class
+    assert parse_query(r"lang:a\*b*") == WildcardQuery("a[*]b*", field="lang")
+
+
+def test_wildcard_pattern_semantics():
+    """The produced patterns behave correctly under the engine's fnmatch
+    expansion (the _expand/_expand_terms contract)."""
+    import fnmatch
+    import re as _re
+
+    from lucenenet_spark.query.parser import _wildcard_pattern
+
+    rx = _re.compile(fnmatch.translate(_wildcard_pattern(r"a\*b*")))
+    assert rx.match("a*bxx") and not rx.match("aXbxx")
+    rx2 = _re.compile(fnmatch.translate(_wildcard_pattern("te?t")))
+    assert rx2.match("text") and not rx2.match("teext")

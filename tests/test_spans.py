@@ -140,9 +140,19 @@ def test_span_first_truncated_tf(idx):
     assert s2 > s1
 
 
-def test_unordered_requires_two_clauses(idx):
-    with pytest.raises(ValueError):
-        idx._eval(SpanNearQuery(("alpha", "beta", "gamma"), in_order=False))
+def test_unordered_three_clauses(idx):
+    """r4: n>2 unordered — joint window over the nearest position of every
+    clause around each anchor (NearSpansUnordered's slop rule)."""
+    # doc 0 "alpha beta gamma": range 2 <= slop 0 + 3 - 1 = 2 -> matches
+    q0 = SpanNearQuery(("beta", "alpha", "gamma"), slop=0, in_order=False)
+    assert 0 in _docs(idx, q0)
+    # doc 5 "alpha beta beta gamma": anchor beta@1 (nearest), alpha@0,
+    # gamma@3 -> range 3 > 2 at slop 0; slop 1 admits it
+    assert 5 not in _docs(idx, q0)
+    q1 = SpanNearQuery(("beta", "alpha", "gamma"), slop=1, in_order=False)
+    assert {0, 5} <= set(_docs(idx, q1))
+    # a doc missing any clause can never match
+    assert 4 not in _docs(idx, q1) and 2 not in _docs(idx, q1)
 
 
 def test_span_or_rewrites_to_single_clause_near(idx):
