@@ -1232,6 +1232,21 @@ def q_ft_search_batch(spark, sf_dir):
     )
 
 
+def q_ft_suggest_analyzed(spark, sf_dir):
+    """Analysis-chain-aware completion with context
+    (AnalyzingSuggester.cs:90 analogue, r4): the typed text runs through
+    the index's analyzer; the last token completes against the term
+    dictionary and earlier tokens become a co-occurrence context — each
+    completion's weight is its df among docs containing the context
+    ('data me' -> 'merge' ranked by |docs with data AND merge|). Plan:
+    dictionary-prefix candidate scan broadcast into the candidates'
+    postings + one semi-join against the context docids."""
+    s = _searcher(spark, sf_dir)
+    return s.suggest_analyzed("data me", 10).select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+
+
 def q_ft_fuzzy_suggest(spark, sf_dir):
     """Typo-tolerant autocomplete (FuzzySuggester.cs:59 analogue): the
     mistyped prefix 'serch' still completes to 'search...' terms — term
@@ -2271,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry + the float32 battery; ft_phrase_sloppy is new) ---
         "ft_phrase_sloppy": q_ft_phrase_sloppy,
         "ft_lang_router": q_ft_lang_router,
+        "ft_suggest_analyzed": q_ft_suggest_analyzed,
         "ft_span_field": q_ft_span_field,
         "ft_prefix_scored_field": q_ft_prefix_scored_field,
         "ft_span_near": q_ft_span_near,
@@ -2486,6 +2502,23 @@ scored AS (
 )
 """
         + _TOPK_TAIL.format(k=10)
+    )
+
+    # analyzed suggester with context: candidates = 'me%' dictionary terms,
+    # weight = df among docs containing the context term 'data'
+    o["ft_suggest_analyzed"] = (
+        _SQL_PREFIX
+        + """,
+ctx AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+scored AS (
+  SELECT t.term, count(DISTINCT t.doc_id) AS df
+  FROM tok t JOIN ctx USING (doc_id)
+  WHERE t.term LIKE 'me%'
+  GROUP BY t.term
+)
+SELECT term, CAST(df AS BIGINT) AS df FROM scored
+ORDER BY df DESC, term ASC LIMIT 10
+"""
     )
 
     # lang-routed analysis: the tok CTE applies the FrenchLightStemmer

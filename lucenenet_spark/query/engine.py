@@ -2223,6 +2223,70 @@ class Searcher:
             .limit(k)
         )
 
+    def suggest_analyzed(self, text: str, k: int = 10) -> DataFrame:
+        """Analysis-chain-aware completion — the AnalyzingSuggester contract
+        (Suggest/Analyzing/AnalyzingSuggester.cs:90: the typed text runs
+        through the SAME analyzer the index used before completion, so
+        'Recherch' completes against stemmed/folded/lowercased dictionary
+        forms that a raw surface-prefix scan would miss). The last analyzed
+        token is the completion prefix; any earlier analyzed tokens must
+        co-occur (each completion is returned with its df among docs
+        containing the context terms — the weight the reference's FST
+        carries). A fully-stopworded input returns the plain top-df terms.
+
+        Plan: dictionary-prefix scan for candidates; with context, ONE
+        semi-join of the context docids into the candidates' postings +
+        hash agg (candidate-bounded, never corpus x corpus)."""
+        toks = self.analyzer.analyze_query(text)
+        if not toks:
+            return (
+                self.termstats.filter(~F.col("term").contains(":"))
+                .select("term", "df")
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(k)
+            )
+        prefix, context = toks[-1], [t for t in toks[:-1] if t]
+        cand = self.termstats.filter(
+            F.col("term").startswith(prefix) & ~F.col("term").contains(":")
+        ).select("term", "df")
+        if not context:
+            return cand.orderBy(F.desc("df"), F.asc("term")).limit(k)
+        ctx = None
+        for t in dict.fromkeys(context):
+            d = self._score(TermQuery(t), self.term_stats([t])).select("docid")
+            ctx = d if ctx is None else ctx.join(d, "docid", "inner")
+        cand_docs = (
+            self.postings.join(F.broadcast(cand.select("term")), "term")
+            .select("term", "first_docid", "docid_deltas")
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                lens = pdf["docid_deltas"].map(len).to_numpy(np.int64)
+                docids = np.concatenate(
+                    [
+                        fd + np.cumsum(np.asarray(x, dtype=np.int64))
+                        for fd, x in zip(pdf["first_docid"], pdf["docid_deltas"])
+                    ]
+                ) if lens.sum() else np.array([], dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "term": np.repeat(pdf["term"].to_numpy(), lens),
+                        "docid": docids,
+                    }
+                )
+
+        pairs = cand_docs.mapInPandas(decode, schema="term string, docid long")
+        return (
+            pairs.join(ctx, "docid", "left_semi")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
     def fuzzy_suggest(self, prefix: str, k: int = 10, max_edits: int = 1) -> DataFrame:
         """Typo-tolerant autocomplete (Suggest/Analyzing/FuzzySuggester.cs:59
         — the Levenshtein automaton intersected with the suggest FST,

@@ -359,3 +359,58 @@ def test_join_scores_broadcast_guard(searcher):
         ).collect()
     }
     assert a == b and a
+
+
+def test_suggest_analyzed_context_and_ranking(searcher):
+    """AnalyzingSuggester analogue: the last analyzed token completes, the
+    earlier tokens form a co-occurrence context, df = docs containing
+    context AND completion."""
+    import pandas as pd
+
+    # recompute from the raw corpus: docs with 'tiger', completions 'bu%'
+    toks = searcher.docmap.select("docid").count()  # force searcher built
+    got = {
+        r["term"]: r["df"]
+        for r in searcher.suggest_analyzed("tiger bu", 10).collect()
+    }
+    assert got, "expected completions for 'bu' in tiger docs"
+    # every completion starts with the analyzed prefix
+    assert all(t.startswith("bu") for t in got)
+    # weights equal the co-occurrence df computed independently
+    from lucenenet_spark.query.ast import BooleanQuery, TermQuery
+
+    for t, df in got.items():
+        both = searcher.count(
+            BooleanQuery.build(must=[TermQuery("tiger"), TermQuery(t)])
+        )
+        assert df == both, (t, df, both)
+    # no context: plain prefix completion identical to suggest()
+    a = [(r["term"], r["df"]) for r in searcher.suggest_analyzed("bu", 10).collect()]
+    b = [(r["term"], r["df"]) for r in searcher.suggest("bu", 10).collect()]
+    assert a == b
+
+
+def test_suggest_analyzed_runs_the_chain(spark, tmp_path):
+    """The typed text is analyzed with the INDEX's chain before completion:
+    on an english-chain index, 'Running merg' completes against stemmed
+    dictionary forms with the stem 'run' as context."""
+    from lucenenet_spark.index import IndexConfig, build_index
+
+    rows = [
+        ("u://0", "running quickly while merging the merged tables"),
+        ("u://1", "merger of unrelated entries"),
+        ("u://2", "running without the other context word"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = str(tmp_path / "sugg_en")
+    build_index(
+        spark, df, out,
+        IndexConfig(num_partitions=2, flush_docs=64, analyzer="english"),
+        overwrite=True,
+    )
+    s = Searcher(spark, out)
+    assert s.analyzer.analyze_query("Running merg") == ["run", "merg"]
+    got = {r["term"]: r["df"] for r in s.suggest_analyzed("Running merg", 10).collect()}
+    # doc 0 contains stem 'run' and merg-prefixed stems; doc 1 has no 'run'
+    assert got and all(t.startswith("merg") for t in got)
+    assert all(df == 1 for df in got.values())  # only doc 0 co-occurs
