@@ -309,6 +309,11 @@ _FR_STEM_MAP = {
     "order": "ord", "small": "smal", "table": "tabl",
     "value": "valu", "vector": "vecto",
 }
+# GermanLightAnalyzer (normalize + UniNE stem) image of the same vocabulary
+_DE_STEM_MAP = {
+    "customer": "custom", "filter": "filt", "line": "lin",
+    "merge": "merg", "order": "ord", "table": "tabl", "value": "valu",
+}
 _CORPUS_VOCAB = (
     "a agg batch big column customer data dup fast filter group hash join "
     "key line merge order part query row scan slow small sort spark stream "
@@ -329,7 +334,8 @@ def _lang_searcher(spark, sf_dir):
     if key in _LANG_SEARCHERS:
         return _LANG_SEARCHERS[key]
     cfg = dataclasses.replace(
-        _ENTRY_CONFIG, lang_field="lang", lang_chains=(("fr", "french"),),
+        _ENTRY_CONFIG, lang_field="lang",
+        lang_chains=(("fr", "french"), ("de", "german")),
         text_fields=(),  # lang routing is incompatible with text_fields
     )
     idx = os.path.join(_INDEX_ROOT, key + "_langroute")
@@ -342,11 +348,13 @@ def _lang_searcher(spark, sf_dir):
 def q_ft_lang_router(spark, sf_dir):
     """Language-routed analysis — the per-DOCUMENT PerFieldAnalyzerWrapper
     analogue for multilingual corpora: lang='fr' documents are stemmed by
-    the French light chain at index time, the rest keep the default chain,
-    and query-side Searcher.analyzer_for_lang('fr') reproduces the same
-    chain. Query: a SHOULD disjunction of the French stem 'tabl' and the
-    surface 'table' — the stem hits only routed docs, the surface only
-    unrouted ones, so rows verify the routing boundary exactly. The DuckDB
+    the French light chain at index time, lang='de' by the German chain
+    (normalization FSM + UniNE stem), the rest keep the default chain,
+    and query-side Searcher.analyzer_for_lang reproduces each chain.
+    Query: a SHOULD disjunction of the shared stem 'tabl' (both packs map
+    'table' there) and the surface 'table' — the stem hits only routed
+    docs, the surface only unrouted ones, so rows verify both routing
+    boundaries exactly. The DuckDB
     oracle embeds the stem image of the corpus's fixed 31-word vocabulary
     (DuckDB has no UniNE stemmer offline); the entry GUARDS that embedding
     by failing loudly if the index vocabulary leaves the 31-word closure,
@@ -355,7 +363,9 @@ def q_ft_lang_router(spark, sf_dir):
     # vocabulary guard: every indexed term must be a known surface, a known
     # stem, or a namespaced field posting — else the embedded oracle
     # mapping would be silently incomplete
-    allowed = set(_CORPUS_VOCAB) | set(_FR_STEM_MAP.values())
+    allowed = (
+        set(_CORPUS_VOCAB) | set(_FR_STEM_MAP.values()) | set(_DE_STEM_MAP.values())
+    )
     vocab = [
         r["term"]
         for r in s.termstats.select("term").distinct().collect()
@@ -2528,11 +2538,15 @@ ORDER BY df DESC, term ASC LIMIT 10
     _fr_case = " ".join(
         f"WHEN '{k}' THEN '{v}'" for k, v in _FR_STEM_MAP.items()
     )
+    _de_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _DE_STEM_MAP.items()
+    )
     o["ft_lang_router"] = (
         f"""
 WITH tok AS (
   SELECT doc_id,
          CASE WHEN lang = 'fr' THEN CASE t {_fr_case} ELSE t END
+              WHEN lang = 'de' THEN CASE t {_de_case} ELSE t END
               ELSE t END AS term
   FROM (SELECT doc_id, lang, unnest({_TOKS_DUCK}) AS t FROM documents)
 ),

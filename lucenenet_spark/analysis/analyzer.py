@@ -220,6 +220,27 @@ class FrenchLightAnalyzer(StandardAnalyzer):
         return Analyzed([french_light_stem(t) for t in a.tokens], a.positions)
 
 
+class GermanLightAnalyzer(StandardAnalyzer):
+    """GermanAnalyzer (Analysis/De/GermanAnalyzer.cs:171-180 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(German) ->
+    GermanNormalizationFilter -> GermanLightStemFilter (the UniNE light
+    stemmer, Savoy SAC 2006). Normalization folds umlauts / expands
+    eszett / deletes the digraph 'e' (mueller == m-umlaut-ller), then the
+    light stemmer strips plural/declension suffixes. Both run per UNIQUE
+    term at dictionary-encode time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .german import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .german import german_term
+
+        a = super().analyze(text)
+        return Analyzed([german_term(t) for t in a.tokens], a.positions)
+
+
 class ASCIIFoldingAnalyzer(StandardAnalyzer):
     """StandardTokenizer -> LowerCase -> StopFilter -> ASCIIFolding
     (Analysis/Miscellaneous/ASCIIFoldingFilter.cs): accented/decomposable
@@ -379,6 +400,7 @@ _SHIPPED_CHAINS = (
     StandardAnalyzer,
     EnglishAnalyzer,
     FrenchLightAnalyzer,
+    GermanLightAnalyzer,
     ASCIIFoldingAnalyzer,
     KeywordAnalyzer,
     WhitespaceAnalyzer,
@@ -434,6 +456,11 @@ def analyzer_for(
         # FRENCH words (FrenchAnalyzer.cs:116 DEFAULT_STOP_SET)
         sw = FRENCH_STOP_WORDS if stop_words else frozenset()
         return FrenchLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "german":
+        from .german import GERMAN_STOP_WORDS
+
+        sw = GERMAN_STOP_WORDS if stop_words else frozenset()
+        return GermanLightAnalyzer(sw, max_token_length, ascii_only)
     if name == "ascii_folding":
         return ASCIIFoldingAnalyzer(stop_words, max_token_length, ascii_only)
     if name == "simple":
