@@ -314,6 +314,8 @@ _DE_STEM_MAP = {
     "customer": "custom", "filter": "filt", "line": "lin",
     "merge": "merg", "order": "ord", "table": "tabl", "value": "valu",
 }
+# SpanishLightAnalyzer (UniNE stem) image of the same vocabulary
+_ES_STEM_MAP = {"merge": "merg", "table": "tabl", "value": "valu"}
 _CORPUS_VOCAB = (
     "a agg batch big column customer data dup fast filter group hash join "
     "key line merge order part query row scan slow small sort spark stream "
@@ -326,8 +328,10 @@ def _lang_searcher(spark, sf_dir):
     language routing (IndexConfig.lang_field/lang_chains): documents with
     lang='fr' run the FrenchLightAnalyzer chain
     (Analysis/Fr/FrenchAnalyzer.cs:187-212 — the UniNE light stemmer,
-    FrenchLightStemmer.cs:69-350), everything else the default chain. ONE
-    term-sorted postings table serves the mixed corpus."""
+    FrenchLightStemmer.cs:69-350), lang='de' the German chain, lang='es'
+    the Spanish chain (Es/SpanishLightStemmer.cs:63-100), everything else
+    the default chain. ONE term-sorted postings table serves the mixed
+    corpus."""
     import dataclasses
 
     key = os.path.basename(os.path.normpath(sf_dir)) or "default"
@@ -335,7 +339,7 @@ def _lang_searcher(spark, sf_dir):
         return _LANG_SEARCHERS[key]
     cfg = dataclasses.replace(
         _ENTRY_CONFIG, lang_field="lang",
-        lang_chains=(("fr", "french"), ("de", "german")),
+        lang_chains=(("fr", "french"), ("de", "german"), ("es", "spanish")),
         text_fields=(),  # lang routing is incompatible with text_fields
     )
     idx = os.path.join(_INDEX_ROOT, key + "_langroute")
@@ -349,10 +353,11 @@ def q_ft_lang_router(spark, sf_dir):
     """Language-routed analysis — the per-DOCUMENT PerFieldAnalyzerWrapper
     analogue for multilingual corpora: lang='fr' documents are stemmed by
     the French light chain at index time, lang='de' by the German chain
-    (normalization FSM + UniNE stem), the rest keep the default chain,
+    (normalization FSM + UniNE stem), lang='es' by the Spanish light
+    chain, the rest keep the default chain,
     and query-side Searcher.analyzer_for_lang reproduces each chain.
-    Query: a SHOULD disjunction of the shared stem 'tabl' (both packs map
-    'table' there) and the surface 'table' — the stem hits only routed
+    Query: a SHOULD disjunction of the shared stem 'tabl' (all three packs
+    map 'table' there) and the surface 'table' — the stem hits only routed
     docs, the surface only unrouted ones, so rows verify both routing
     boundaries exactly. The DuckDB
     oracle embeds the stem image of the corpus's fixed 31-word vocabulary
@@ -364,7 +369,10 @@ def q_ft_lang_router(spark, sf_dir):
     # stem, or a namespaced field posting — else the embedded oracle
     # mapping would be silently incomplete
     allowed = (
-        set(_CORPUS_VOCAB) | set(_FR_STEM_MAP.values()) | set(_DE_STEM_MAP.values())
+        set(_CORPUS_VOCAB)
+        | set(_FR_STEM_MAP.values())
+        | set(_DE_STEM_MAP.values())
+        | set(_ES_STEM_MAP.values())
     )
     vocab = [
         r["term"]
@@ -2541,12 +2549,16 @@ ORDER BY df DESC, term ASC LIMIT 10
     _de_case = " ".join(
         f"WHEN '{k}' THEN '{v}'" for k, v in _DE_STEM_MAP.items()
     )
+    _es_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _ES_STEM_MAP.items()
+    )
     o["ft_lang_router"] = (
         f"""
 WITH tok AS (
   SELECT doc_id,
          CASE WHEN lang = 'fr' THEN CASE t {_fr_case} ELSE t END
               WHEN lang = 'de' THEN CASE t {_de_case} ELSE t END
+              WHEN lang = 'es' THEN CASE t {_es_case} ELSE t END
               ELSE t END AS term
   FROM (SELECT doc_id, lang, unnest({_TOKS_DUCK}) AS t FROM documents)
 ),

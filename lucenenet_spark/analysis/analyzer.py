@@ -241,6 +241,27 @@ class GermanLightAnalyzer(StandardAnalyzer):
         return Analyzed([german_term(t) for t in a.tokens], a.positions)
 
 
+class SpanishLightAnalyzer(StandardAnalyzer):
+    """SpanishAnalyzer (Analysis/Es/SpanishAnalyzer.cs:120-140 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Spanish) ->
+    SpanishLightStemFilter (the UniNE light stemmer, Savoy SAC 2006 —
+    Analysis/Es/SpanishLightStemmer.cs:63-100): accent fold, then one
+    final-vowel / plural-s suffix strip (-ces -> -z for -z-noun plurals).
+    Runs per UNIQUE term at dictionary-encode time (Arrow fast path
+    stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .spanish import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .spanish import spanish_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([spanish_light_stem(t) for t in a.tokens], a.positions)
+
+
 class ASCIIFoldingAnalyzer(StandardAnalyzer):
     """StandardTokenizer -> LowerCase -> StopFilter -> ASCIIFolding
     (Analysis/Miscellaneous/ASCIIFoldingFilter.cs): accented/decomposable
@@ -401,6 +422,7 @@ _SHIPPED_CHAINS = (
     EnglishAnalyzer,
     FrenchLightAnalyzer,
     GermanLightAnalyzer,
+    SpanishLightAnalyzer,
     ASCIIFoldingAnalyzer,
     KeywordAnalyzer,
     WhitespaceAnalyzer,
@@ -461,6 +483,11 @@ def analyzer_for(
 
         sw = GERMAN_STOP_WORDS if stop_words else frozenset()
         return GermanLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "spanish":
+        from .spanish import SPANISH_STOP_WORDS
+
+        sw = SPANISH_STOP_WORDS if stop_words else frozenset()
+        return SpanishLightAnalyzer(sw, max_token_length, ascii_only)
     if name == "ascii_folding":
         return ASCIIFoldingAnalyzer(stop_words, max_token_length, ascii_only)
     if name == "simple":

@@ -1,4 +1,4 @@
-"""Query-string parser -> Query AST (recursive descent).
+r"""Query-string parser -> Query AST (recursive descent).
 
 Covers the subset of the reference's classic QueryParser grammar
 (src/Lucene.Net.QueryParser/Classic/QueryParserBase.cs:188,
