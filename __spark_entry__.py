@@ -892,6 +892,23 @@ def q_ft_span_syn(spark, sf_dir):
     return _topk_df(_searcher(spark, sf_dir), q, 10)
 
 
+def q_ft_span_nested(spark, sf_dir):
+    """Nested span clauses (r4) — the reference's composable span algebra
+    (SpanNearQuery.cs clauses are arbitrary SpanQuery trees):
+    SpanNear((SpanNear(('data','merge'), slop=1), 'spark'), slop=2,
+    ordered). The inner query is ENUMERATED first — the span kernel in
+    emission mode returns one (start, end) match span per anchor (greedy
+    chain, per-doc arrays) — and the outer ordered chain walks
+    variable-length spans under NearSpansOrdered's gap-sum rule:
+    next clause's first span with start >= current end, match iff
+    (last end - anchor start) - sum(chosen lengths) <= slop. freq =
+    sloppyFreq(covering window) per outer anchor (SpanScorer.cs);
+    idf sums over all three member terms (all-member-stats SpanWeight)."""
+    inner = SpanNearQuery(("data", "merge"), slop=1, in_order=True)
+    q = SpanNearQuery((inner, "spark"), slop=2, in_order=True)
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
 def q_ft_span_first(spark, sf_dir):
     """SpanFirstQuery.cs:33-49: 'table' spans ending within the first 8
     positions; tf truncated to the prefix window and damped by
@@ -2313,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_first": q_ft_span_first,
         "ft_span_or": q_ft_span_or,
         "ft_span_not": q_ft_span_not,
+        "ft_span_nested": q_ft_span_nested,
         "ft_lucene_rank": q_ft_lucene_rank,
         "dd_minhash_lsh": q_dd_minhash_lsh,
         "dd_lsh_verify": q_dd_lsh_verify,
@@ -2638,6 +2656,55 @@ pf AS (
       AND b.pos > a.pos AND b.pos <= a.pos + 3
     WHERE a.term IN ('data', 'vector') AND b.term = 'merge'
     GROUP BY a.doc_id, a.pos
+  ) GROUP BY doc_id
+),
+idfs AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)/((SELECT count(*) FROM t1) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t2) + 0.5)/((SELECT count(*) FROM t2) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+scored AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # nested spans: the inner SpanNear('data','merge',slop=1) enumerates
+    # one span per anchor — (a.pos, greedy chain end min(b.pos)+1), kept
+    # iff b - a <= 2 (the unit-span gap-sum rule at slop 1); the outer
+    # ordered chain picks the first 'spark' strictly after the inner end
+    # (c.pos > bpos, i.e. unit start >= inner end) and keeps anchors iff
+    # the gap c - b - 1 <= 2 (outer slop); each surviving anchor
+    # contributes sloppyFreq(covering window c + 1 - a) in integer
+    # micro-units; idf sums over all three member terms in clause order
+    # (data, merge, spark) to match the engine's float64 summation order
+    o["ft_span_nested"] = (
+        _SQL_PREFIX + _term_ctes(["data", "merge", "spark"])
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+inner_sp AS (
+  SELECT a.doc_id AS doc_id, a.pos AS apos, min(b.pos) AS bpos
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos > a.pos
+  WHERE a.term = 'data' AND b.term = 'merge'
+  GROUP BY a.doc_id, a.pos
+  HAVING min(b.pos) - a.pos <= 2
+),
+pf AS (
+  SELECT doc_id, CAST(sum(sf) AS DOUBLE) / 1000000.0 AS pf FROM (
+    SELECT i.doc_id AS doc_id, i.apos AS apos,
+           CAST(floor(1000000.0 / (1.0 + (min(c.pos) + 1 - i.apos)) + 0.5) AS BIGINT) AS sf
+    FROM inner_sp i JOIN tokp c ON c.doc_id = i.doc_id AND c.pos > i.bpos
+    WHERE c.term = 'spark'
+    GROUP BY i.doc_id, i.apos, i.bpos
+    HAVING min(c.pos) - i.bpos - 1 <= 2
   ) GROUP BY doc_id
 ),
 idfs AS (

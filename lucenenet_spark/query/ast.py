@@ -285,8 +285,20 @@ class SpanNearQuery(Query):
     DocSpansOrdered invariant).
 
     Scope (documented): a clause is a plain term (SpanTermQuery child), a
-    tuple of alternative terms, or a :class:`SpanOrQuery` — the reference's
-    ``SpanNear(SpanOr(syn1, syn2), term)`` synonym idiom. A union clause's
+    tuple of alternative terms, a :class:`SpanOrQuery` — the reference's
+    ``SpanNear(SpanOr(syn1, syn2), term)`` synonym idiom — or (r4) a
+    nested :class:`SpanNearQuery`, the reference's composable span
+    algebra (SpanNearQuery.cs clauses are arbitrary SpanQuery trees). A
+    nested clause contributes its enumerated MATCH spans (one per inner
+    clause-0 anchor, start = anchor start, end = greedy-chain end), and
+    the outer ordered chain then applies Lucene's NearSpansOrdered rule
+    over variable-length spans: clause spans in order, non-overlapping
+    (next start >= previous end), total gap sum = (last end - first
+    start) - sum(chosen span lengths) <= slop; for unit spans this
+    reduces to the flat rule below. Nesting requires ``in_order=True``
+    on the OUTER query (unordered nesting would need true SpansCell
+    length bookkeeping — out of scope); nested clauses themselves may be
+    ordered or unordered. A union clause's
     spans are the union of its members' unit spans (SpanOrQuery.cs:36-58);
     members missing from the index simply contribute no spans (a clause
     whose EVERY member is missing can never match). Unordered supports any
@@ -307,7 +319,7 @@ class SpanNearQuery(Query):
     is likewise order-dependent and approximate (SloppyPhraseScorer.cs
     PhraseFreq doc comment)."""
 
-    terms: tuple["str | tuple[str, ...] | SpanOrQuery", ...]
+    terms: tuple["str | tuple[str, ...] | SpanOrQuery | SpanNearQuery", ...]
     slop: int = 0
     in_order: bool = True
     boost: float = 1.0
@@ -316,17 +328,47 @@ class SpanNearQuery(Query):
     #: field's own norms/avgdl (same contract as PhraseQuery.field)
     field: str = "text"
 
-    def clause_alts(self) -> tuple[tuple[str, ...], ...]:
-        """Normalize clauses to per-slot alternative-term tuples."""
-        out = []
+    def clauses_norm(self) -> tuple["tuple[str, ...] | SpanNearQuery", ...]:
+        """Normalize clauses: alternative-term tuples for unit clauses,
+        the subquery itself for nested SpanNearQuery clauses."""
+        out: list = []
         for c in self.terms:
             if isinstance(c, str):
                 out.append((c,))
+            elif isinstance(c, SpanNearQuery):
+                out.append(c)
             elif isinstance(c, SpanOrQuery):
                 out.append(tuple(c.terms))
             else:
                 out.append(tuple(c))
         return tuple(out)
+
+    def clause_alts(self) -> tuple[tuple[str, ...], ...]:
+        """Normalize clauses to per-slot alternative-term tuples (flat
+        span shapes only; nested clauses raise — callers that support
+        nesting use :meth:`clauses_norm`)."""
+        out = []
+        for c in self.clauses_norm():
+            if isinstance(c, SpanNearQuery):
+                raise TypeError(
+                    "clause_alts() on a nested SpanNearQuery — use clauses_norm()"
+                )
+            out.append(c)
+        return tuple(out)
+
+    def member_terms(self) -> tuple[str, ...]:
+        """Every member term of every clause, recursively (the
+        all-member-stats SpanWeight extraction)."""
+        out: list[str] = []
+        for c in self.clauses_norm():
+            if isinstance(c, SpanNearQuery):
+                out.extend(c.member_terms())
+            else:
+                out.extend(c)
+        return tuple(out)
+
+    def has_nested(self) -> bool:
+        return any(isinstance(c, SpanNearQuery) for c in self.clauses_norm())
 
 
 @dataclass(frozen=True)

@@ -65,6 +65,11 @@ from .ast import (
 )
 
 _EMPTY_SCHEMA = "docid long, score double"
+# enumerated span matches (the _span_kernel emit_spans mode): per-doc
+# parallel (start, end) arrays plus the norm columns the outer anchor needs
+_SPANS_SCHEMA = (
+    "docid long, starts array<long>, ends array<long>, norm_byte long, doclen long"
+)
 
 
 def _skey(field: str, term: str) -> str:
@@ -86,8 +91,7 @@ def _collect_terms(q: Query, out: set[str]) -> None:
             out.update(slot)
     elif isinstance(q, SpanNearQuery):
         fld = getattr(q, "field", "text")
-        for alts in q.clause_alts():
-            out.update(_skey(fld, t) for t in alts)
+        out.update(_skey(fld, t) for t in q.member_terms())
     elif isinstance(q, SpanOrQuery):
         fld = getattr(q, "field", "text")
         out.update(_skey(fld, t) for t in q.terms)
@@ -841,23 +845,80 @@ class Searcher:
 
         freq/idf conventions match this engine's SloppyPhraseScorer (see
         SpanNearQuery dataclass docstring for the documented sloppyFreq
-        divergence)."""
+        divergence).
+
+        Nested SpanNearQuery clauses (r4, SpanNearQuery.cs composable
+        clause trees): a nested clause is recursively ENUMERATED first —
+        its own join + kernel run in span-emission mode, producing per-doc
+        (start, end) arrays of its matches — and the outer ordered chain
+        then walks variable-length spans: next clause's first span with
+        start >= current end (DocSpansOrdered non-overlap), match iff
+        (last end - anchor start) - sum(chosen lengths) <= slop (the gap
+        sum, NearSpansOrdered.cs matchWidth), freq contribution
+        sloppyFreq(last end - anchor start). For all-unit clauses this is
+        arithmetically the flat rule — same scores bit-for-bit."""
         if not self.has_positions:
             raise ValueError(
                 "span queries need an index built with index_positions=True"
             )
         fld = getattr(q, "field", "text")
-        slots: list[list[str]] = []
-        for alts_raw in q.clause_alts():
+        built = self._span_join(q, stats, fld)
+        if built is None:
+            return self._empty()
+        joined, kinds, member_keys = built
+        idf_sum = np.float32(sum(float(stats[t].idf) for t in member_keys))
+        idf_sum_exact = 0.0
+        for t in member_keys:
+            idf_sum_exact = idf_sum_exact + self._idf_exact(stats[t].df)
+        return self._span_kernel(
+            joined, kinds, q.slop, q.in_order, idf_sum, idf_sum_exact,
+            q.boost, field=fld,
+        )
+
+    def _span_join(
+        self, q: SpanNearQuery, stats: dict[str, TermStat], fld: str
+    ) -> "tuple[DataFrame, list[str], list[str]] | None":
+        """Build the per-clause docid join for a span query: clause i
+        contributes ``pos_i`` (sorted unit-span positions) for term/union
+        clauses, or ``start_i``/``end_i`` (enumerated match spans) for a
+        nested SpanNearQuery clause. Returns (joined, kinds, member term
+        keys) — None when some clause has no indexed member (it can never
+        match). Clause 0 additionally carries norm_byte/doclen."""
+        clauses = q.clauses_norm()
+        if q.has_nested() and not q.in_order:
+            raise ValueError(
+                "nested span clauses require in_order=True on the outer query"
+            )
+        member_keys: list[str] = []
+        per_slot = []
+        kinds: list[str] = []
+        for i, c in enumerate(clauses):
+            if isinstance(c, SpanNearQuery):
+                sub = self._span_join(c, stats, fld)
+                if sub is None:
+                    return None
+                sub_joined, sub_kinds, sub_members = sub
+                member_keys.extend(sub_members)
+                spans = self._span_kernel(
+                    sub_joined, sub_kinds, c.slop, c.in_order,
+                    np.float32(0.0), 0.0, 1.0, field=fld, emit_spans=True,
+                )
+                cols = [
+                    F.col("docid"),
+                    F.col("starts").alias(f"start_{i}"),
+                    F.col("ends").alias(f"end_{i}"),
+                ]
+                if i == 0:
+                    cols += [F.col("norm_byte"), F.col("doclen")]
+                per_slot.append(spans.select(*cols))
+                kinds.append("span")
+                continue
             # a union clause's missing members just contribute no spans; a
             # clause with NO indexed member can never match (SpanOrQuery.cs)
-            alts = [_skey(fld, t) for t in alts_raw if _skey(fld, t) in stats]
+            alts = [_skey(fld, t) for t in c if _skey(fld, t) in stats]
             if not alts:
-                return self._empty()
-            slots.append(alts)
-
-        per_slot = []
-        for i, alts in enumerate(slots):
+                return None
+            member_keys.extend(alts)
             blocks = self.postings.filter(F.col("term").isin(alts))
             dec = self._decode_positions(blocks, need_norms=(i == 0))
             if len(alts) > 1:
@@ -882,27 +943,21 @@ class Searcher:
                     *([F.col("norm_byte"), F.col("doclen")] if i == 0 else []),
                 )
             per_slot.append(dec)
+            kinds.append("unit")
         joined = reduce(lambda a, b: a.join(b, "docid", "inner"), per_slot)
-        all_terms = [t for alts in slots for t in alts]
-        idf_sum = np.float32(sum(float(stats[t].idf) for t in all_terms))
-        idf_sum_exact = 0.0
-        for t in all_terms:
-            idf_sum_exact = idf_sum_exact + self._idf_exact(stats[t].df)
-        return self._span_kernel(
-            joined, len(slots), q.slop, q.in_order, idf_sum, idf_sum_exact,
-            q.boost, field=fld,
-        )
+        return joined, kinds, member_keys
 
     def _span_kernel(
         self,
         joined: DataFrame,
-        nterms: int,
+        kinds: "list[str]",
         slop: int,
         in_order: bool,
         idf_sum: np.float32,
         idf_sum_exact: float,
         qboost: float,
         field: str = "text",
+        emit_spans: bool = False,
     ) -> DataFrame:
         """Vectorized span matcher on flat (row, position) int64 keys — the
         same batch-flattening trick as ``_positions_kernel`` (rows are
@@ -911,7 +966,20 @@ class Searcher:
         bound ``slop + nterms - 1 << M`` and can never false-positive).
         ``field`` selects the norm cache / avgdl — spans on an extra text
         field carry that FIELD'S doclens in their namespaced postings
-        (same contract as the phrase kernel)."""
+        (same contract as the phrase kernel).
+
+        ``kinds[i]`` says whether clause i is a ``unit`` term/union clause
+        (column ``pos_i``, span [p, p+1)) or an enumerated nested ``span``
+        clause (columns ``start_i``/``end_i``). The ordered chain walks
+        (start, end) pairs — next clause's first span with start >=
+        current end — and applies the NearSpansOrdered gap-sum rule
+        (covering window minus chosen span lengths <= slop); for all-unit
+        clauses the arithmetic reduces exactly to the flat
+        slop + n - 1 window rule, so flat queries score bit-identically.
+
+        ``emit_spans=True`` returns the enumerated matches themselves
+        (docid, starts, ends arrays, sorted and deduped per doc) instead
+        of scores — the recursion step for nested clauses."""
         cache = self.cache if field == "text" else self.field_cache[field]
         w = idf_sum * (self.k1 + np.float32(1.0))
         boost = np.float32(qboost)
@@ -923,7 +991,9 @@ class Searcher:
             else self.field_avgdl_exact[field]
         )
         one_minus_b = 1.0 - bd
+        nterms = len(kinds)
         window = np.int64(slop + nterms - 1)
+        slop64 = np.int64(slop)
 
         def span_score(batches):
             M = np.int64(1) << 33
@@ -938,26 +1008,40 @@ class Searcher:
                 rows = np.repeat(np.arange(len(col), dtype=np.int64), lens)
                 return rows * M + vals, rows
 
+            def flat_spans(pdf, i):
+                """Clause i as parallel (start_key, end_key, rows)."""
+                if kinds[i] == "unit":
+                    keys, rows = flat_keys(pdf[f"pos_{i}"])
+                    return keys, keys + 1, rows
+                s_keys, rows = flat_keys(pdf[f"start_{i}"])
+                e_keys, _ = flat_keys(pdf[f"end_{i}"])
+                return s_keys, e_keys, rows
+
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                base_keys, base_rows = flat_keys(pdf["pos_0"])
+                base_keys, end0_keys, base_rows = flat_spans(pdf, 0)
                 match = np.ones(len(base_keys), dtype=bool)
                 if in_order:
-                    cur = base_keys.copy()
+                    cur_end = end0_keys.copy()
+                    sum_len = end0_keys - base_keys
                     for i in range(1, nterms):
-                        keys_i, _ = flat_keys(pdf[f"pos_{i}"])
-                        idx = np.searchsorted(keys_i, cur + 1, "left")
-                        match &= idx < len(keys_i)
-                        if not len(keys_i):
-                            cur = cur + M  # no occurrences: poison the chain
+                        s_i, e_i, _ = flat_spans(pdf, i)
+                        idx = np.searchsorted(s_i, cur_end, "left")
+                        match &= idx < len(s_i)
+                        if not len(s_i):
+                            cur_end = cur_end + M  # no spans: poison the chain
                             continue
-                        np.minimum(idx, len(keys_i) - 1, out=idx)
-                        cur = keys_i[idx]
-                    match &= (cur - base_keys) <= window
+                        np.minimum(idx, len(s_i) - 1, out=idx)
+                        sum_len = sum_len + (e_i[idx] - s_i[idx])
+                        cur_end = e_i[idx]
+                    # NearSpansOrdered matchWidth: the gaps between chosen
+                    # spans = covering window - sum of chosen lengths
+                    match &= (cur_end - base_keys - sum_len) <= slop64
                     # SpanScorer matchLength = End - Start: the covering
                     # window of the greedy chain in positions
-                    mlen = (cur - base_keys) + 1
+                    mlen = cur_end - base_keys
+                    span_starts, span_ends = base_keys, cur_end
                 else:
                     # unordered n-clause window (NearSpansUnordered.cs:36
                     # SpansCell queue, re-expressed anchor-based): per
@@ -989,6 +1073,42 @@ class Searcher:
                     rng = maxc - minc
                     match &= rng <= window
                     mlen = rng + 1  # max(end) - min(start) of unit spans
+                    span_starts = base_keys + minc
+                    span_ends = base_keys + maxc + 1
+                if emit_spans:
+                    # enumeration mode: return the matched spans themselves
+                    # (per-doc arrays sorted by (start, end), identical
+                    # covering spans from different anchors deduped — one
+                    # match site, the SpanOr position-dedup convention)
+                    m_rows = base_rows[match]
+                    if not len(m_rows):
+                        continue
+                    s_pos = (span_starts - base_rows * M)[match]
+                    e_pos = (span_ends - base_rows * M)[match]
+                    order = np.lexsort((e_pos, s_pos, m_rows))
+                    m_rows, s_pos, e_pos = m_rows[order], s_pos[order], e_pos[order]
+                    keep = np.ones(len(m_rows), dtype=bool)
+                    keep[1:] = (
+                        (m_rows[1:] != m_rows[:-1])
+                        | (s_pos[1:] != s_pos[:-1])
+                        | (e_pos[1:] != e_pos[:-1])
+                    )
+                    m_rows, s_pos, e_pos = m_rows[keep], s_pos[keep], e_pos[keep]
+                    cnts = np.bincount(m_rows, minlength=len(pdf))
+                    hit = cnts > 0
+                    cuts = np.cumsum(cnts)[:-1]
+                    starts_l = np.split(s_pos, cuts)
+                    ends_l = np.split(e_pos, cuts)
+                    yield pd.DataFrame(
+                        {
+                            "docid": pdf["docid"].to_numpy(np.int64)[hit],
+                            "starts": [a for a, h in zip(starts_l, hit) if h],
+                            "ends": [a for a, h in zip(ends_l, hit) if h],
+                            "norm_byte": pdf["norm_byte"].to_numpy(np.int64)[hit],
+                            "doclen": pdf["doclen"].to_numpy(np.int64)[hit],
+                        }
+                    )
+                    continue
                 counts = np.bincount(base_rows[match], minlength=len(pdf)).astype(np.int64)
                 hit = counts > 0
                 if not hit.any():
@@ -1023,7 +1143,9 @@ class Searcher:
                     {"docid": docids, "score": score.astype(np.float64)}
                 )
 
-        return joined.mapInPandas(span_score, schema=_EMPTY_SCHEMA)
+        return joined.mapInPandas(
+            span_score, schema=_SPANS_SCHEMA if emit_spans else _EMPTY_SCHEMA
+        )
 
     def _score_span_first(self, q: SpanFirstQuery, stats: dict[str, TermStat]) -> DataFrame:
         """SpanFirstQuery.cs:33-49: a unit term span at 0-based position p

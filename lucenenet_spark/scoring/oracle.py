@@ -302,63 +302,82 @@ class OracleIndex:
                 out[d] = float(np.float32(np.float32(q.boost) * s))
         return out
 
-    def _eval_span_near(self, q: SpanNearQuery) -> dict[int, float]:
-        """SpanNearQuery over unit term spans (SpanNearQuery.cs:38-66) —
-        deliberately a different algorithm than the engine's flat-key
-        kernel (plain per-anchor python loops) so the two implementations
-        cross-check each other. Same freq/idf convention as _eval_phrase."""
-        # each clause may be a synonym union (SpanOrQuery child): its span
-        # stream is the merged, deduped position union of every indexed
-        # member; idf sums over every indexed member of every clause
-        per_term = []
+    def _enum_span_near(
+        self, q: SpanNearQuery
+    ) -> "tuple[dict[int, list[tuple[int, int]]] | None, list[float]]":
+        """Enumerate a span query's matches per doc as RAW per-anchor
+        (start, end) span lists (one per clause-0 anchor span, in anchor
+        order), plus the idf of every indexed member term, recursively
+        (the all-member-stats SpanWeight). A nested clause's stream is its
+        own enumeration sorted by (start, end) and deduped — identical
+        covering spans from different anchors are one match site (the
+        SpanOr position-dedup convention); the TOP level keeps raw anchor
+        spans because freq counts per anchor. Returns (None, []) when a
+        clause has no indexed member."""
+        if q.has_nested() and not q.in_order:
+            raise ValueError(
+                "nested span clauses require in_order=True on the outer query"
+            )
+        streams: list[dict[int, list[tuple[int, int]]]] = []
         idf_terms: list[float] = []
-        for alts in q.clause_alts():
-            members = [self.postings[t] for t in alts if t in self.postings]
+        for c in q.clauses_norm():
+            if isinstance(c, SpanNearQuery):
+                raw, sub_idfs = self._enum_span_near(c)
+                if raw is None:
+                    return None, []
+                idf_terms.extend(sub_idfs)
+                streams.append({d: sorted(set(sp)) for d, sp in raw.items()})
+                continue
+            members = [self.postings[t] for t in c if t in self.postings]
             if not members:
-                return {}
-            merged: dict[int, tuple[int, list[int]]] = {}
+                return None, []
+            merged: dict[int, set[int]] = {}
             for plist in members:
                 idf_terms.append(float(self.bm25.idf(len(plist), self.stats.maxdoc)[0]))
                 for d, (_f, poss) in plist.items():
-                    cur = merged.setdefault(d, (0, []))[1]
-                    cur.extend(poss)
-            per_term.append(
-                {d: (len(set(ps)), sorted(set(ps))) for d, (_n, ps) in merged.items()}
+                    merged.setdefault(d, set()).update(poss)
+            streams.append(
+                {d: [(p, p + 1) for p in sorted(ps)] for d, ps in merged.items()}
             )
-        idf = np.float32(sum(idf_terms))
-        common = set(per_term[0].keys())
-        for p in per_term[1:]:
+        common = set(streams[0].keys())
+        for p in streams[1:]:
             common &= p.keys()
         window = q.slop + len(q.terms) - 1
-        out: dict[int, float] = {}
+        out: dict[int, list[tuple[int, int]]] = {}
         for d in sorted(common):
-            positions = [sorted(p[d][1]) for p in per_term]
-            # SpanScorer.cs SetFreqCurrentDoc: freq += 1/(1+matchLength)
-            # per span, matchLength = End - Start of the covering window
-            freq = 0.0
-            for p0 in positions[0]:
+            spans: list[tuple[int, int]] = []
+            for s0, e0 in streams[0][d]:
                 if q.in_order:
-                    cur, ok = p0, True
-                    for plist in positions[1:]:
-                        nxt = [p for p in plist if p > cur]
+                    # NearSpansOrdered: clause spans in order,
+                    # non-overlapping (next start >= current end), greedy
+                    # minimal chain; match iff the gap sum = covering
+                    # window - sum of chosen lengths <= slop
+                    cur_end, sum_len, ok = e0, e0 - s0, True
+                    for st in streams[1:]:
+                        nxt = [(s, e) for (s, e) in st[d] if s >= cur_end]
                         if not nxt:
                             ok = False
                             break
-                        cur = nxt[0]  # greedy minimal keeps the window tight
-                    if ok and cur - p0 <= window:
-                        freq += 1.0 / (1.0 + (cur - p0 + 1))
+                        s, e = nxt[0]
+                        sum_len += e - s
+                        cur_end = e
+                    if ok and (cur_end - s0 - sum_len) <= q.slop:
+                        spans.append((s0, cur_end))
                 else:
-                    # unordered n-clause window: every other clause
-                    # contributes its NEAREST position (tie -> earlier);
-                    # joint window = max - min incl. the anchor, match iff
-                    # range <= slop + n - 1 (NearSpansUnordered's
-                    # matchLength - totalLength <= slop for unit spans)
+                    # unordered n-clause window over unit spans (nested
+                    # clauses require in_order — enforced at the AST/engine
+                    # layer): every other clause contributes its NEAREST
+                    # position (tie -> earlier); joint window = max - min
+                    # incl. the anchor, match iff range <= slop + n - 1
+                    # (NearSpansUnordered's matchLength - totalLength <=
+                    # slop for unit spans)
+                    p0 = s0
                     ok = True
                     maxc = minc = 0
-                    for plist in positions[1:]:
+                    for st in streams[1:]:
                         c = min(
-                            (p1 - p0 for p1 in plist),
-                            key=lambda d: (abs(d), d),
+                            (s - p0 for (s, _e) in st[d]),
+                            key=lambda delta: (abs(delta), delta),
                         )
                         if abs(c) > window:
                             ok = False
@@ -366,7 +385,26 @@ class OracleIndex:
                         maxc = max(maxc, c)
                         minc = min(minc, c)
                     if ok and maxc - minc <= window:
-                        freq += 1.0 / (1.0 + (maxc - minc + 1))
+                        spans.append((p0 + minc, p0 + maxc + 1))
+            if spans:
+                out[d] = spans
+        return out, idf_terms
+
+    def _eval_span_near(self, q: SpanNearQuery) -> dict[int, float]:
+        """SpanNearQuery (SpanNearQuery.cs:38-66), including nested span
+        clauses — deliberately a different algorithm than the engine's
+        flat-key kernel (plain per-anchor python loops) so the two
+        implementations cross-check each other. Same freq/idf convention
+        as _eval_phrase: SpanScorer.cs SetFreqCurrentDoc freq +=
+        1/(1+matchLength) per enumerated span, matchLength = End - Start
+        of the covering window."""
+        raw, idf_terms = self._enum_span_near(q)
+        if raw is None:
+            return {}
+        idf = np.float32(sum(idf_terms))
+        out: dict[int, float] = {}
+        for d, spans in raw.items():
+            freq = sum(1.0 / (1.0 + (e - s)) for s, e in spans)
             if freq > 0:
                 s = self.bm25.score(
                     np.array([freq]), np.array([self.norm_byte[d]]), idf, self._cache

@@ -92,6 +92,29 @@ QUERIES = [
     SpanNearQuery((("heart", "data"), "human"), slop=2, in_order=False),
     SpanNearQuery(("tiger", "burning", "bright"), slop=1, in_order=False),
     SpanNearQuery(("night", "forest", "tiger"), slop=4, in_order=False),
+    # nested span clauses (r4): SpanNear over SpanNear subqueries —
+    # NearSpansOrdered's gap-sum rule over variable-length inner spans
+    SpanNearQuery(
+        (SpanNearQuery(("tiger", "burning"), slop=1, in_order=True), "bright"),
+        slop=3, in_order=True,
+    ),
+    SpanNearQuery(
+        ("human", SpanNearQuery(("heart", "symmetry"), slop=4, in_order=False)),
+        slop=5, in_order=True,
+    ),
+    SpanNearQuery(
+        (
+            SpanNearQuery(
+                (SpanOrQuery(("tiger", "forest")), "night"), slop=3, in_order=True
+            ),
+            SpanNearQuery(("burning", "bright"), slop=2, in_order=True),
+        ),
+        slop=8, in_order=True,
+    ),
+    SpanNearQuery(
+        (SpanNearQuery(("thy", "heart"), slop=2, in_order=False), "began"),
+        slop=4, in_order=True,
+    ),
 ]
 
 

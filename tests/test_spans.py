@@ -251,3 +251,51 @@ def test_multiphrase_slot_union(idx):
     # beta@2 gamma@3
     q = MultiPhraseQuery((("alpha", "beta"), ("gamma",)), 0)
     assert sorted(idx._eval(q).keys()) == [0, 5]
+
+
+def test_nested_span_ordered_gap_sum(idx):
+    # inner SpanNear(alpha, beta, slop=0, ordered) enumerates: doc 0 span
+    # (0,2); doc 5 (0,2); doc 6 (1,3) (anchor alpha@1 — alpha@0's chain has
+    # gap 1). Outer SpanNear(inner, gamma, slop=0, ordered) then needs
+    # gamma at the inner span's end: doc 0 "alpha beta gamma" only.
+    inner = SpanNearQuery(("alpha", "beta"), slop=0, in_order=True)
+    assert _docs(idx, SpanNearQuery((inner, "gamma"), slop=0, in_order=True)) == [0]
+    # slop=1 admits doc 5 "alpha beta beta gamma" (one-position gap between
+    # the inner span end 2 and gamma@3)
+    assert _docs(idx, SpanNearQuery((inner, "gamma"), slop=1, in_order=True)) == [0, 5]
+
+
+def test_nested_span_inner_slop_propagates(idx):
+    # inner slop=1 also matches doc 1 "alpha filler beta" as span (0,3);
+    # no gamma there, so the outer match set is unchanged — but doc 5's
+    # freq picks up nothing new (same anchor). Outer over doc 0 unchanged.
+    inner = SpanNearQuery(("alpha", "beta"), slop=1, in_order=True)
+    assert _docs(idx, SpanNearQuery((inner, "gamma"), slop=1, in_order=True)) == [0, 5]
+
+
+def test_nested_span_unordered_inner(idx):
+    # unordered inner (beta, alpha) matches doc 2 "beta alpha" as span
+    # (0,2); there is no gamma in doc 2, so outer can't match there.
+    inner = SpanNearQuery(("beta", "alpha"), slop=0, in_order=False)
+    got = _docs(idx, SpanNearQuery((inner, "gamma"), slop=1, in_order=True))
+    assert got == [0, 5]  # via beta@1/alpha... doc 0: inner span (0,2)+gamma@2
+
+
+def test_nested_span_unordered_outer_raises(idx):
+    inner = SpanNearQuery(("alpha", "beta"), slop=0, in_order=True)
+    with pytest.raises(ValueError, match="in_order"):
+        idx._eval(SpanNearQuery((inner, "gamma"), slop=1, in_order=False))
+
+
+def test_nested_span_missing_member(idx):
+    inner = SpanNearQuery(("alpha", "nosuchterm"), slop=0, in_order=True)
+    assert idx._eval(SpanNearQuery((inner, "gamma"), slop=5, in_order=True)) == {}
+
+
+def test_member_terms_recursive():
+    inner = SpanNearQuery((SpanOrQuery(("a", "b")), "c"), slop=0)
+    outer = SpanNearQuery((inner, ("d", "e"), "f"), slop=1)
+    assert outer.member_terms() == ("a", "b", "c", "d", "e", "f")
+    assert outer.has_nested() and not inner.has_nested()
+    with pytest.raises(TypeError):
+        outer.clause_alts()
