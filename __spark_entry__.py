@@ -2050,6 +2050,58 @@ def q_pipe_chunk_sliding(spark, sf_dir):
     )
 
 
+def q_pipe_pack_offset(spark, sf_dir):
+    """Sequence packing by stream offset — the context-assembly step of an
+    LLM training pipeline: the corpus's token streams are concatenated in
+    doc_id order into one virtual stream cut into fixed 2048-token
+    contexts; each document is assigned the context (shard) where its
+    FIRST token lands plus its offset inside that context. Documents
+    straddle context boundaries — the standard streaming-packing
+    semantics, so shard sizes are exactly 2048 with zero padding.
+
+    The global running offset is a SCALABLE two-level scan, never a
+    single-partition global window: (1) per-bucket token sums (buckets =
+    doc_id ranges of 1024 docs) are prefix-summed with a window over the
+    SMALL bucket-sums frame (corpus/1024 rows — add a third level for
+    >10^10 docs, same recursion the index builder's distributed docid
+    rank uses, index/builder.py assign_sorted_docids); (2) a window
+    cumsum WITHIN each bounded bucket adds the local part. The bucket
+    offsets broadcast-join back (metadata-sized)."""
+    cap = 2048
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.expr(_TOKS_SPARK)).cast("long").alias("n_tokens"),
+        (F.floor(F.col("doc_id") / F.lit(1024))).cast("long").alias("__bucket"),
+    )
+    bsums = d.groupBy("__bucket").agg(F.sum("n_tokens").alias("__bsum"))
+    wb = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bsums.select(
+        "__bucket",
+        F.coalesce(F.sum("__bsum").over(wb), F.lit(0)).alias("__boff"),
+    )
+    wd = (
+        Window.partitionBy("__bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    so = (
+        d.join(F.broadcast(boff), "__bucket")
+        .withColumn(
+            "__so",
+            F.col("__boff") + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)),
+        )
+    )
+    return so.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("__so") / cap).cast("long").alias("shard"),
+        (F.col("__so") % cap).cast("long").alias("shard_offset"),
+    ).orderBy("doc_id")
+
+
 def q_pipe_stratified_sample(spark, sf_dir):
     """Stratified deterministic sampling by language (the dataset-mixing /
     quota-sampling step of a multilingual pipeline): per-stratum keep-rates
@@ -2331,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_or": q_ft_span_or,
         "ft_span_not": q_ft_span_not,
         "ft_span_nested": q_ft_span_nested,
+        "pipe_pack_offset": q_pipe_pack_offset,
         "ft_lucene_rank": q_ft_lucene_rank,
         "dd_minhash_lsh": q_dd_minhash_lsh,
         "dd_lsh_verify": q_dd_lsh_verify,
@@ -3791,6 +3844,25 @@ SELECT doc_id,
        CAST(floor((len(tg) - len(list_distinct(tg)))::DOUBLE
             * 1000000.0 / len(tg)::DOUBLE + 0.5) AS BIGINT) AS dup_frac_x1m
 FROM g ORDER BY doc_id
+"""
+
+    # sequence packing: one window cumsum over doc_id order reproduces the
+    # engine's two-level distributed scan exactly (integer arithmetic)
+    o["pipe_pack_offset"] = f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS_DUCK}) AS ntok FROM documents
+),
+so AS (
+  SELECT doc_id, ntok,
+         COALESCE(sum(ntok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+  FROM t
+)
+SELECT doc_id,
+       CAST(ntok AS BIGINT) AS n_tokens,
+       CAST(floor(so / 2048) AS BIGINT) AS shard,
+       CAST(so % 2048 AS BIGINT) AS shard_offset
+FROM so ORDER BY doc_id
 """
 
     o["pipe_chunk_sliding"] = f"""
