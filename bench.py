@@ -63,16 +63,19 @@ def main() -> None:
     out: dict = {"metric": "total_query_sec", "unit": "sec", "sf": sf, "cpus": cpus}
 
     # ---- index build over the sf documents table (fresh, timed) ---------- #
-    key = sf_name or "default"
-    idx_dir = os.path.join(entrymod._INDEX_ROOT, key)
-    pages = entrymod._entry_pages(spark, sf_dir)
-    n_docs = pages.count()
-    t0 = time.time()
-    build_index(spark, pages, idx_dir, entrymod._ENTRY_CONFIG, overwrite=True)
-    t_build = time.time() - t0
-    out["index_build_sec"] = round(t_build, 3)
-    out["index_docs_per_sec"] = round(n_docs / t_build, 1)
-    out["index_n_docs"] = n_docs
+    # SKIP_SF=1 (scaling control runs): only the synth build matters, and
+    # concurrent control jobs must not race on the shared sf index dir
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SF") != "1":
+        key = sf_name or "default"
+        idx_dir = os.path.join(entrymod._INDEX_ROOT, key)
+        pages = entrymod._entry_pages(spark, sf_dir)
+        n_docs = pages.count()
+        t0 = time.time()
+        build_index(spark, pages, idx_dir, entrymod._ENTRY_CONFIG, overwrite=True)
+        t_build = time.time() - t0
+        out["index_build_sec"] = round(t_build, 3)
+        out["index_docs_per_sec"] = round(n_docs / t_build, 1)
+        out["index_n_docs"] = n_docs
 
     # ---- synthetic pages corpus build (north-rule path, bigger) ---------- #
     if synth_docs > 0:
@@ -94,14 +97,20 @@ def main() -> None:
         m = synth.count()  # materialize input so build timing excludes synthesis
         # build twice; time the warm run (first run pays one-time JVM codegen
         # + Python-worker fork costs that a long-lived cluster amortizes away)
-        build_index(spark, synth, "/tmp/lucenenet_spark_bench_synth", cfg, overwrite=True)
+        # pid-suffixed output: concurrent control jobs (scaling_control.py
+        # runs four bench.py processes at once) must not race on the dir
+        synth_dir = f"/tmp/lucenenet_spark_bench_synth_{os.getpid()}"
+        build_index(spark, synth, synth_dir, cfg, overwrite=True)
         t0 = time.time()
-        build_index(spark, synth, "/tmp/lucenenet_spark_bench_synth", cfg, overwrite=True)
+        build_index(spark, synth, synth_dir, cfg, overwrite=True)
         t_synth = time.time() - t0
         out["synth_build_docs"] = m
         out["synth_build_sec"] = round(t_synth, 3)
         out["synth_build_docs_per_sec"] = round(m / t_synth, 1)
         synth.unpersist()
+        import shutil
+
+        shutil.rmtree(synth_dir, ignore_errors=True)
 
     # ---- query latencies -------------------------------------------------- #
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES") == "1":
