@@ -262,6 +262,28 @@ class SpanishLightAnalyzer(StandardAnalyzer):
         return Analyzed([spanish_light_stem(t) for t in a.tokens], a.positions)
 
 
+class ItalianLightAnalyzer(StandardAnalyzer):
+    """ItalianAnalyzer (Analysis/It/ItalianAnalyzer.cs:130-155 chain):
+    StandardTokenizer -> Elision -> LowerCase -> StopFilter(Italian) ->
+    ItalianLightStemFilter (the UniNE light stemmer —
+    Analysis/It/ItalianLightStemmer.cs:63-110): accent fold, then one
+    final-vowel strip with the -he/-hi/-ie hard-consonant plural rules.
+    Elision is realized by stopping the split article tokens (same note
+    as the French pack). Runs per UNIQUE term at dictionary-encode time
+    (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .italian import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .italian import italian_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([italian_light_stem(t) for t in a.tokens], a.positions)
+
+
 class ASCIIFoldingAnalyzer(StandardAnalyzer):
     """StandardTokenizer -> LowerCase -> StopFilter -> ASCIIFolding
     (Analysis/Miscellaneous/ASCIIFoldingFilter.cs): accented/decomposable
@@ -423,6 +445,7 @@ _SHIPPED_CHAINS = (
     FrenchLightAnalyzer,
     GermanLightAnalyzer,
     SpanishLightAnalyzer,
+    ItalianLightAnalyzer,
     ASCIIFoldingAnalyzer,
     KeywordAnalyzer,
     WhitespaceAnalyzer,
@@ -488,6 +511,11 @@ def analyzer_for(
 
         sw = SPANISH_STOP_WORDS if stop_words else frozenset()
         return SpanishLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "italian":
+        from .italian import ITALIAN_STOP_WORDS
+
+        sw = ITALIAN_STOP_WORDS if stop_words else frozenset()
+        return ItalianLightAnalyzer(sw, max_token_length, ascii_only)
     if name == "ascii_folding":
         return ASCIIFoldingAnalyzer(stop_words, max_token_length, ascii_only)
     if name == "simple":

@@ -115,6 +115,17 @@ QUERIES = [
         (SpanNearQuery(("thy", "heart"), slop=2, in_order=False), "began"),
         slop=4, in_order=True,
     ),
+    # three levels of nesting with a SpanOr leaf at the outermost clause
+    SpanNearQuery(
+        (
+            SpanNearQuery(
+                (SpanNearQuery(("tiger", "burning"), slop=1, in_order=True), "bright"),
+                slop=2, in_order=True,
+            ),
+            SpanOrQuery(("forest", "night")),
+        ),
+        slop=6, in_order=True,
+    ),
 ]
 
 

@@ -299,3 +299,18 @@ def test_member_terms_recursive():
     assert outer.has_nested() and not inner.has_nested()
     with pytest.raises(TypeError):
         outer.clause_alts()
+
+
+def test_nested_three_levels():
+    # three levels of ordered nesting, a fresh corpus so the traces stay
+    # hand-checkable: l1=(p q), l2=(l1 r), l3=(l2 s)
+    idx2 = OracleIndex([(0, "p q r s"), (1, "p q x r y s"), (2, "p x q r s")])
+    l1 = SpanNearQuery(("p", "q"), 0, True)
+    l2 = SpanNearQuery((l1, "r"), 0, True)
+    l3 = SpanNearQuery((l2, "s"), 0, True)
+    assert sorted(idx2._eval(l3).keys()) == [0]
+    # slop 1 at both outer levels admits doc 1 ("p q x r y s": one-gap
+    # chain at each level), never doc 2 (l1 already fails there)
+    l2b = SpanNearQuery((l1, "r"), 1, True)
+    l3b = SpanNearQuery((l2b, "s"), 1, True)
+    assert sorted(idx2._eval(l3b).keys()) == [0, 1]
