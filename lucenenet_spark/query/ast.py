@@ -339,8 +339,14 @@ class SpanNearQuery(Query):
                 out.append(c)
             elif isinstance(c, SpanOrQuery):
                 out.append(tuple(c.terms))
-            else:
+            elif isinstance(c, (tuple, list)):
                 out.append(tuple(c))
+            else:
+                raise TypeError(
+                    f"unsupported span clause type {type(c).__name__}: a "
+                    "clause is a term, a tuple of alternative terms, a "
+                    "SpanOrQuery, or a nested SpanNearQuery"
+                )
         return tuple(out)
 
     def clause_alts(self) -> tuple[tuple[str, ...], ...]:

@@ -314,3 +314,8 @@ def test_nested_three_levels():
     l2b = SpanNearQuery((l1, "r"), 1, True)
     l3b = SpanNearQuery((l2b, "s"), 1, True)
     assert sorted(idx2._eval(l3b).keys()) == [0, 1]
+
+
+def test_unsupported_clause_type_raises():
+    with pytest.raises(TypeError, match="unsupported span clause"):
+        SpanNearQuery((SpanFirstQuery("alpha", end=3), "beta"), slop=0).clauses_norm()
