@@ -607,9 +607,10 @@ def q_ft_multi_phrase(spark, sf_dir):
 def q_ft_lucene_rank(spark, sf_dir):
     """Driver-visible gate for the FLOAT32 Lucene scoring path (the engine
     default; every other ft_* entry runs the exact_int oracle mode). Runs a
-    SIX-SHAPE battery — disjunction, conjunction, exact phrase,
+    SEVEN-SHAPE battery — disjunction, conjunction, exact phrase,
     minimum-should-match, sloppy phrase (damped sloppyFreq,
-    SloppyPhraseScorer.cs), and ordered span (SpanScorer.cs damping) —
+    SloppyPhraseScorer.cs), ordered span (SpanScorer.cs damping), and a
+    nested span clause tree (recursive enumeration + gap-sum chain) —
     each twice (unpruned and with block-max WAND,
     which falls back where pruning doesn't apply) in ``scoring="lucene"``
     mode, and verifies ALL runs against the in-repo numpy golden oracle
@@ -656,6 +657,15 @@ def q_ft_lucene_rank(spark, sf_dir):
         # slop factors, float64-accumulated in anchor order, cast once
         ("sloppy", PhraseQuery(("part", "filter"), slop=2)),
         ("span", SpanNearQuery(("data", "merge"), slop=2, in_order=True)),
+        # r4: nested span clause tree — the recursive enumeration + gap-sum
+        # chain must hold rank identity through the float32 path too
+        (
+            "span_nested",
+            SpanNearQuery(
+                (SpanNearQuery(("data", "merge"), slop=1, in_order=True), "spark"),
+                slop=2, in_order=True,
+            ),
+        ),
     ]
     terms = ["data", "spark", "part", "filter", "merge"]
 
