@@ -130,10 +130,21 @@ def _range_value(v: str):
 
 
 class _Parser:
-    def __init__(self, s: str, analyzer: StandardAnalyzer, default_operator: str):
+    def __init__(
+        self,
+        s: str,
+        analyzer: StandardAnalyzer,
+        default_operator: str,
+        text_fields: frozenset = frozenset(),
+    ):
         self.s = s
         self.analyzer = analyzer
         self.default_operator = default_operator
+        #: fields declared ANALYZED (IndexConfig.text_fields): a
+        #: field-qualified clause on one of these analyzes its value —
+        #: the reference QueryParser's per-field analyzer convention —
+        #: instead of the keyword exact-match treatment
+        self.text_fields = text_fields
         self.pos = 0
 
     def parse(self, depth: int = 0) -> BooleanQuery:
@@ -228,6 +239,16 @@ class _Parser:
         return BooleanQuery(tuple(clauses))
 
     def _push_phrase(self, push, fld, raw, slop, boost):
+        if fld and fld != "text" and fld in self.text_fields:
+            # ANALYZED extra field: a quoted value is a per-field PHRASE
+            # (MultiFieldQueryParser semantics), scored with the field's
+            # own norms/avgdl
+            terms = self.analyzer.analyze_query(raw)
+            if len(terms) == 1:
+                push(TermQuery(terms[0], boost, field=fld))
+            elif terms:
+                push(PhraseQuery(tuple(terms), slop, boost, field=fld))
+            return
         if fld and fld != "text":
             # keyword-field quoted value: ONE unanalyzed term (StringField
             # values are indexed verbatim, spaces included)
@@ -267,6 +288,21 @@ class _Parser:
         has_fuzzy = m.group("edits") is not None or "~" in self.s[m.start(): m.end()]
         if fm:
             fld, rest = fm.group(1), fm.group(2)
+            analyzed_field = fld in self.text_fields
+            if analyzed_field and not _WILD_RX.search(rest) and not has_fuzzy:
+                # ANALYZED extra field: run the chain on the value (the
+                # per-field analyzer convention); multi-token values become
+                # a per-field phrase
+                terms = self.analyzer.analyze_query(_unescape(rest))
+                if len(terms) == 1:
+                    push(TermQuery(terms[0], boost, field=fld))
+                elif terms:
+                    push(PhraseQuery(tuple(terms), 0, boost, field=fld))
+                return
+            if analyzed_field:
+                # text terms are indexed lowercase: lower the pattern /
+                # fuzzy source like the default-field path does
+                rest = rest.lower()
             if _WILD_RX.search(rest):
                 # trailing-*-only keeps the PrefixQuery shape (the classic
                 # parser's GetWildcardQuery prefix optimization); anything
@@ -314,9 +350,20 @@ class _Parser:
 
 
 def parse_query(
-    s: str, analyzer: StandardAnalyzer | None = None, default_operator: str = "OR"
+    s: str,
+    analyzer: StandardAnalyzer | None = None,
+    default_operator: str = "OR",
+    text_fields: "frozenset[str] | tuple[str, ...]" = frozenset(),
 ) -> Query:
-    p = _Parser(s, analyzer or StandardAnalyzer(), default_operator)
+    """``text_fields`` declares which extra fields are ANALYZED
+    (IndexConfig.text_fields): a field-qualified clause on one of them
+    analyzes its value (quoted values become per-field phrases, the
+    MultiFieldQueryParser convention) instead of the keyword exact-match
+    treatment. Pass ``searcher.text_fields`` to match the index."""
+    p = _Parser(
+        s, analyzer or StandardAnalyzer(), default_operator,
+        frozenset(text_fields),
+    )
     q = p.parse()
     if not q.clauses:
         return BooleanQuery(())

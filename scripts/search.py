@@ -50,7 +50,12 @@ def main() -> int:
     # (reconstructed from the stats commit meta) — e.g. an --analyzer
     # english index needs the query terms Porter-stemmed too
     if len(args.query) > 1:
-        qs = {text: parse_query(text, analyzer=s.analyzer) for text in args.query}
+        qs = {
+            text: parse_query(
+                text, analyzer=s.analyzer, text_fields=s.text_fields
+            )
+            for text in args.query
+        }
         t0 = time.time()
         rows = (
             s.search_batch(qs, args.k)
@@ -80,7 +85,7 @@ def main() -> int:
             file=sys.stderr,
         )
         return 0
-    q = parse_query(args.query[0], analyzer=s.analyzer)
+    q = parse_query(args.query[0], analyzer=s.analyzer, text_fields=s.text_fields)
     t0 = time.time()
     top = s.search(q, args.k, wand=args.wand)
     cols = [c for c in ("docid", "score", "rank") if c in top.columns]

@@ -198,3 +198,32 @@ def test_wildcard_pattern_semantics():
     assert rx.match("a*bxx") and not rx.match("aXbxx")
     rx2 = _re.compile(fnmatch.translate(_wildcard_pattern("te?t")))
     assert rx2.match("text") and not rx2.match("teext")
+
+
+def test_text_field_aware_parsing():
+    """With text_fields declared (IndexConfig.text_fields), field-qualified
+    clauses on those fields ANALYZE their value — the MultiFieldQueryParser
+    per-field-analyzer convention — instead of keyword exact-match."""
+    from lucenenet_spark.query.ast import FuzzyQuery, PhraseQuery, PrefixQuery, TermQuery
+    from lucenenet_spark.query.parser import parse_query
+
+    tf = frozenset({"title"})
+    q = parse_query('title:"data merge"~2', text_fields=tf)
+    assert q == PhraseQuery(("data", "merge"), 2, 1.0, field="title")
+    assert parse_query("title:Data", text_fields=tf) == TermQuery("data", field="title")
+    # stopwords drop through the chain; single survivor collapses to a term
+    assert parse_query('title:"The Data"', text_fields=tf) == TermQuery(
+        "data", field="title"
+    )
+    # wildcard / fuzzy values lowercase (text terms index lowercase)
+    assert parse_query("title:S*", text_fields=tf) == PrefixQuery(
+        "s", 1.0, field="title"
+    )
+    assert parse_query("title:Querry~1", text_fields=tf) == FuzzyQuery(
+        "querry", max_edits=1, field="title"
+    )
+    # undeclared fields keep the keyword exact-match treatment
+    assert parse_query('lang:"north korea"', text_fields=tf) == TermQuery(
+        "north korea", field="lang"
+    )
+    assert parse_query('title:"data merge"') == TermQuery("data merge", field="title")

@@ -287,3 +287,26 @@ def test_scored_prefix_rewrite_on_title_uses_field_norms(spark, built):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_parser_text_field_phrase_end_to_end(built):
+    """parse_query(text_fields=searcher.text_fields): title:"a b" parses to
+    a per-field PhraseQuery and scores identically to the hand-built AST."""
+    from lucenenet_spark.query.ast import PhraseQuery
+    from lucenenet_spark.query.parser import parse_query
+
+    s, pdf, dm = built
+    pair = None
+    for r in pdf.itertuples():
+        t = _toks(r.title)
+        if len(t) >= 2:
+            pair = (t[0], t[1])
+            break
+    assert pair is not None
+    parsed = parse_query(f'title:"{pair[0]} {pair[1]}"', text_fields=s.text_fields)
+    want = {
+        (r["docid"], r["score"])
+        for r in s.score_df(PhraseQuery(pair, 0, field="title")).collect()
+    }
+    got = {(r["docid"], r["score"]) for r in s.score_df(parsed).collect()}
+    assert got == want and got
