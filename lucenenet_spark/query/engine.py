@@ -301,6 +301,22 @@ class Searcher:
         # self.postings (FilteredQuery sort-field prune / index-sort probe)
         self._base_postings = self.postings
 
+    def parse(self, s: str, default_operator: str = "OR", lang: str | None = None):
+        """Parse a classic query string with THIS index's configuration:
+        the chain the index was built with (or the routed chain for
+        ``lang`` on a lang-routed index) analyzes the terms, and the
+        index's declared text_fields get the per-field-analyzer treatment
+        (quoted values on them parse to per-field phrases). The
+        QueryParser-with-the-right-Analyzer convenience the reference
+        constructs manually."""
+        from .parser import parse_query
+
+        analyzer = self.analyzer_for_lang(lang) if lang else self.analyzer
+        return parse_query(
+            s, analyzer=analyzer, default_operator=default_operator,
+            text_fields=frozenset(self.text_fields),
+        )
+
     def analyzer_for_lang(self, lang: str):
         """The analysis chain for one language of a lang-routed index
         (IndexConfig.lang_chains): query text targeting documents of that

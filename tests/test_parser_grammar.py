@@ -227,3 +227,35 @@ def test_text_field_aware_parsing():
         "north korea", field="lang"
     )
     assert parse_query('title:"data merge"') == TermQuery("data merge", field="title")
+
+
+def test_searcher_parse_convenience(spark, tmp_path):
+    """Searcher.parse wires the index's own analyzer + text_fields into
+    parse_query; lang= picks the routed chain."""
+    from lucenenet_spark.index import IndexConfig, build_index
+    from lucenenet_spark.query.ast import PhraseQuery, TermQuery
+    from lucenenet_spark.query.engine import Searcher
+
+    rows = [("u://0", "les recherches donnent", "fr"), ("u://1", "plain text here", "en")]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    out = str(tmp_path / "idx_parse")
+    cfg = IndexConfig(
+        num_partitions=2, flush_docs=64,
+        lang_field="lang", lang_chains=(("fr", "french"),),
+    )
+    build_index(spark, df, out, cfg, overwrite=True)
+    s = Searcher(spark, out, scoring="exact_int")
+    assert s.parse("recherches", lang="fr") == TermQuery("recherch")
+    assert s.parse("recherches") == TermQuery("recherches")
+
+    out2 = str(tmp_path / "idx_parse_tf")
+    df2 = spark.createDataFrame(
+        [("u://0", "body words", "Big Title")], "url string, text string, title string"
+    )
+    build_index(
+        spark, df2, out2,
+        IndexConfig(num_partitions=2, flush_docs=64, text_fields=("title",)),
+        overwrite=True,
+    )
+    s2 = Searcher(spark, out2, scoring="exact_int")
+    assert s2.parse('title:"Big Title"') == PhraseQuery(("big", "title"), 0, field="title")
