@@ -66,15 +66,19 @@ def test_every_query_has_oracle():
 
 
 def test_lucene_rank_gate_runs(spark):
-    """The embedded float32 oracle gate: 6 query shapes x top-10 (r4 adds
-    the damped sloppy-phrase and ordered-span shapes), each verified
-    (plain + WAND) inside the entry — any divergence raises there."""
+    """The embedded float32 oracle gate: 7 query shapes x top-k (r4 adds
+    the damped sloppy-phrase, ordered-span, and nested-span shapes), each
+    verified (plain + WAND) inside the entry — any divergence raises
+    there. Shapes may match fewer than 10 docs (the nested chain is
+    selective), so ranks are checked as a dense 1..n prefix."""
     df = entrymod.q_ft_lucene_rank(spark, SF_DIR)
     rows = df.collect()
-    assert len(rows) == 60
     by_shape = {}
     for r in rows:
         by_shape.setdefault(r["shape"], []).append(r["rank"])
-    assert set(by_shape) == {"disj", "conj", "phrase", "msm", "sloppy", "span"}
-    for ranks in by_shape.values():
-        assert ranks == list(range(1, 11))
+    assert set(by_shape) == {
+        "disj", "conj", "phrase", "msm", "sloppy", "span", "span_nested"
+    }
+    for shape, ranks in by_shape.items():
+        assert 1 <= len(ranks) <= 10, shape
+        assert ranks == list(range(1, len(ranks) + 1)), shape
