@@ -34,6 +34,12 @@ def main() -> int:
         help="lucene = reference-identical float32 BM25",
     )
     ap.add_argument("--wand", action="store_true", help="block-max WAND pruning")
+    ap.add_argument(
+        "--lang", default=None,
+        help="analyze the query with this language's routed chain (an index "
+             "built with IndexConfig.lang_chains; e.g. --lang fr stems the "
+             "query terms the way fr documents were stemmed at build time)",
+    )
     ap.add_argument("--explain", action="store_true", help="explain the top hit")
     args = ap.parse_args()
 
@@ -42,7 +48,6 @@ def main() -> int:
     spark = SparkSession.builder.appName("lucenenet_spark_search").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from lucenenet_spark.query import parse_query
     from lucenenet_spark.query.engine import Searcher
 
     s = Searcher(spark, args.index, scoring=args.scoring)
@@ -51,10 +56,7 @@ def main() -> int:
     # english index needs the query terms Porter-stemmed too
     if len(args.query) > 1:
         qs = {
-            text: parse_query(
-                text, analyzer=s.analyzer, text_fields=s.text_fields
-            )
-            for text in args.query
+            text: s.parse(text, lang=args.lang) for text in args.query
         }
         t0 = time.time()
         rows = (
@@ -85,7 +87,7 @@ def main() -> int:
             file=sys.stderr,
         )
         return 0
-    q = parse_query(args.query[0], analyzer=s.analyzer, text_fields=s.text_fields)
+    q = s.parse(args.query[0], lang=args.lang)
     t0 = time.time()
     top = s.search(q, args.k, wand=args.wand)
     cols = [c for c in ("docid", "score", "rank") if c in top.columns]
