@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import numpy as np
 import os
 from collections.abc import Callable
 
@@ -365,24 +366,42 @@ def q_ft_lang_router(spark, sf_dir):
     by failing loudly if the index vocabulary leaves the 31-word closure,
     and the stemmer itself is pinned by tests/test_french.py."""
     s = _lang_searcher(spark, sf_dir)
-    # vocabulary guard: every indexed term must be a known surface, a known
-    # stem, or a namespaced field posting — else the embedded oracle
-    # mapping would be silently incomplete
-    allowed = (
-        set(_CORPUS_VOCAB)
-        | set(_FR_STEM_MAP.values())
-        | set(_DE_STEM_MAP.values())
-        | set(_ES_STEM_MAP.values())
+    # PER-ROUTE vocabulary guard (r5, review fix): the r1-r4 guard checked
+    # the index vocabulary against the UNION of all routes' stem images, so
+    # a wrong per-language mapping whose (incorrect) stem collided with
+    # another language's image passed silently while the embedded DuckDB
+    # oracle mapping was wrong. Now each route is verified independently:
+    # for every surface token actually present in that route's documents,
+    # the route's REAL analysis chain (analyzer_for_lang — the same chain
+    # the build used) must map it to exactly the embedded oracle image
+    # (map.get(w, w)). This checks the oracle mapping itself, not just set
+    # membership, so cross-language collisions can no longer mask a bug.
+    route_maps = {"fr": _FR_STEM_MAP, "de": _DE_STEM_MAP, "es": _ES_STEM_MAP}
+    per_lang = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("w"))
+        .distinct()
+        .collect()  # bounded: |langs| x the fixed 31-word corpus vocabulary
     )
-    vocab = [
-        r["term"]
-        for r in s.termstats.select("term").distinct().collect()
-        if ":" not in r["term"]
-    ]
-    unknown = sorted(set(vocab) - allowed)
-    if unknown:
+    bad: list[str] = []
+    for r in per_lang:
+        lang, w = r["lang"], r["w"]
+        if w not in _CORPUS_VOCAB:
+            bad.append(f"{lang}:{w} outside the fixed corpus vocabulary")
+            continue
+        if lang not in route_maps:
+            continue  # unrouted docs keep the default chain's surface form
+        an = s.analyzer_for_lang(lang)
+        toks = an.tokenize(w)
+        rew = an.term_filter_unique(np.asarray(toks, dtype=object))
+        got = [str(t) for t in (toks if rew is None else rew)]
+        want = [route_maps[lang].get(w, w)]
+        if got != want:
+            bad.append(f"{lang}:{w} -> {got} but oracle embeds {want}")
+    if bad:
         raise AssertionError(
-            f"lang-router oracle mapping is incomplete for terms {unknown[:10]}"
+            "lang-router oracle mapping diverges from the real chains: "
+            + "; ".join(sorted(bad)[:10])
         )
     q = BooleanQuery.build(should=[TermQuery("tabl"), TermQuery("table")])
     return _topk_df(s, q, 10)

@@ -74,26 +74,45 @@ class SnapshotStorage(IndexStorage):
         with open(self._manifest_path(v)) as f:
             return json.load(f)
 
-    def _commit_snapshot(self, snap: dict) -> dict:
-        """Write v{N+1}.json then flip the hint — the single atomic action.
-        Retries the version on a concurrent-commit collision (optimistic
-        concurrency, like Iceberg's commit loop); single-writer is the
-        operational assumption, this just keeps a stale orphan from
-        blocking."""
+    def _commit_snapshot(self, snap: dict, expected_base: int | None = None) -> dict | None:
+        """Write v{N+1}.json then flip the hint — the single atomic action,
+        serialized across processes on this host by an exclusive flock on
+        ``metadata/commit.lock`` (the local-FS stand-in for an Iceberg
+        catalog's atomic swap; like HadoopTables, this is host-local — a
+        shared-nothing object store would swap this seam for the catalog's
+        own CAS).
+
+        ``expected_base`` turns the commit into a compare-and-swap: if the
+        CURRENT version (re-read under the lock) is no longer
+        ``expected_base``, the commit is REJECTED and ``None`` returned —
+        a reader-side housekeeping commit (the drop_dirs clearing commit)
+        must never clobber a writer's stage entries. Writers omit it and
+        always win, which preserves the single-writer operational model
+        while making concurrent commits version-monotonic (the lock covers
+        read-version → write-manifest → flip-hint, so two commits can
+        never race each other's hint flips backwards)."""
+        import fcntl  # noqa: PLC0415 — POSIX-only, like the rest of the local backend
+
         os.makedirs(self._meta_dir(), exist_ok=True)
-        v = self.current_version() + 1
-        while os.path.exists(self._manifest_path(v)):
-            v += 1
-        snap = {**snap, "snapshot_id": v, "committed_at": time.time()}
-        mpath = self._manifest_path(v)
-        tmp = mpath + ".__tmp__"
-        with open(tmp, "w") as f:
-            json.dump(snap, f, indent=2)
-        os.rename(tmp, mpath)
-        htmp = self._hint_path() + ".__tmp__"
-        with open(htmp, "w") as f:
-            f.write(str(v))
-        os.rename(htmp, self._hint_path())  # ATOMIC visibility flip
+        lock_path = os.path.join(self._meta_dir(), "commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            cur = self.current_version()
+            if expected_base is not None and cur != expected_base:
+                return None  # lost the race to a writer — leave state alone
+            v = cur + 1
+            while os.path.exists(self._manifest_path(v)):
+                v += 1
+            snap = {**snap, "snapshot_id": v, "committed_at": time.time()}
+            mpath = self._manifest_path(v)
+            tmp = mpath + ".__tmp__"
+            with open(tmp, "w") as f:
+                json.dump(snap, f, indent=2)
+            os.rename(tmp, mpath)
+            htmp = self._hint_path() + ".__tmp__"
+            with open(htmp, "w") as f:
+                f.write(str(v))
+            os.rename(htmp, self._hint_path())  # ATOMIC visibility flip
         return snap
 
     # ------------------------------------------------------------------ #
@@ -253,12 +272,14 @@ class SnapshotStorage(IndexStorage):
         Iceberg): a stale drop entry must not outlive its GC, or a later
         append/delete that recreates the same relative path (delta
         numbering restarts after a compaction) would be destroyed by the
-        next reader's roll-forward. The clearing commit is CAS-guarded:
-        it re-reads the snapshot and only commits if no writer landed in
-        between (a reader must never clobber a writer's stage entries);
-        on a lost race the drop_dirs stay pending and the NEXT
-        roll-forward — which will see the writer's manifest — clears
-        them (the physical deletes are idempotent)."""
+        next reader's roll-forward. The clearing commit is a true CAS:
+        ``_commit_snapshot(expected_base=...)`` re-checks the current
+        version UNDER the commit flock and rejects the commit if any
+        writer landed after this roll-forward read its snapshot (a reader
+        must never clobber a writer's stage entries); on a lost race the
+        drop_dirs stay pending and the NEXT roll-forward — which will see
+        the writer's manifest — clears them (the physical deletes are
+        idempotent)."""
         snap = self.current_snapshot()
         pending = snap.get("drop_dirs", [])
         if not pending:
@@ -282,9 +303,10 @@ class SnapshotStorage(IndexStorage):
                 and not os.listdir(parent)
             ):
                 os.rmdir(parent)
-        latest = self.current_snapshot()
-        if latest.get("snapshot_id") == snap.get("snapshot_id"):
-            self._commit_snapshot({"stages": snap["stages"], "drop_dirs": []})
+        self._commit_snapshot(
+            {"stages": snap["stages"], "drop_dirs": []},
+            expected_base=int(snap.get("snapshot_id", 0)),
+        )
         return dropped
 
     # ------------------------------------------------------------------ #

@@ -119,6 +119,45 @@ def _collect_terms(q: Query, out: set[str]) -> None:
             _collect_terms(d, out)
 
 
+def _df_bounded(q: Query) -> bool:
+    """Whether |matches(q)| is bounded above by the sum of the dfs of the
+    terms :func:`_collect_terms` reports for it.
+
+    join_scores' broadcast guard estimates the from-side match set by that
+    df sum; the estimate is only an upper bound when every path to a match
+    goes through a collected term. A term-free clause in a DISJUNCTIVE
+    position — MatchAll, a pure numeric range, a filter-only shape, or a
+    multi-term rewrite whose expansion is not in the estimate — can match
+    far more docs than the df sum, so those shapes must take the shuffle
+    join. Conjunctive positions only need ONE bounded clause (the
+    intersection is no larger than its smallest side)."""
+    if isinstance(
+        q,
+        (
+            TermQuery, PhraseQuery, MultiPhraseQuery, SpanNearQuery,
+            SpanOrQuery, SpanFirstQuery, SpanNotQuery, TermsFilter,
+        ),
+    ):
+        return True
+    if isinstance(q, ConstantScoreQuery):
+        return _df_bounded(q.query)
+    if isinstance(q, CachingWrapperFilter):
+        return _df_bounded(q.filter)
+    if isinstance(q, FilteredQuery):
+        return _df_bounded(q.query) or _df_bounded(q.filter)
+    if isinstance(q, BooleanQuery):
+        must = [c.query for c in q.clauses if c.occur is Occur.MUST]
+        if must:
+            return any(_df_bounded(c) for c in must)
+        should = [c.query for c in q.clauses if c.occur is Occur.SHOULD]
+        return bool(should) and all(_df_bounded(c) for c in should)
+    if isinstance(q, DisjunctionMaxQuery):
+        return all(_df_bounded(d) for d in q.disjuncts)
+    # MatchAll, NumericRange, TermRange/Prefix/Wildcard/Regexp/Fuzzy (their
+    # expansions are not in the df estimate), DuplicateFilter, unknown types
+    return False
+
+
 def _topk_with_rank(scored: DataFrame, k: int) -> DataFrame:
     """Distributed top-k with the HitQueue tie-break (score desc, docid asc
     — HitQueue.cs:77-87) plus a rank column: TakeOrderedAndProject for the
@@ -910,6 +949,17 @@ class Searcher:
         kinds: list[str] = []
         for i, c in enumerate(clauses):
             if isinstance(c, SpanNearQuery):
+                # a span tree is single-field (SpanNearQuery.cs:56 rejects
+                # mixed-field clauses); a nested clause carrying a DIFFERENT
+                # field would otherwise be silently searched against the
+                # outer field's postings — refuse loudly instead
+                if getattr(c, "field", fld) != fld:
+                    raise ValueError(
+                        f"nested SpanNearQuery clause field {c.field!r} differs "
+                        f"from the outer query's field {fld!r}; span clause "
+                        "trees are single-field (set the same field on every "
+                        "level)"
+                    )
                 sub = self._span_join(c, stats, fld)
                 if sub is None:
                     return None
@@ -1898,8 +1948,10 @@ class Searcher:
         entire from-side terms+scores structure in memory) — but GUARDED:
         the match set is bounded above by the sum of the query terms' dfs
         (one termstats lookup), and a from side estimated past
-        ``broadcast_threshold`` rows (or a term-free shape like MatchAll /
-        pure ranges, whose match set is unbounded by dfs) falls back to a
+        ``broadcast_threshold`` rows — or any shape with a term-free
+        clause in a disjunctive position (MatchAll, pure ranges, MTQ
+        rewrites), whose match set the df sum does NOT bound; see
+        :func:`_df_bounded` — falls back to a
         shuffle join instead of OOMing executors with the broadcast. The
         only other shuffle is the aggregation over DISTINCT join values."""
         aggs = {
@@ -1911,11 +1963,19 @@ class Searcher:
         if score_mode not in aggs:
             raise ValueError(f"unknown ScoreMode {score_mode!r}")
         scored = self.score_df(from_query)
+        rewritten = rewrite(from_query)
         terms: set[str] = set()
-        _collect_terms(rewrite(from_query), terms)
+        _collect_terms(rewritten, terms)
         stats = self.term_stats(sorted(terms)) if terms else {}
         est = sum(st.df for st in stats.values())
-        small = bool(terms) and est <= int(broadcast_threshold)
+        # the df-sum is an upper bound ONLY when every match path goes
+        # through a collected term; a term-free clause in a disjunctive
+        # position (MatchAll / pure range / MTQ expansion) voids the bound
+        small = (
+            bool(terms)
+            and est <= int(broadcast_threshold)
+            and _df_bounded(rewritten)
+        )
         joined = keys.select(F.col("docid"), F.col(key_col)).join(
             F.broadcast(scored) if small else scored, "docid", "inner"
         )
