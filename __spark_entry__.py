@@ -635,11 +635,12 @@ def q_ft_lucene_rank(spark, sf_dir):
     mode, and verifies ALL runs against the in-repo numpy golden oracle
     (scoring/oracle.py: float32 BM25 in reference op order, float64
     accumulation cast once, HitQueue tie-break). Any rank or float32-score
-    deviation raises, failing the gate loudly; the returned
-    (shape, doc_id, rank) table gets the driver's rows-only check (float32
-    scores are not SQL-reproducible — DuckDB has no float32 arithmetic with
-    Lucene's op order, which is exactly why this entry embeds its own
-    oracle).
+    deviation raises, failing the gate loudly. The returned
+    (shape, doc_id, rank) table additionally gets a FULL driver hash check
+    against an independent DuckDB REAL (float32) oracle (r5,
+    :func:`_lucene32_sql`): DuckDB REAL arithmetic measured bit-identical
+    to numpy float32, so every shape is triple-checked — engine kernels vs
+    embedded numpy golden vs standalone SQL.
 
     Driver memory is BOUNDED: instead of materializing the corpus, the
     oracle pulls only docs whose token sets overlap the battery terms
@@ -2513,6 +2514,213 @@ def _sum_scored(idxs: list[int]) -> str:
     return f"(SELECT doc_id, CAST(sum(s) AS BIGINT) AS score, count(*) AS n FROM ({unions}) GROUP BY doc_id)"
 
 
+def _lucene32_sql() -> str:
+    """DuckDB REAL (float32) oracle for the ft_lucene_rank battery — the
+    same seven shapes q_ft_lucene_rank runs, scored with bit-faithful
+    float32 BM25 (SURVEY §4.4 / BM25Similarity.cs op order).
+
+    DuckDB's REAL arithmetic is genuine float32 (measured: +,-,*,/ and
+    chained expressions over 20k random float32 pairs are bit-identical to
+    numpy float32, and CAST(ln(...) AS REAL) matches float32(log1p(...))
+    for every df in 1..123457) — so the whole scoring chain is expressed
+    with REAL operands and NO intermediate casts, mirroring
+    scoring/bm25.py exactly:
+
+    - idf32      = CAST(ln(1 + (N - df + .5)/(df + .5)) AS REAL)
+                   (double inner math, one float cast — BM25.idf)
+    - avgdl32    = CAST(sum_ttf / maxdoc AS REAL)
+    - norm byte  = byte315(1f / f32(sqrt(dl))) via exponent arithmetic:
+                   v32 = REAL 1/CAST(sqrt(dl) AS REAL); E = floor(log2 v32)
+                   (boundary-corrected); byte = (E+31)*4 + floor(frac*4)
+                   — 2 explicit mantissa bits, zero exp 15
+                   (SmallFloat.cs:146-160; verified == numpy LUT for every
+                   doclen 1..65535)
+    - NORM_TABLE[b] = REAL 1 / REAL(decode(b)^2), decode(b) =
+                   2^(b//4-31) * (1 + (b%4)/4) exact in double
+                   (BM25Similarity.cs:143-154; verified == numpy table)
+    - cache      = 1.2f*((1f-0.75f) + 0.75f*tbl/avgdl32)  (all REAL ops)
+    - per-clause score = (idf32*(k1+1)f * f32(freq)) / (f32(freq)+cache)
+    - clause scores accumulate in DOUBLE and cast to REAL once
+      (oracle.py _eval/_eval_boolean convention), rank by
+      (score32 DESC, doc_id ASC), top 10 per shape.
+
+    Positional shapes reuse the exact_int entries' anchor enumeration:
+    sloppy nearest-adjusted-position (n=2, SloppyPhraseScorer.cs
+    PhraseFreq), ordered-span greedy chain, nested-span inner-enumeration
+    + gap-sum (NearSpansOrdered) — freq = double sum of 1/(1+matchLength)
+    slop factors, cast to REAL once at scoring."""
+    k1p1 = "CAST(CAST(1.2 AS REAL) + CAST(1.0 AS REAL) AS REAL)"
+
+    def idf32(df_sql: str) -> str:
+        return (
+            f"CAST(ln(1.0 + (st.maxdoc - {df_sql} + 0.5)"
+            f"/({df_sql} + 0.5)) AS REAL)"
+        )
+
+    def idf_dbl(df_sql: str) -> str:
+        return (
+            f"ln(1.0 + (st.maxdoc - {df_sql} + 0.5)/({df_sql} + 0.5))"
+        )
+
+    # per-clause REAL score from a (doc_id, f) relation and a REAL weight
+    def score32(f: str, w: str) -> str:
+        return f"({w} * {f}) / ({f} + n.nrm)"
+
+    terms = ["data", "spark", "part", "filter", "merge"]
+    tctes = []
+    for i, t in enumerate(terms):
+        tctes.append(
+            f"t{i} AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok "
+            f"WHERE term = '{t}' GROUP BY doc_id)"
+        )
+        tctes.append(f"df{i} AS (SELECT count(*)::DOUBLE AS df FROM t{i})")
+        # single-term float32 score (TermScorer): w32 = idf32 * (k1+1)f
+        tctes.append(
+            f"s{i} AS (SELECT t.doc_id, CAST("
+            + score32(
+                "CAST(t.tf AS REAL)",
+                f"({idf32(f'(SELECT df FROM df{i})')} * {k1p1})",
+            )
+            + f" AS DOUBLE) AS s FROM t{i} t "
+            "JOIN nrm n USING (doc_id) CROSS JOIN st)"
+        )
+
+    def multi_weight(idxs: list[int]) -> str:
+        """float32(sum of double idfs) * (k1+1)f — PhraseWeight/SpanWeight."""
+        s = " + ".join(idf_dbl(f"(SELECT df FROM df{i})") for i in idxs)
+        return f"(CAST({s} AS REAL) * {k1p1})"
+
+    shapes = []
+    # disj: data OR spark — double-summed clause scores, one REAL cast
+    shapes.append(
+        "SELECT 'disj' AS shape, doc_id, CAST(sum(s) AS REAL) AS score32 "
+        "FROM (SELECT doc_id, s FROM s0 UNION ALL SELECT doc_id, s FROM s1) "
+        "GROUP BY doc_id"
+    )
+    # conj: data AND spark
+    shapes.append(
+        "SELECT 'conj' AS shape, a.doc_id, CAST(a.s + b.s AS REAL) AS score32 "
+        "FROM s0 a JOIN s1 b USING (doc_id)"
+    )
+    # phrase: "part filter" — freq = adjacent pairs, idf = sum(idf part,filter)
+    shapes.append(
+        "SELECT 'phrase' AS shape, p.doc_id, CAST(CAST("
+        + score32("CAST(p.pf AS REAL)", multi_weight([2, 3]))
+        + " AS DOUBLE) AS REAL) AS score32 FROM ("
+        "  SELECT a.doc_id, count(*)::DOUBLE AS pf"
+        "  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1"
+        "  WHERE a.term = 'part' AND b.term = 'filter' GROUP BY a.doc_id"
+        ") p JOIN nrm n USING (doc_id) CROSS JOIN st"
+    )
+    # msm: >=2 of (data, spark, merge)
+    shapes.append(
+        "SELECT 'msm' AS shape, doc_id, CAST(sum(s) AS REAL) AS score32 "
+        "FROM (SELECT doc_id, s FROM s0 UNION ALL SELECT doc_id, s FROM s1 "
+        "      UNION ALL SELECT doc_id, s FROM s4) "
+        "GROUP BY doc_id HAVING count(*) >= 2"
+    )
+    # sloppy: "part filter"~2 — nearest adjusted position per anchor,
+    # freq = double sum of 1/(1+|adj-anchor|), REAL cast once at scoring
+    shapes.append(
+        "SELECT 'sloppy' AS shape, p.doc_id, CAST(CAST("
+        + score32("CAST(p.pf AS REAL)", multi_weight([2, 3]))
+        + " AS DOUBLE) AS REAL) AS score32 FROM ("
+        "  SELECT doc_id, sum(1.0 / (1.0 + ml)) AS pf FROM ("
+        "    SELECT a.doc_id AS doc_id, a.pos AS apos,"
+        "           min(abs((b.pos - 1) - a.pos)) AS ml"
+        "    FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id"
+        "      AND abs((b.pos - 1) - a.pos) <= 2"
+        "    WHERE a.term = 'part' AND b.term = 'filter'"
+        "    GROUP BY a.doc_id, a.pos"
+        "  ) GROUP BY doc_id"
+        ") p JOIN nrm n USING (doc_id) CROSS JOIN st"
+    )
+    # span: SpanNear(data, merge, slop=2, ordered) — greedy next-start
+    # chain; matchLength = bpos - apos + 1; freq += 1/(1+matchLength)
+    shapes.append(
+        "SELECT 'span' AS shape, p.doc_id, CAST(CAST("
+        + score32("CAST(p.pf AS REAL)", multi_weight([0, 4]))
+        + " AS DOUBLE) AS REAL) AS score32 FROM ("
+        "  SELECT doc_id, sum(1.0 / (bpos - apos + 2.0)) AS pf FROM ("
+        "    SELECT a.doc_id AS doc_id, a.pos AS apos, min(b.pos) AS bpos"
+        "    FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos >= a.pos + 1"
+        "    WHERE a.term = 'data' AND b.term = 'merge'"
+        "    GROUP BY a.doc_id, a.pos"
+        "  ) WHERE bpos - apos - 1 <= 2 GROUP BY doc_id"
+        ") p JOIN nrm n USING (doc_id) CROSS JOIN st"
+    )
+    # span_nested: SpanNear(SpanNear(data, merge, slop=1), spark, slop=2)
+    # — inner spans (apos-1, bpos) 0-based, outer chains the next spark
+    # unit span; gap = (cpos-1) - bpos <= 2; freq += 1/(cpos - apos + 2)
+    shapes.append(
+        "SELECT 'span_nested' AS shape, p.doc_id, CAST(CAST("
+        + score32("CAST(p.pf AS REAL)", multi_weight([0, 4, 1]))
+        + " AS DOUBLE) AS REAL) AS score32 FROM ("
+        "  SELECT doc_id, sum(1.0 / (cpos - apos + 2.0)) AS pf FROM ("
+        "    SELECT i.doc_id AS doc_id, i.apos AS apos, min(c.pos) AS cpos"
+        "    FROM ("
+        "      SELECT a.doc_id AS doc_id, a.pos AS apos, min(b.pos) AS bpos"
+        "      FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos >= a.pos + 1"
+        "      WHERE a.term = 'data' AND b.term = 'merge'"
+        "      GROUP BY a.doc_id, a.pos"
+        "      HAVING min(b.pos) - a.pos - 1 <= 1"
+        "    ) i JOIN tokp c ON c.doc_id = i.doc_id AND c.pos >= i.bpos + 1"
+        "    WHERE c.term = 'spark'"
+        "    GROUP BY i.doc_id, i.apos, i.bpos"
+        "    HAVING (min(c.pos) - 1) - i.bpos <= 2"
+        "  ) GROUP BY doc_id"
+        ") p JOIN nrm n USING (doc_id) CROSS JOIN st"
+    )
+
+    return (
+        _SQL_PREFIX
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+-- per-doc byte315 norm byte -> float32 cache value (SmallFloat.cs:146-160,
+-- BM25Similarity.cs:143-154,226-232; bit-validated vs the numpy kernel)
+nrm AS (
+  SELECT doc_id,
+         CAST(1.2 AS REAL) * ((CAST(1.0 AS REAL) - CAST(0.75 AS REAL))
+           + CAST(0.75 AS REAL)
+             * (CAST(1.0 AS REAL) / CAST(
+                  pow(2.0, CAST(byte // 4 AS BIGINT) - 31) * (1.0 + (byte % 4) / 4.0)
+                * (pow(2.0, CAST(byte // 4 AS BIGINT) - 31) * (1.0 + (byte % 4) / 4.0))
+               AS REAL))
+             / CAST(st.sum_ttf / st.maxdoc AS REAL)) AS nrm
+  FROM (
+    SELECT doc_id,
+           CAST((e + 31) * 4
+                + floor((CAST(v32 AS DOUBLE) * pow(2.0, -e) - 1.0) * 4.0)
+             AS BIGINT) AS byte
+    FROM (
+      SELECT doc_id, v32,
+             CASE WHEN CAST(v32 AS DOUBLE) / pow(2.0, e0) >= 2.0 THEN e0 + 1
+                  WHEN CAST(v32 AS DOUBLE) / pow(2.0, e0) < 1.0 THEN e0 - 1
+                  ELSE e0 END AS e
+      FROM (
+        SELECT doc_id, v32,
+               CAST(floor(log2(CAST(v32 AS DOUBLE))) AS BIGINT) AS e0
+        FROM (SELECT doc_id, CAST(1.0 AS REAL) / CAST(sqrt(dl) AS REAL) AS v32 FROM dl)
+      )
+    )
+  ) CROSS JOIN st
+),
+"""
+        + ",\n".join(tctes)
+        + ",\nbattery AS (\n  "
+        + "\n  UNION ALL\n  ".join(f"({s})" for s in shapes)
+        + "\n)\n"
+        + "SELECT shape, doc_id, rank FROM ("
+        "  SELECT shape, doc_id, CAST(row_number() OVER ("
+        "    PARTITION BY shape ORDER BY score32 DESC, doc_id ASC"
+        "  ) AS BIGINT) AS rank FROM battery"
+        ") WHERE rank <= 10 ORDER BY shape, rank"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -4040,5 +4248,12 @@ SELECT source, count(*)::BIGINT AS cnt FROM sel GROUP BY source ORDER BY source
         "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
         "FROM events GROUP BY event_type ORDER BY event_type"
     )
+
+    # r5: the float32 Lucene scoring battery finally gets a REAL SQL
+    # oracle — DuckDB REAL arithmetic measured bit-identical to numpy
+    # float32 (see _lucene32_sql docstring), so the seven-shape rank table
+    # is now triple-checked: engine (float32 kernels) vs in-entry numpy
+    # golden vs this independent DuckDB REAL pipeline.
+    o["ft_lucene_rank"] = _lucene32_sql()
 
     return o

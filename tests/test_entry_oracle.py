@@ -26,6 +26,7 @@ SUBSET = [
     "dd_minhash_lsh",    # cross-engine md5 minhash banding
     "ann_cosine_topk",   # fold-ordered double dot product
     "txt_fingerprint",   # rolling-hash fold
+    "ft_lucene_rank",    # float32 battery vs the DuckDB REAL oracle (r5)
 ]
 
 
@@ -51,11 +52,11 @@ def test_entry_query_matches_oracle(spark, duck, name):
     pd.testing.assert_frame_equal(canon(sdf), canon(odf))
 
 
-# Entries that deliberately carry NO SQL oracle: they embed their own
-# runtime golden check that SQL cannot express (float32 arithmetic in
-# Lucene's op order) and raise on any deviation — the driver records the
-# weaker rows-only result for them, by design.
-SELF_ORACLED = {"ft_lucene_rank"}
+# r5: every registry entry carries a DuckDB oracle — ft_lucene_rank's
+# float32 battery included (DuckDB REAL arithmetic is bit-faithful
+# float32; see __spark_entry__._lucene32_sql). The set is kept (empty)
+# so a future genuinely-non-SQL entry has a documented escape hatch.
+SELF_ORACLED: set = set()
 
 
 def test_every_query_has_oracle():
