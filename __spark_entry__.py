@@ -340,7 +340,15 @@ def _lang_searcher(spark, sf_dir):
         return _LANG_SEARCHERS[key]
     cfg = dataclasses.replace(
         _ENTRY_CONFIG, lang_field="lang",
-        lang_chains=(("fr", "french"), ("de", "german"), ("es", "spanish")),
+        # r5 adds the zh -> CJK route (Cjk/CJKAnalyzer.cs:40). The corpus's
+        # zh stratum holds ascii tokens, which the CJK bigram filter passes
+        # through untouched — so the route exercises the per-document chain
+        # dispatch (and the per-route guard proves the pass-through) while
+        # real ideographic bigramming is gated by ft_cjk_bigram's own index
+        lang_chains=(
+            ("fr", "french"), ("de", "german"), ("es", "spanish"),
+            ("zh", "cjk"),
+        ),
         text_fields=(),  # lang routing is incompatible with text_fields
     )
     idx = os.path.join(_INDEX_ROOT, key + "_langroute")
@@ -376,7 +384,13 @@ def q_ft_lang_router(spark, sf_dir):
     # the build used) must map it to exactly the embedded oracle image
     # (map.get(w, w)). This checks the oracle mapping itself, not just set
     # membership, so cross-language collisions can no longer mask a bug.
-    route_maps = {"fr": _FR_STEM_MAP, "de": _DE_STEM_MAP, "es": _ES_STEM_MAP}
+    route_maps = {
+        "fr": _FR_STEM_MAP, "de": _DE_STEM_MAP, "es": _ES_STEM_MAP,
+        # zh routes through the CJK chain, whose bigram filter passes
+        # ascii tokens through verbatim — an EMPTY stem map, and the
+        # per-route guard below proves that identity against the chain
+        "zh": {},
+    }
     per_lang = (
         _docs(spark, sf_dir)
         .select("lang", F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("w"))
@@ -404,6 +418,77 @@ def q_ft_lang_router(spark, sf_dir):
             + "; ".join(sorted(bad)[:10])
         )
     q = BooleanQuery.build(should=[TermQuery("tabl"), TermQuery("table")])
+    return _topk_df(s, q, 10)
+
+
+# fixed word -> ideograph map (one han codepoint per corpus-vocabulary
+# word, assigned in vocabulary order from U+4E00): a deterministic,
+# SQL-reproducible way to derive REAL CJK text from the synthetic corpus
+_CJK_CHAR_MAP = {w: chr(0x4E00 + i) for i, w in enumerate(_CORPUS_VOCAB)}
+
+_CJK_SEARCHERS: dict[str, Searcher] = {}
+
+
+def _cjk_map_case(var: str) -> str:
+    """Shared CASE expression (Spark SQL == DuckDB dialect) mapping a
+    vocabulary token to its han codepoint ('' for out-of-vocabulary)."""
+    cases = " ".join(
+        f"WHEN '{w}' THEN '{c}'" for w, c in _CJK_CHAR_MAP.items()
+    )
+    return f"CASE {var} {cases} ELSE '' END"
+
+
+def _cjk_searcher(spark, sf_dir):
+    """A FOURTH index: the zh stratum's documents re-expressed as genuine
+    ideographic text (each vocabulary word -> one han codepoint,
+    concatenated), analyzed by the CJK bigram chain
+    (Cjk/CJKAnalyzer.cs:40, CJKBigramFilter.cs — analysis/cjk.py): the
+    per-ideograph tokenizer classes + codepoint bigram runs produce
+    overlapping 2-gram terms, which is what makes CJK search precise
+    instead of unigram-noise. The chain is a generic (non-Arrow) path:
+    analyze() runs per row inside the distributed build batches."""
+    import dataclasses
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    if key in _CJK_SEARCHERS:
+        return _CJK_SEARCHERS[key]
+    cfg = dataclasses.replace(
+        _ENTRY_CONFIG,
+        analyzer="cjk",
+        ascii_tokens=False,  # the input IS ideographic
+        max_token_length=255,
+        keyword_fields=(), docvalue_fields=(), text_fields=(),
+    )
+    pages = (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang") == "zh")
+        .select(
+            F.col("doc_id").alias("docid"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.expr(
+                f"array_join(transform({_TOKS_SPARK}, x -> {_cjk_map_case('x')}), '')"
+            ).alias("text"),
+        )
+    )
+    idx = os.path.join(_INDEX_ROOT, key + "_cjk")
+    build_index(spark, pages, idx, cfg)  # resumes
+    s = Searcher(spark, idx, scoring="exact_int")
+    _CJK_SEARCHERS[key] = s
+    return s
+
+
+def q_ft_cjk_bigram(spark, sf_dir):
+    """CJK bigram search end-to-end: the zh documents as han text, indexed
+    through the CJKAnalyzer chain (width fold -> per-ideograph tokens ->
+    codepoint bigrams -> BM25 postings), then a bigram TermQuery top-k.
+    The DuckDB oracle reproduces the bigram token stream with
+    substring-windowing over the same word->ideograph mapping and scores
+    with the shared exact-int formula — so tokenization, bigramming,
+    doclen/norms, df and ranking are all cross-checked."""
+    s = _cjk_searcher(spark, sf_dir)
+    b1 = _CJK_CHAR_MAP["the"] + _CJK_CHAR_MAP["row"]
+    b2 = _CJK_CHAR_MAP["table"] + _CJK_CHAR_MAP["table"]
+    q = BooleanQuery.build(should=[TermQuery(b1), TermQuery(b2)])
     return _topk_df(s, q, 10)
 
 
@@ -2403,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry + the float32 battery; ft_phrase_sloppy is new) ---
         "ft_phrase_sloppy": q_ft_phrase_sloppy,
         "ft_lang_router": q_ft_lang_router,
+        "ft_cjk_bigram": q_ft_cjk_bigram,
         "ft_suggest_analyzed": q_ft_suggest_analyzed,
         "ft_span_field": q_ft_span_field,
         "ft_prefix_scored_field": q_ft_prefix_scored_field,
@@ -2878,6 +2964,52 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
         + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
         + _TOPK_TAIL.format(k=10)
     )
+
+    # CJK bigrams (r5): rebuild the zh stratum's ideographic text with the
+    # same word->han map, window it into overlapping codepoint bigrams
+    # (substring pairs == CJKBigramFilter's run bigrams; a 1-codepoint doc
+    # keeps its unigram), and score the query bigram with the shared
+    # exact-int formula over the BIGRAM token stream's dl/df/ttf
+    _cjk_b1 = _CJK_CHAR_MAP["the"] + _CJK_CHAR_MAP["row"]
+    _cjk_b2 = _CJK_CHAR_MAP["table"] + _CJK_CHAR_MAP["table"]
+    o["ft_cjk_bigram"] = f"""
+WITH m AS (
+  SELECT doc_id, coalesce(list_aggregate(
+           list_transform({_TOKS_DUCK}, x -> {_cjk_map_case('x')}),
+           'string_agg', ''), '') AS s
+  FROM documents WHERE lang = 'zh'
+),
+ctok AS (
+  SELECT doc_id,
+         CASE WHEN length(s) = 1 THEN s ELSE substring(s, i, 2) END AS term
+  FROM (SELECT doc_id, s, unnest(range(1, greatest(length(s), 2))) AS i FROM m)
+  WHERE length(s) >= 1
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ctok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM m)::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM ctok)::DOUBLE AS sum_ttf),
+t0 AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM ctok
+       WHERE term = '{_cjk_b1}' GROUP BY doc_id),
+t1 AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM ctok
+       WHERE term = '{_cjk_b2}' GROUP BY doc_id),
+s0 AS (SELECT t.doc_id, CAST(floor(
+        (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)
+         /((SELECT count(*) FROM t0) + 0.5)) * 2.2 * t.tf)
+        / (t.tf + 1.2*(0.25 + (0.75*d.dl)/(st.sum_ttf/st.maxdoc)))
+        * 1000000.0 + 0.5) AS BIGINT) AS s
+       FROM t0 t JOIN dl d USING (doc_id) CROSS JOIN st),
+s1 AS (SELECT t.doc_id, CAST(floor(
+        (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)
+         /((SELECT count(*) FROM t1) + 0.5)) * 2.2 * t.tf)
+        / (t.tf + 1.2*(0.25 + (0.75*d.dl)/(st.sum_ttf/st.maxdoc)))
+        * 1000000.0 + 0.5) AS BIGINT) AS s
+       FROM t1 t JOIN dl d USING (doc_id) CROSS JOIN st),
+scored AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM (
+    SELECT doc_id, s FROM s0 UNION ALL SELECT doc_id, s FROM s1
+  ) GROUP BY doc_id
+)
+""" + _TOPK_TAIL.format(k=10)
 
     # spans: anchor-enumerated matches over the 1-based tokp position table
     # (relative offsets equal the engine's 0-based ones), with the

@@ -516,6 +516,11 @@ def analyzer_for(
 
         sw = ITALIAN_STOP_WORDS if stop_words else frozenset()
         return ItalianLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "cjk":
+        from .cjk import CJK_STOP_WORDS, CJKAnalyzer
+
+        sw = CJK_STOP_WORDS if stop_words else frozenset()
+        return CJKAnalyzer(sw, max_token_length, ascii_only)
     if name == "ascii_folding":
         return ASCIIFoldingAnalyzer(stop_words, max_token_length, ascii_only)
     if name == "simple":
