@@ -100,6 +100,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _table_rows(sf_dir: str, name: str) -> int:
+    """Row count from Parquet FOOTER metadata (O(footer bytes), no data
+    scan, no Spark job) — the local stand-in for Iceberg snapshot/manifest
+    row counts: a 100 TB pipeline reads |table| from the catalog instead
+    of burning a full corpus pass on SELECT count(*). Scale-aware shape
+    parameters (minhash band rows, embedding band bits, IVF cell count)
+    take n from here."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _entry_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table shaped for the index build: caller-assigned
     docids + the keyword-field and doc-value columns of _ENTRY_CONFIG."""
@@ -1461,7 +1480,9 @@ def q_dd_minhash_lsh(spark, sf_dir, num_perms: int = _MINHASH_PERMS,
     DuckDB oracle reproduces signatures bit-for-bit at any shape."""
     d = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
     if band_rows is None:
-        band_rows = _minhash_band_rows(d.count())
+        # n from footer/catalog metadata, NOT a corpus pass (r5 — at 100 TB
+        # a count() here would be a full scan before the real job)
+        band_rows = _minhash_band_rows(_table_rows(sf_dir, "documents"))
     # guard: a doc with <3 tokens has NO 3-shingles — sequence(0, size-3)
     # would otherwise produce a descending range and slice() would throw
     sh = d.select(
@@ -1764,21 +1785,77 @@ def _cos6_expr(lit_vals, lit_norm: float):
     )
 
 
+def _ivf_params(n: int) -> tuple[int, int]:
+    """Scale-aware IVF shape: K = clamp(8, 4096, ceil(sqrt(n))) cells so a
+    cell holds ~sqrt(n) vectors (the classic IVF balance point — both the
+    coarse scan over K centroids and the fine scan over probed cells grow
+    ~sqrt(n) instead of n), nprobe = clamp(2, 64, ceil(sqrt(K))). The
+    formula is pure SQL arithmetic so the DuckDB oracle derives the SAME
+    shape from count(*)."""
+    k = int(min(4096, max(8, math.ceil(math.sqrt(max(n, 1))))))
+    nprobe = int(min(64, max(2, math.ceil(math.sqrt(k)))))
+    return k, nprobe
+
+
+def _ivf_assign_udf(cent_rows: "list[tuple[int, list[float]]]"):
+    """Vectorized nearest-centroid assignment: a mapInPandas batch kernel
+    computing the int-scaled cosine of every row against every centroid
+    with one int64 matrix product (numpy). Cluster ids and tie-breaks
+    (max cosine, then LOWEST cluster id) replicate the SQL oracle's
+    row_number ordering; the int64 dot is EXACT, so it equals the
+    oracle's sequential double fold whenever that fold stays under 2^53
+    (documented bound — holds with orders of magnitude to spare for
+    unit-norm embeddings at the tested scales)."""
+    import numpy as _np
+    import pandas as _pd
+
+    ids = _np.array([j for j, _ in cent_rows], dtype=_np.int64)
+    C = _np.array([v for _, v in cent_rows], dtype=_np.int64)  # K x dim
+    normC = _np.sqrt((C.astype(_np.float64) ** 2).sum(axis=1))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.array(pdf["v6"].tolist(), dtype=_np.int64)
+            dot = X @ C.T  # exact int64
+            nv = _np.sqrt((X.astype(_np.float64) ** 2).sum(axis=1))
+            cx = _np.floor(
+                dot.astype(_np.float64) / (nv[:, None] * normC[None, :])
+                * 1000000.0 + 0.5
+            ).astype(_np.int64)
+            best = cx.argmax(axis=1)  # ties -> first = lowest cluster id
+            yield _pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster": ids[best]}
+            )
+
+    return assign
+
+
 def q_ann_ivf_flat(spark, sf_dir):
     """IVF-flat ANN — the coarse-quantizer scale path the LSH buckets
-    don't cover: K=8 seed centroids (the embeddings of vec_id 0..7), one
-    Lloyd assignment round, then the query probes only the nprobe=2
-    nearest cells and ranks candidates exactly.
+    don't cover. r5 makes the shape SCALE-AWARE: K = clamp(8, 4096,
+    ceil(sqrt(n))) cells seeded by the K vectors with the smallest
+    md5(vec_id) (a deterministic, order-free sample both engines
+    reproduce), one Lloyd assignment round, then the query probes the
+    nprobe = clamp(2, 64, ceil(sqrt(K))) nearest cells and ranks their
+    candidates exactly. n comes from Parquet footer metadata (catalog
+    stats — no counting pass).
 
     Determinism contract (everything reproducible by the DuckDB oracle):
     vectors are int-scaled (floor(x*1e6+0.5)); a centroid is the exact
-    INTEGER per-dim SUM of its members (not the mean — cosine is
-    scale-invariant, so cos(v, sum) == cos(v, mean) and the n_j division
-    never happens); every dot/norm is a fold in dimension order, so both
-    engines produce bit-identical doubles. At scale: assignment is one
-    broadcast of K vectors, cell sums are one groupBy(cluster, dim) agg,
-    and the probe scans only the selected cells' rows."""
+    INTEGER per-dim SUM of its members (cosine is scale-invariant, so
+    cos(v, sum) == cos(v, mean) and the n_j division never happens);
+    row-vs-centroid assignment runs as an int64 matrix product inside a
+    mapInPandas kernel (exact, order-free — equal to the oracle's
+    sequential double fold under the documented 2^53 bound), candidate
+    scoring keeps the JVM fold. Driver pulls are bounded by K (seeds,
+    cell sums: K*64 longs), never by n. At scale: seeding is a
+    TakeOrderedAndProject over md5 keys, assignment one broadcast of K
+    centroids + a map-side kernel, cell sums one groupBy(cluster, dim)."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = _table_rows(sf_dir, "embeddings")
+    k, nprobe = _ivf_params(n)
     e6 = emb.select(
         "vec_id", "label",
         F.expr(
@@ -1786,42 +1863,51 @@ def q_ann_ivf_flat(spark, sf_dir):
             "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE))"
         ).alias("v6"),
     )
-    seeds = {
-        int(r["vec_id"]): [float(x) for x in r["v6"]]
-        for r in e6.filter(F.col("vec_id") < 8).collect()
-    }
-    ks = sorted(seeds)
-    sc1 = F.array(*[_cos6_expr(seeds[j], _fold_norm(seeds[j])) for j in ks])
-    a1 = (F.array_position(sc1, F.array_max(sc1)) - 1).cast("int").alias("a1")
+    seed_rows = (
+        e6.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")).asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(k)
+        .collect()  # bounded: K <= 4096 rows
+    )
+    seeds = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["v6"]]) for r in seed_rows
+    )
+    assign1 = e6.select("vec_id", "v6").mapInPandas(
+        _ivf_assign_udf(seeds), "vec_id long, cluster long"
+    )
     sums = (
-        e6.select(a1, F.posexplode("v6").alias("dim", "val"))
-        .groupBy("a1", "dim")
+        e6.join(assign1, "vec_id")
+        .select("cluster", F.posexplode("v6").alias("dim", "val"))
+        .groupBy("cluster", "dim")
         .agg(F.sum(F.col("val").cast("long")).alias("s"))
-        .collect()
+        .collect()  # bounded: <= K*64 rows
     )
     cent: dict[int, list[int]] = {}
     for r in sums:
-        cent.setdefault(int(r["a1"]), [0] * 64)[int(r["dim"])] = int(r["s"])
-    present = sorted(cent)
-    sc2 = F.array(*[_cos6_expr(cent[j], _fold_norm(cent[j])) for j in present])
-    pos2 = F.array_position(sc2, F.array_max(sc2)).cast("int")
-    cluster = F.element_at(
-        F.array(*[F.lit(j) for j in present]), pos2
-    ).cast("long").alias("cluster")
+        cent.setdefault(int(r["cluster"]), [0] * 64)[int(r["dim"])] = int(r["s"])
+    cents = sorted((j, [float(x) for x in v]) for j, v in cent.items())
+    assign2 = e6.select("vec_id", "v6").mapInPandas(
+        _ivf_assign_udf(cents), "vec_id long, cluster long"
+    )
 
-    q6 = seeds[0]
+    q6 = [
+        float(x)
+        for x in e6.filter(F.col("vec_id") == 0).collect()[0]["v6"]
+    ]
     nq6 = _fold_norm(q6)
     probe_sc = []
-    for j in present:
+    for j, cv in cents:
         acc = 0.0
-        for x, y in zip(q6, cent[j]):
+        for x, y in zip(q6, cv):
             acc = acc + float(x) * float(y)
-        cx = math.floor(acc / (nq6 * _fold_norm(cent[j])) * 1000000.0 + 0.5)
+        cx = math.floor(acc / (nq6 * _fold_norm(cv)) * 1000000.0 + 0.5)
         probe_sc.append((-cx, j))
-    probes = [j for _, j in sorted(probe_sc)[:2]]
+    probes = [j for _, j in sorted(probe_sc)[:nprobe]]
 
     cand = (
-        e6.select("vec_id", "label", "v6", cluster)
+        e6.join(assign2, "vec_id")
         .filter(F.col("cluster").isin([int(p) for p in probes]))
         .filter(F.col("vec_id") != 0)
         .withColumn("cos_x1m", _cos6_expr(q6, nq6))
@@ -1980,9 +2066,11 @@ def q_dd_embed_cosine(spark, sf_dir):
     bits, so expected random candidates stay LINEAR in corpus size) followed
     by exact cosine verification at τ=0.4 (integer-micro threshold). The
     band width the oracle derives in-SQL from count(*) equals the one
-    computed here from emb.count()."""
+    computed here from the Parquet footer row count (catalog metadata —
+    no corpus pass)."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    w = _emb_band_bits(emb.count())
+    # n from footer/catalog metadata, NOT a corpus pass (r5)
+    w = _emb_band_bits(_table_rows(sf_dir, "embeddings"))
     cand = _emb_candidates(emb, w)
     ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
@@ -2484,8 +2572,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and/or r2, unchanged since, with in-repo suite coverage) absorb the
     # cap.
     return {
-        # --- changed or new in r4 (sloppyFreq damping touched every span
-        # entry + the float32 battery; ft_phrase_sloppy is new) ---
+        # --- changed or new in r5 (ft_cjk_bigram new; ft_lang_router gains
+        # the zh route + per-route guard; ft_lucene_rank gains the REAL
+        # float32 SQL oracle; dd_minhash_lsh/dd_embed_cosine drop the
+        # count() pre-pass; ann_ivf_flat is scale-parameterized) — plus the
+        # r4 span/sloppy block, kept gated ---
         "ft_phrase_sloppy": q_ft_phrase_sloppy,
         "ft_lang_router": q_ft_lang_router,
         "ft_cjk_bigram": q_ft_cjk_bigram,
@@ -2502,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_pack_offset": q_pipe_pack_offset,
         "ft_lucene_rank": q_ft_lucene_rank,
         "dd_minhash_lsh": q_dd_minhash_lsh,
+        "dd_embed_cosine": q_dd_embed_cosine,
         "dd_lsh_verify": q_dd_lsh_verify,
         "nd_shingle_jaccard": q_nd_shingle_jaccard,
         # --- r3-gated green, unchanged ---
@@ -2537,7 +2629,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_by_ts": q_ft_sort_by_ts,
         "ft_highlight_multi": q_ft_highlight_multi,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "dd_embed_cosine": q_dd_embed_cosine,
         "mm_frame_sample": q_mm_frame_sample,
         # --- core full-text battery ---
         "ft_term_topk": q_ft_term_topk,
@@ -3946,7 +4037,20 @@ WITH e6 AS (
                         x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS DOUBLE)) AS v6
   FROM embeddings
 ),
-seeds AS (SELECT vec_id AS j, v6 AS sv FROM e6 WHERE vec_id < 8),
+par AS (
+  SELECT CAST(least(4096, greatest(8, ceil(sqrt(count(*))))) AS BIGINT) AS k
+  FROM e6
+),
+par2 AS (
+  SELECT k, CAST(least(64, greatest(2, ceil(sqrt(k)))) AS BIGINT) AS nprobe
+  FROM par
+),
+-- deterministic md5 sample: the K smallest md5(vec_id) rows seed the cells
+seeds AS (
+  SELECT vec_id AS j, v6 AS sv FROM e6
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT (SELECT k FROM par)
+),
 c1 AS (
   SELECT e.vec_id, s.j, {_cos6_sql("e.v6", "s.sv")} AS cx
   FROM e6 e CROSS JOIN seeds s
@@ -3977,7 +4081,8 @@ a2 AS (
 q AS (SELECT v6 AS qv FROM e6 WHERE vec_id = 0),
 pr AS (
   SELECT c.j FROM cent c CROSS JOIN q
-  ORDER BY {_cos6_sql("q.qv", "c.cv")} DESC, c.j ASC LIMIT 2
+  ORDER BY {_cos6_sql("q.qv", "c.cv")} DESC, c.j ASC
+  LIMIT (SELECT nprobe FROM par2)
 ),
 f AS (
   SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,

@@ -167,3 +167,82 @@ def test_nested_span_field_mismatch_raises(spark, tmp_path):
     outer = SpanNearQuery((inner, "the"), slop=3, in_order=True, field="text")
     with pytest.raises(ValueError, match="differs"):
         s.search(outer, k=5)
+
+
+# --------------------------------------------------------------------- #
+# scale-aware IVF-flat (r5) + metadata row counts instead of count()
+# --------------------------------------------------------------------- #
+
+
+def test_ivf_params_scale_rule():
+    import __spark_entry__ as entrymod
+
+    assert entrymod._ivf_params(10) == (8, 3)            # K floor
+    assert entrymod._ivf_params(600) == (25, 5)
+    assert entrymod._ivf_params(1_000_000) == (1000, 32)
+    k, npb = entrymod._ivf_params(10**12)
+    assert k == 4096 and npb == 64                       # caps
+
+
+def test_ivf_cells_balanced_and_candidates_linear(spark):
+    """With md5-sampled seeds over random unit vectors, cells stay near
+    balanced, so the probed candidate set is ~n/K * nprobe — the IVF scale
+    contract (VERDICT r4: constants must grow with n)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    n = 2048
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((n, 64))
+    v6 = np.floor(v * 1_000_000.0 + 0.5)
+    rows = [(int(i), [float(x) for x in v6[i]]) for i in range(n)]
+    e6 = spark.createDataFrame(rows, "vec_id long, v6 array<double>")
+    k, nprobe = entrymod._ivf_params(n)
+    assert k == 46
+    seed_rows = (
+        e6.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")).asc(),
+            F.col("vec_id").asc(),
+        ).limit(k).collect()
+    )
+    seeds = sorted((int(r["vec_id"]), list(r["v6"])) for r in seed_rows)
+    assign = e6.mapInPandas(
+        entrymod._ivf_assign_udf(seeds), "vec_id long, cluster long"
+    )
+    sizes = [
+        int(r["c"]) for r in
+        assign.groupBy("cluster").agg(F.count("*").alias("c")).collect()
+    ]
+    assert sum(sizes) == n
+    assert len(sizes) >= k // 2          # most cells non-empty
+    # candidate set for any nprobe probes stays ~n/K * nprobe: even the
+    # LARGEST nprobe cells together stay within a small factor of it
+    worst = sum(sorted(sizes, reverse=True)[:nprobe])
+    assert worst <= 5 * (n / k) * nprobe
+
+
+def test_dedup_entries_never_run_a_count_pass(spark, monkeypatch):
+    """r5: band shapes come from Parquet footer metadata, not a corpus
+    count() pre-pass — a count() during query CONSTRUCTION now fails."""
+    from pyspark.sql import DataFrame
+
+    import __spark_entry__ as entrymod
+
+    def boom(self):
+        raise AssertionError("count() pre-pass is banned (use footer stats)")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    sf = "/root/testdata/sf0.001"
+    entrymod.q_dd_minhash_lsh(spark, sf)    # builds the plan, no count
+    entrymod.q_dd_embed_cosine(spark, sf)
+
+
+def test_table_rows_matches_actual(spark):
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    n_meta = entrymod._table_rows(sf, "documents")
+    n_real = spark.read.parquet(sf + "/documents.parquet").count()
+    assert n_meta == n_real
