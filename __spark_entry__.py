@@ -1043,6 +1043,22 @@ def q_ft_span_nested(spark, sf_dir):
     return _topk_df(_searcher(spark, sf_dir), q, 10)
 
 
+def q_ft_span_nested_unord(spark, sf_dir):
+    """Unordered-OUTER span nesting (r5 — the last span shape the engine
+    rejected besides payloads): SpanNear((SpanNear(('data','merge'),
+    slop=1, ordered), 'spark'), slop=2, UNORDERED). The nested clause is
+    enumerated to variable-length (start, end) spans, then the outer
+    unordered kernel applies true SpansCell length bookkeeping
+    (NearSpansUnordered.cs:36): per anchor span, 'spark' contributes its
+    nearest-start unit span (tie -> earlier); joint window [min start,
+    max end] matches iff matchLength - totalLength <= slop, freq +=
+    sloppyFreq(matchLength) per anchor. 'spark' BEFORE the inner span
+    matches here — the shape the ordered chain can never produce."""
+    inner = SpanNearQuery(("data", "merge"), slop=1, in_order=True)
+    q = SpanNearQuery((inner, "spark"), slop=2, in_order=False)
+    return _topk_df(_searcher(spark, sf_dir), q, 10)
+
+
 def q_ft_span_first(spark, sf_dir):
     """SpanFirstQuery.cs:33-49: 'table' spans ending within the first 8
     positions; tf truncated to the prefix window and damped by
@@ -2590,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_or": q_ft_span_or,
         "ft_span_not": q_ft_span_not,
         "ft_span_nested": q_ft_span_nested,
+        "ft_span_nested_unord": q_ft_span_nested_unord,
         "pipe_pack_offset": q_pipe_pack_offset,
         "ft_lucene_rank": q_ft_lucene_rank,
         "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -3218,6 +3235,60 @@ pf AS (
     WHERE c.term = 'spark'
     GROUP BY i.doc_id, i.apos, i.bpos
     HAVING min(c.pos) - i.bpos - 1 <= 2
+  ) GROUP BY doc_id
+),
+idfs AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)/((SELECT count(*) FROM t1) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t2) + 0.5)/((SELECT count(*) FROM t2) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+scored AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # unordered-outer nesting (r5): same inner enumeration; the outer pick
+    # is the nearest-START 'spark' span per anchor (row_number over
+    # (|delta|, delta)), then NearSpansUnordered's matchLength -
+    # totalLength <= slop over the joint window [min start, max end]
+    # (0-based: inner span = (apos-1, bpos), spark span = (cpos-1, cpos))
+    o["ft_span_nested_unord"] = (
+        _SQL_PREFIX + _term_ctes(["data", "merge", "spark"])
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+inner_sp AS (
+  SELECT a.doc_id AS doc_id, a.pos AS apos, min(b.pos) AS bpos
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos > a.pos
+  WHERE a.term = 'data' AND b.term = 'merge'
+  GROUP BY a.doc_id, a.pos
+  HAVING min(b.pos) - a.pos <= 2
+),
+pick AS (
+  SELECT doc_id, apos, bpos, cpos FROM (
+    SELECT i.doc_id AS doc_id, i.apos AS apos, i.bpos AS bpos, c.pos AS cpos,
+           row_number() OVER (PARTITION BY i.doc_id, i.apos
+             ORDER BY abs(c.pos - i.apos) ASC, c.pos - i.apos ASC) AS rn
+    FROM inner_sp i JOIN tokp c ON c.doc_id = i.doc_id AND c.term = 'spark'
+  ) WHERE rn = 1
+),
+pf AS (
+  SELECT doc_id, CAST(sum(sf) AS DOUBLE) / 1000000.0 AS pf FROM (
+    SELECT doc_id,
+           CAST(floor(1000000.0
+             / (1.0 + (greatest(bpos, cpos) - least(apos - 1, cpos - 1)))
+             + 0.5) AS BIGINT) AS sf
+    FROM pick
+    WHERE (greatest(bpos, cpos) - least(apos - 1, cpos - 1))
+          - (bpos - apos + 2) <= 2
   ) GROUP BY doc_id
 ),
 idfs AS (

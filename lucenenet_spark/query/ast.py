@@ -295,19 +295,22 @@ class SpanNearQuery(Query):
     over variable-length spans: clause spans in order, non-overlapping
     (next start >= previous end), total gap sum = (last end - first
     start) - sum(chosen span lengths) <= slop; for unit spans this
-    reduces to the flat rule below. Nesting requires ``in_order=True``
-    on the OUTER query (unordered nesting would need true SpansCell
-    length bookkeeping — out of scope); nested clauses themselves may be
+    reduces to the flat rule below. Nesting composes with BOTH outer
+    modes (r5 adds unordered-outer: true SpansCell length bookkeeping,
+    NearSpansUnordered.cs:36); nested clauses themselves may be
     ordered or unordered. A union clause's
     spans are the union of its members' unit spans (SpanOrQuery.cs:36-58);
     members missing from the index simply contribute no spans (a clause
     whose EVERY member is missing can never match). Unordered supports any
-    clause count (r4): per anchor, every other clause contributes its
-    nearest position and the joint window max-min must satisfy
-    NearSpansUnordered's matchLength - totalLength <= slop rule — the
+    clause count (r4; r5 generalizes to variable-length nested clause
+    spans): per anchor span, every other clause contributes the span with
+    the nearest start (tie -> earlier); the joint window [min start,
+    max end] must satisfy NearSpansUnordered's matchLength - totalLength
+    <= slop rule (totalLength = sum of chosen span lengths) — the
     anchor-based re-expression of the reference's SpansCell queue
     (NearSpansUnordered.cs:36; exact for n=2, nearest-choice convention
-    for n>2). Scoring follows the
+    for n>2; reduces to max-min <= slop + n - 1 for all-unit clauses).
+    Scoring follows the
     reference's SpanScorer (SpanScorer.cs SetFreqCurrentDoc): each
     enumerated span match contributes sloppyFreq(matchLength) =
     1/(1+matchLength) to freq, matchLength = End - Start of the covering

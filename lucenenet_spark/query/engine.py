@@ -940,10 +940,6 @@ class Searcher:
         keys) — None when some clause has no indexed member (it can never
         match). Clause 0 additionally carries norm_byte/doclen."""
         clauses = q.clauses_norm()
-        if q.has_nested() and not q.in_order:
-            raise ValueError(
-                "nested span clauses require in_order=True on the outer query"
-            )
         member_keys: list[str] = []
         per_slot = []
         kinds: list[str] = []
@@ -1058,7 +1054,6 @@ class Searcher:
         )
         one_minus_b = 1.0 - bd
         nterms = len(kinds)
-        window = np.int64(slop + nterms - 1)
         slop64 = np.int64(slop)
 
         def span_score(batches):
@@ -1111,36 +1106,43 @@ class Searcher:
                 else:
                     # unordered n-clause window (NearSpansUnordered.cs:36
                     # SpansCell queue, re-expressed anchor-based): per
-                    # anchor, every other clause contributes its NEAREST
-                    # position (tie -> earlier); the joint window is
-                    # max - min over the chosen positions incl. the anchor,
-                    # and Lucene's slop rule matchLength - totalLength <=
-                    # slop becomes range <= slop + n - 1 for unit spans.
-                    # Nearest-per-clause is this engine's documented
-                    # enumeration convention (exact for n=2).
+                    # anchor span, every other clause contributes its span
+                    # with the NEAREST start (tie -> earlier); the joint
+                    # window is [min start, max end] over the chosen spans
+                    # incl. the anchor, and Lucene's slop rule is applied
+                    # directly: matchLength - totalLength <= slop, where
+                    # totalLength = sum of chosen span lengths (SpansCell
+                    # length bookkeeping). For all-unit clauses this
+                    # reduces EXACTLY to the old range <= slop + n - 1
+                    # window rule (r5 generalization to variable-length
+                    # nested clause spans; nearest-per-clause remains the
+                    # documented enumeration convention, exact for n=2).
                     BIG = np.int64(1) << 40
-                    maxc = np.zeros(len(base_keys), dtype=np.int64)
-                    minc = np.zeros(len(base_keys), dtype=np.int64)
+                    GUARD = M >> 1  # cross-row bleed guard (pos < 2^32)
+                    s_min = base_keys.copy()
+                    e_max = end0_keys.copy()
+                    total = end0_keys - base_keys
                     for i in range(1, nterms):
-                        keys_i, _ = flat_keys(pdf[f"pos_{i}"])
-                        n_i = len(keys_i)
+                        s_i, e_i, _ = flat_spans(pdf, i)
+                        n_i = len(s_i)
                         if n_i == 0:
                             match[:] = False
                             break
-                        idxr = np.searchsorted(keys_i, base_keys, "left")
-                        right = keys_i[np.minimum(idxr, n_i - 1)]
-                        dr = np.where(idxr < n_i, right - base_keys, BIG)
-                        left = keys_i[np.maximum(idxr - 1, 0)]
-                        dl_ = np.where(idxr > 0, base_keys - left, BIG)
-                        match &= np.minimum(dl_, dr) <= window
-                        c = np.where(dl_ <= dr, -dl_, dr)
-                        np.maximum(maxc, c, out=maxc)
-                        np.minimum(minc, c, out=minc)
-                    rng = maxc - minc
-                    match &= rng <= window
-                    mlen = rng + 1  # max(end) - min(start) of unit spans
-                    span_starts = base_keys + minc
-                    span_ends = base_keys + maxc + 1
+                        idxr = np.searchsorted(s_i, base_keys, "left")
+                        ir = np.minimum(idxr, n_i - 1)
+                        dr = np.where(idxr < n_i, s_i[ir] - base_keys, BIG)
+                        il = np.maximum(idxr - 1, 0)
+                        dl_ = np.where(idxr > 0, base_keys - s_i[il], BIG)
+                        match &= np.minimum(dl_, dr) <= GUARD
+                        pick = np.where(dl_ <= dr, il, ir)
+                        cs, ce = s_i[pick], e_i[pick]
+                        np.minimum(s_min, cs, out=s_min)
+                        np.maximum(e_max, ce, out=e_max)
+                        total = total + (ce - cs)
+                    rng = e_max - s_min
+                    match &= (rng - total) <= slop64
+                    mlen = rng  # max(end) - min(start): SpanScorer length
+                    span_starts, span_ends = s_min, e_max
                 if emit_spans:
                     # enumeration mode: return the matched spans themselves
                     # (per-doc arrays sorted by (start, end), identical

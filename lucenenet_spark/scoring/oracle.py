@@ -314,10 +314,6 @@ class OracleIndex:
         SpanOr position-dedup convention); the TOP level keeps raw anchor
         spans because freq counts per anchor. Returns (None, []) when a
         clause has no indexed member."""
-        if q.has_nested() and not q.in_order:
-            raise ValueError(
-                "nested span clauses require in_order=True on the outer query"
-            )
         streams: list[dict[int, list[tuple[int, int]]]] = []
         idf_terms: list[float] = []
         for c in q.clauses_norm():
@@ -342,7 +338,6 @@ class OracleIndex:
         common = set(streams[0].keys())
         for p in streams[1:]:
             common &= p.keys()
-        window = q.slop + len(q.terms) - 1
         out: dict[int, list[tuple[int, int]]] = {}
         for d in sorted(common):
             spans: list[tuple[int, int]] = []
@@ -364,28 +359,27 @@ class OracleIndex:
                     if ok and (cur_end - s0 - sum_len) <= q.slop:
                         spans.append((s0, cur_end))
                 else:
-                    # unordered n-clause window over unit spans (nested
-                    # clauses require in_order — enforced at the AST/engine
-                    # layer): every other clause contributes its NEAREST
-                    # position (tie -> earlier); joint window = max - min
-                    # incl. the anchor, match iff range <= slop + n - 1
-                    # (NearSpansUnordered's matchLength - totalLength <=
-                    # slop for unit spans)
-                    p0 = s0
-                    ok = True
-                    maxc = minc = 0
+                    # unordered n-clause window (r5: generalized to
+                    # variable-length nested clause spans): every other
+                    # clause contributes the span with the NEAREST start
+                    # (tie -> earlier); joint window = [min start, max end]
+                    # over the chosen spans incl. the anchor, match iff
+                    # NearSpansUnordered's matchLength - totalLength <=
+                    # slop (SpansCell length bookkeeping,
+                    # NearSpansUnordered.cs:36) — which reduces to
+                    # range <= slop + n - 1 for all-unit clauses
+                    s_min, e_max = s0, e0
+                    total = e0 - s0
                     for st in streams[1:]:
-                        c = min(
-                            (s - p0 for (s, _e) in st[d]),
-                            key=lambda delta: (abs(delta), delta),
+                        cs, ce = min(
+                            st[d],
+                            key=lambda se: (abs(se[0] - s0), se[0] - s0),
                         )
-                        if abs(c) > window:
-                            ok = False
-                            break
-                        maxc = max(maxc, c)
-                        minc = min(minc, c)
-                    if ok and maxc - minc <= window:
-                        spans.append((p0 + minc, p0 + maxc + 1))
+                        s_min = min(s_min, cs)
+                        e_max = max(e_max, ce)
+                        total += ce - cs
+                    if (e_max - s_min) - total <= q.slop:
+                        spans.append((s_min, e_max))
             if spans:
                 out[d] = spans
         return out, idf_terms

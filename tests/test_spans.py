@@ -281,10 +281,27 @@ def test_nested_span_unordered_inner(idx):
     assert got == [0, 5]  # via beta@1/alpha... doc 0: inner span (0,2)+gamma@2
 
 
-def test_nested_span_unordered_outer_raises(idx):
+def test_nested_span_unordered_outer(idx):
+    """r5: unordered OUTER nesting (NearSpansUnordered.cs SpansCell length
+    bookkeeping) — matchLength - totalLength <= slop over the chosen
+    variable-length spans."""
     inner = SpanNearQuery(("alpha", "beta"), slop=0, in_order=True)
-    with pytest.raises(ValueError, match="in_order"):
-        idx._eval(SpanNearQuery((inner, "gamma"), slop=1, in_order=False))
+    # d0: inner (0,2) + gamma@2 -> window (0,3), total 3, gaps 0
+    assert _docs(idx, SpanNearQuery((inner, "gamma"), slop=0, in_order=False)) == [0]
+    # d5: inner (0,2) + gamma@3 -> window (0,4), total 3, gap 1
+    assert _docs(idx, SpanNearQuery((inner, "gamma"), slop=1, in_order=False)) == [0, 5]
+
+
+def test_nested_span_unordered_outer_before_anchor():
+    """The unordered window may extend BEFORE the nested span — the shape
+    an ordered outer can never match."""
+    oi = OracleIndex([(0, "gamma alpha beta"), (1, "alpha beta x gamma")])
+    inner = SpanNearQuery(("alpha", "beta"), slop=0, in_order=True)
+    # d0: inner (1,3), gamma@0 -> window (0,3), total 3, gaps 0
+    assert _docs(oi, SpanNearQuery((inner, "gamma"), slop=0, in_order=False)) == [0]
+    assert _docs(oi, SpanNearQuery((inner, "gamma"), slop=0, in_order=True)) == []
+    # d1 needs one gap (x between beta and gamma)
+    assert _docs(oi, SpanNearQuery((inner, "gamma"), slop=1, in_order=False)) == [0, 1]
 
 
 def test_nested_span_missing_member(idx):

@@ -54,8 +54,9 @@ def _rand_span(rng, depth):
             clauses.append(_rand_span(rng, depth - 1))
         else:
             clauses.append(_rand_unit_clause(rng))
-    nested = any(isinstance(c, SpanNearQuery) for c in clauses)
-    in_order = True if nested else rng.random() < 0.7
+    # r5: unordered OUTER nesting is supported too — sample both modes
+    # regardless of nested clauses
+    in_order = rng.random() < 0.7
     return SpanNearQuery(
         tuple(clauses), slop=rng.randint(0, 6), in_order=in_order
     )
