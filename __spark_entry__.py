@@ -1059,6 +1059,22 @@ def q_ft_span_nested_unord(spark, sf_dir):
     return _topk_df(_searcher(spark, sf_dir), q, 10)
 
 
+def q_ft_complex_phrase(spark, sf_dir):
+    """ComplexPhraseQueryParser subset (r5 —
+    ComplexPhraseQueryParser.cs:48): the query STRING
+    '"(table row) val*"~3' parses, in the complex_phrase dialect, to an
+    ordered SpanNear tree — clause 0 the (table|row) alternative union,
+    clause 1 a SpanMultiTermWrapper(PrefixQuery('val')) expanded against
+    the term dictionary at search time (SpanMultiTermQueryWrapper.cs:44's
+    SpanRewriteMethod, capped at 1024 expansions). Scored through the
+    span kernel: greedy ordered chain, sloppyFreq damping, idf summed
+    over table + row + every expanded val* term (all-member-stats
+    SpanWeight)."""
+    s = _searcher(spark, sf_dir)
+    q = s.parse('"(table row) val*"~3', dialect="complex_phrase")
+    return _topk_df(s, q, 10)
+
+
 def q_ft_span_first(spark, sf_dir):
     """SpanFirstQuery.cs:33-49: 'table' spans ending within the first 8
     positions; tf truncated to the prefix window and damped by
@@ -2607,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_not": q_ft_span_not,
         "ft_span_nested": q_ft_span_nested,
         "ft_span_nested_unord": q_ft_span_nested_unord,
+        "ft_complex_phrase": q_ft_complex_phrase,
         "pipe_pack_offset": q_pipe_pack_offset,
         "ft_lucene_rank": q_ft_lucene_rank,
         "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -3252,6 +3269,56 @@ scored AS (
 """
         + _TOPK_TAIL.format(k=10)
     )
+
+    # ComplexPhraseQueryParser lowering (r5): '"(table row) val*"~3' ->
+    # ordered SpanNear over a (table|row) union clause and a dictionary-
+    # expanded val* clause. Union positions per clause; greedy chain = the
+    # nearest val* position after the anchor; idf sums table + row + every
+    # distinct val* term's df (all-member-stats SpanWeight).
+    o["ft_complex_phrase"] = f'''
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf),
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+pf AS (
+  SELECT doc_id, CAST(sum(sf) AS DOUBLE) / 1000000.0 AS pf FROM (
+    SELECT a.doc_id AS doc_id, a.pos AS apos,
+           CAST(floor(1000000.0 / (1.0 + (min(b.pos) + 1 - a.pos)) + 0.5) AS BIGINT) AS sf
+    FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos > a.pos
+    WHERE a.term IN ('table', 'row') AND b.term LIKE 'val%'
+    GROUP BY a.doc_id, a.pos
+    HAVING min(b.pos) - a.pos - 1 <= 3
+  ) GROUP BY doc_id
+),
+dfs AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'table')::DOUBLE AS df_t,
+         (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'row')::DOUBLE AS df_r
+),
+idfe AS (
+  SELECT COALESCE(sum(ln(1.0 + (st.maxdoc - e.df + 0.5)/(e.df + 0.5))), 0.0) AS idf_exp
+  FROM (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+        WHERE term LIKE 'val%' GROUP BY term) e CROSS JOIN st
+),
+idfs AS (
+  SELECT (ln(1.0 + (st.maxdoc - d.df_t + 0.5)/(d.df_t + 0.5))
+        + ln(1.0 + (st.maxdoc - d.df_r + 0.5)/(d.df_r + 0.5))
+        + i.idf_exp) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st CROSS JOIN dfs d CROSS JOIN idfe i
+),
+scored AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
+  FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+)
+''' + _TOPK_TAIL.format(k=10)
+
 
     # unordered-outer nesting (r5): same inner enumeration; the outer pick
     # is the nearest-START 'spark' span per anchor (row_number over

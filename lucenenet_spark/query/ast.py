@@ -331,14 +331,17 @@ class SpanNearQuery(Query):
     #: field's own norms/avgdl (same contract as PhraseQuery.field)
     field: str = "text"
 
-    def clauses_norm(self) -> tuple["tuple[str, ...] | SpanNearQuery", ...]:
+    def clauses_norm(
+        self,
+    ) -> tuple["tuple[str, ...] | SpanNearQuery | SpanMultiTermWrapper", ...]:
         """Normalize clauses: alternative-term tuples for unit clauses,
-        the subquery itself for nested SpanNearQuery clauses."""
+        the subquery itself for nested SpanNearQuery clauses, the wrapper
+        itself for multi-term clauses (expanded at search time)."""
         out: list = []
         for c in self.terms:
             if isinstance(c, str):
                 out.append((c,))
-            elif isinstance(c, SpanNearQuery):
+            elif isinstance(c, (SpanNearQuery, SpanMultiTermWrapper)):
                 out.append(c)
             elif isinstance(c, SpanOrQuery):
                 out.append(tuple(c.terms))
@@ -348,36 +351,61 @@ class SpanNearQuery(Query):
                 raise TypeError(
                     f"unsupported span clause type {type(c).__name__}: a "
                     "clause is a term, a tuple of alternative terms, a "
-                    "SpanOrQuery, or a nested SpanNearQuery"
+                    "SpanOrQuery, a SpanMultiTermWrapper, or a nested "
+                    "SpanNearQuery"
                 )
         return tuple(out)
 
     def clause_alts(self) -> tuple[tuple[str, ...], ...]:
         """Normalize clauses to per-slot alternative-term tuples (flat
-        span shapes only; nested clauses raise — callers that support
-        nesting use :meth:`clauses_norm`)."""
+        span shapes only; nested/multi-term clauses raise — callers that
+        support them use :meth:`clauses_norm`)."""
         out = []
         for c in self.clauses_norm():
-            if isinstance(c, SpanNearQuery):
+            if isinstance(c, (SpanNearQuery, SpanMultiTermWrapper)):
                 raise TypeError(
-                    "clause_alts() on a nested SpanNearQuery — use clauses_norm()"
+                    "clause_alts() on a nested/multi-term span clause — "
+                    "use clauses_norm()"
                 )
             out.append(c)
         return tuple(out)
 
     def member_terms(self) -> tuple[str, ...]:
-        """Every member term of every clause, recursively (the
-        all-member-stats SpanWeight extraction)."""
+        """Every STATICALLY-KNOWN member term of every clause, recursively
+        (the all-member-stats SpanWeight extraction). SpanMultiTermWrapper
+        clauses contribute nothing here — their expansion happens against
+        the term dictionary at search time and the engine merges the
+        expanded terms' stats then."""
         out: list[str] = []
         for c in self.clauses_norm():
             if isinstance(c, SpanNearQuery):
                 out.extend(c.member_terms())
+            elif isinstance(c, SpanMultiTermWrapper):
+                continue
             else:
                 out.extend(c)
         return tuple(out)
 
     def has_nested(self) -> bool:
         return any(isinstance(c, SpanNearQuery) for c in self.clauses_norm())
+
+
+@dataclass(frozen=True)
+class SpanMultiTermWrapper(Query):
+    """SpanMultiTermQueryWrapper.cs:44 analogue: lifts a MultiTermQuery
+    (Prefix/Wildcard/Regexp/Fuzzy/TermRange) into span position — the
+    clause's spans are the union of ALL dictionary terms matching the
+    wrapped query (each term a unit span stream), exactly the reference's
+    SpanRewriteMethod which rewrites to a SpanOr over the matching terms.
+    Expansion happens at search time against the term dictionary, capped
+    at 1024 terms (the BooleanQuery.maxClauseCount analogue — the
+    reference throws TooManyClauses past it, so do we). idf = sum over
+    every EXPANDED indexed term (all-member-stats SpanWeight). This is
+    the lowering target for ComplexPhraseQueryParser's in-phrase
+    wildcards/fuzzies (ComplexPhraseQueryParser.cs:48)."""
+
+    query: Query
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -56,6 +56,7 @@ from .ast import (
     SpanFirstQuery,
     SpanNearQuery,
     SpanNotQuery,
+    SpanMultiTermWrapper,
     SpanOrQuery,
     TermQuery,
     TermRangeQuery,
@@ -340,20 +341,27 @@ class Searcher:
         # self.postings (FilteredQuery sort-field prune / index-sort probe)
         self._base_postings = self.postings
 
-    def parse(self, s: str, default_operator: str = "OR", lang: str | None = None):
-        """Parse a classic query string with THIS index's configuration:
-        the chain the index was built with (or the routed chain for
-        ``lang`` on a lang-routed index) analyzes the terms, and the
-        index's declared text_fields get the per-field-analyzer treatment
-        (quoted values on them parse to per-field phrases). The
-        QueryParser-with-the-right-Analyzer convenience the reference
-        constructs manually."""
+    def parse(
+        self,
+        s: str,
+        default_operator: str = "OR",
+        lang: str | None = None,
+        dialect: str = "classic",
+    ):
+        """Parse a query string with THIS index's configuration: the chain
+        the index was built with (or the routed chain for ``lang`` on a
+        lang-routed index) analyzes the terms, and the index's declared
+        text_fields get the per-field-analyzer treatment (quoted values on
+        them parse to per-field phrases). The QueryParser-with-the-right-
+        Analyzer convenience the reference constructs manually.
+        ``dialect="complex_phrase"`` selects the ComplexPhraseQueryParser
+        grammar (in-phrase wildcards/fuzzies/groups -> span trees)."""
         from .parser import parse_query
 
         analyzer = self.analyzer_for_lang(lang) if lang else self.analyzer
         return parse_query(
             s, analyzer=analyzer, default_operator=default_operator,
-            text_fields=frozenset(self.text_fields),
+            text_fields=frozenset(self.text_fields), dialect=dialect,
         )
 
     def analyzer_for_lang(self, lang: str):
@@ -975,11 +983,42 @@ class Searcher:
                 per_slot.append(spans.select(*cols))
                 kinds.append("span")
                 continue
-            # a union clause's missing members just contribute no spans; a
-            # clause with NO indexed member can never match (SpanOrQuery.cs)
-            alts = [_skey(fld, t) for t in c if _skey(fld, t) in stats]
-            if not alts:
-                return None
+            if isinstance(c, SpanMultiTermWrapper):
+                # SpanMultiTermQueryWrapper.cs:44 — expand the wrapped MTQ
+                # against the term dictionary into a position-union clause
+                # (the reference's SpanRewriteMethod -> SpanOr over the
+                # matching terms), capped like BooleanQuery.maxClauseCount
+                mtq = c.query
+                if getattr(mtq, "field", "text") != fld:
+                    raise ValueError(
+                        f"span multi-term clause field "
+                        f"{getattr(mtq, 'field', 'text')!r} differs from the "
+                        f"outer query's field {fld!r}; span clause trees are "
+                        "single-field"
+                    )
+                rows = self._expand_terms(mtq).limit(1025).collect()
+                alts = sorted(r["term"] for r in rows)
+                if len(alts) > 1024:
+                    raise ValueError(
+                        "span multi-term expansion exceeded 1024 terms "
+                        "(BooleanQuery.maxClauseCount analogue — tighten "
+                        "the pattern)"
+                    )
+                if not alts:
+                    return None
+                missing = [t for t in alts if t not in stats]
+                if missing:
+                    stats.update(self.term_stats(missing))
+                alts = [t for t in alts if t in stats]
+                if not alts:
+                    return None
+            else:
+                # a union clause's missing members just contribute no
+                # spans; a clause with NO indexed member can never match
+                # (SpanOrQuery.cs)
+                alts = [_skey(fld, t) for t in c if _skey(fld, t) in stats]
+                if not alts:
+                    return None
             member_keys.extend(alts)
             blocks = self.postings.filter(F.col("term").isin(alts))
             dec = self._decode_positions(blocks, need_norms=(i == 0))

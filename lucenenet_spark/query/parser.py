@@ -41,6 +41,8 @@ from .ast import (
     PhraseQuery,
     PrefixQuery,
     Query,
+    SpanMultiTermWrapper,
+    SpanNearQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -136,10 +138,15 @@ class _Parser:
         analyzer: StandardAnalyzer,
         default_operator: str,
         text_fields: frozenset = frozenset(),
+        complex_phrases: bool = False,
     ):
         self.s = s
         self.analyzer = analyzer
         self.default_operator = default_operator
+        #: ComplexPhraseQueryParser dialect (ComplexPhraseQueryParser.cs:48):
+        #: wildcards / fuzzies / (grouped alternatives) INSIDE a quoted
+        #: phrase lower to a SpanNear tree instead of being analyzed away
+        self.complex_phrases = complex_phrases
         #: fields declared ANALYZED (IndexConfig.text_fields): a
         #: field-qualified clause on one of these analyzes its value —
         #: the reference QueryParser's per-field analyzer convention —
@@ -238,7 +245,79 @@ class _Parser:
 
         return BooleanQuery(tuple(clauses))
 
+    _COMPLEX_TOK_RX = re.compile(r"\(([^)]*)\)|(\S+)")
+    _COMPLEX_FUZZY_RX = re.compile(r"^(.*?[^\\])~(\d*)$")
+
+    def _push_phrase_complex(self, push, raw, slop, boost) -> bool:
+        """ComplexPhraseQueryParser.cs:48 lowering — a quoted phrase whose
+        words carry wildcard / fuzzy / (grouped alternative) syntax becomes
+        an ORDERED SpanNear tree (the parser's default inOrder=true):
+        plain words are unit term clauses, ``(a b)`` groups are
+        alternative-term tuples (SpanOr), ``wo?d*`` / ``word~N`` become
+        SpanMultiTermWrapper clauses expanded against the term dictionary
+        at search time. Returns False when the phrase has no complex
+        syntax — the classic PhraseQuery path then applies unchanged.
+        Scope: the default analyzed text field (the reference parser's
+        primary use); a fully-stopworded group/word drops the phrase (it
+        can never match every clause)."""
+        if not ("*" in raw or "?" in raw or "~" in raw or "(" in raw):
+            return False
+        clauses: list = []
+        for grp, word in self._COMPLEX_TOK_RX.findall(raw):
+            if grp or (grp == "" and not word):
+                alts: list[str] = []
+                for alt in grp.split():
+                    alts.extend(self.analyzer.analyze_query(_unescape(alt)))
+                if not alts:
+                    return True  # unmatchable clause: drop the phrase
+                clauses.append(tuple(dict.fromkeys(alts)))
+                continue
+            fm = self._COMPLEX_FUZZY_RX.match(word)
+            if fm:
+                terms = self.analyzer.analyze_query(_unescape(fm.group(1)))
+                if not terms:
+                    return True
+                edits = int(fm.group(2)) if fm.group(2) else 2
+                clauses.append(
+                    SpanMultiTermWrapper(FuzzyQuery(terms[0], max_edits=edits))
+                )
+            elif _WILD_RX.search(word):
+                w = word.lower()
+                if (
+                    w.endswith("*") and len(w) > 1 and "\\" not in w
+                    and not _WILD_RX.search(w[:-1])
+                ):
+                    clauses.append(SpanMultiTermWrapper(PrefixQuery(w[:-1])))
+                else:
+                    clauses.append(
+                        SpanMultiTermWrapper(WildcardQuery(_wildcard_pattern(w)))
+                    )
+            else:
+                toks = self.analyzer.analyze_query(_unescape(word))
+                if not toks:
+                    return True
+                clauses.extend(toks)  # multi-token words: adjacent clauses
+        if len(clauses) == 1:
+            c = clauses[0]
+            if isinstance(c, str):
+                push(TermQuery(c, boost))
+                return True
+            if isinstance(c, SpanMultiTermWrapper):
+                import dataclasses
+
+                push(dataclasses.replace(c.query, boost=boost))
+                return True
+        if clauses:
+            push(SpanNearQuery(tuple(clauses), slop, True, boost))
+        return True
+
     def _push_phrase(self, push, fld, raw, slop, boost):
+        if (
+            self.complex_phrases
+            and (not fld or fld == "text")
+            and self._push_phrase_complex(push, raw, slop, boost)
+        ):
+            return
         if fld and fld != "text" and fld in self.text_fields:
             # ANALYZED extra field: a quoted value is a per-field PHRASE
             # (MultiFieldQueryParser semantics), scored with the field's
@@ -354,15 +433,25 @@ def parse_query(
     analyzer: StandardAnalyzer | None = None,
     default_operator: str = "OR",
     text_fields: "frozenset[str] | tuple[str, ...]" = frozenset(),
+    dialect: str = "classic",
 ) -> Query:
     """``text_fields`` declares which extra fields are ANALYZED
     (IndexConfig.text_fields): a field-qualified clause on one of them
     analyzes its value (quoted values become per-field phrases, the
     MultiFieldQueryParser convention) instead of the keyword exact-match
-    treatment. Pass ``searcher.text_fields`` to match the index."""
+    treatment. Pass ``searcher.text_fields`` to match the index.
+
+    ``dialect``: "classic" (default) or "complex_phrase"
+    (ComplexPhraseQueryParser.cs:48) — identical grammar outside quotes;
+    inside a quoted phrase, wildcards (``wo?d*``), fuzzies (``word~1``)
+    and grouped alternatives (``(a b)``) lower to an ordered SpanNear
+    tree over SpanMultiTermWrapper / alternative-tuple clauses."""
+    if dialect not in ("classic", "complex_phrase"):
+        raise ValueError(f"unknown parser dialect {dialect!r}")
     p = _Parser(
         s, analyzer or StandardAnalyzer(), default_operator,
         frozenset(text_fields),
+        complex_phrases=(dialect == "complex_phrase"),
     )
     q = p.parse()
     if not q.clauses:

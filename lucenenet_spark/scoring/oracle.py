@@ -50,6 +50,7 @@ from ..query.ast import (
     SpanFirstQuery,
     SpanNearQuery,
     SpanNotQuery,
+    SpanMultiTermWrapper,
     SpanOrQuery,
     TermQuery,
     TermRangeQuery,
@@ -324,7 +325,12 @@ class OracleIndex:
                 idf_terms.extend(sub_idfs)
                 streams.append({d: sorted(set(sp)) for d, sp in raw.items()})
                 continue
-            members = [self.postings[t] for t in c if t in self.postings]
+            if isinstance(c, SpanMultiTermWrapper):
+                # SpanMultiTermQueryWrapper.cs:44: dictionary expansion ->
+                # position union over every matching term (SpanRewriteMethod)
+                members = [self.postings[t] for t in self._expand(c.query)]
+            else:
+                members = [self.postings[t] for t in c if t in self.postings]
             if not members:
                 return None, []
             merged: dict[int, set[int]] = {}

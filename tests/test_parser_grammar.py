@@ -259,3 +259,80 @@ def test_searcher_parse_convenience(spark, tmp_path):
     )
     s2 = Searcher(spark, out2, scoring="exact_int")
     assert s2.parse('title:"Big Title"') == PhraseQuery(("big", "title"), 0, field="title")
+
+
+# --------------------------------------------------------------------- #
+# ComplexPhraseQueryParser dialect (r5 — ComplexPhraseQueryParser.cs:48)
+# --------------------------------------------------------------------- #
+
+
+def test_complex_phrase_group_and_fuzzy():
+    from lucenenet_spark.query.ast import FuzzyQuery, SpanMultiTermWrapper, SpanNearQuery
+
+    q = parse_query('"(john jon) smyth~"~2', dialect="complex_phrase")
+    assert isinstance(q, SpanNearQuery)
+    assert q.slop == 2 and q.in_order
+    assert q.terms[0] == ("john", "jon")
+    w = q.terms[1]
+    assert isinstance(w, SpanMultiTermWrapper)
+    assert isinstance(w.query, FuzzyQuery)
+    assert w.query.term == "smyth" and w.query.max_edits == 2
+
+
+def test_complex_phrase_wildcards():
+    from lucenenet_spark.query.ast import (
+        PrefixQuery,
+        SpanMultiTermWrapper,
+        SpanNearQuery,
+        WildcardQuery,
+    )
+
+    q = parse_query('"big val* quer?"', dialect="complex_phrase")
+    assert isinstance(q, SpanNearQuery) and q.slop == 0
+    assert q.terms[0] == "big"
+    assert isinstance(q.terms[1].query, PrefixQuery)
+    assert q.terms[1].query.prefix == "val"
+    assert isinstance(q.terms[2].query, WildcardQuery)
+    assert q.terms[2].query.pattern == "quer?"
+    assert isinstance(q.terms[1], SpanMultiTermWrapper)
+
+
+def test_complex_phrase_fuzzy_edits_and_boost():
+    from lucenenet_spark.query.ast import SpanNearQuery
+
+    q = parse_query('"table smyth~1"~3^2.5', dialect="complex_phrase")
+    assert isinstance(q, SpanNearQuery)
+    assert q.boost == 2.5 and q.slop == 3
+    assert q.terms[1].query.max_edits == 1
+
+
+def test_complex_dialect_plain_phrase_unchanged():
+    from lucenenet_spark.query.ast import PhraseQuery
+
+    # no complex syntax inside quotes -> classic PhraseQuery path
+    q = parse_query('"big table"~2', dialect="complex_phrase")
+    assert isinstance(q, PhraseQuery)
+    assert q.terms == ("big", "table") and q.slop == 2
+
+
+def test_complex_dialect_outside_quotes_classic():
+    from lucenenet_spark.query.ast import BooleanQuery, PrefixQuery
+
+    # outside quotes the grammar is the classic one
+    q = parse_query('val* AND "(a b) c*"', dialect="complex_phrase")
+    assert isinstance(q, BooleanQuery)
+    assert isinstance(q.clauses[0].query, PrefixQuery)
+
+
+def test_classic_dialect_rejects_unknown():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dialect"):
+        parse_query("x", dialect="surround")
+
+
+def test_complex_single_wrapped_clause_unwraps():
+    from lucenenet_spark.query.ast import PrefixQuery
+
+    q = parse_query('"val*"', dialect="complex_phrase")
+    assert isinstance(q, PrefixQuery) and q.prefix == "val"

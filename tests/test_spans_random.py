@@ -75,3 +75,31 @@ def test_random_span_rank_identity(corpus, seed):
     assert [d for d, _ in got] == [d for d, _ in want], f"docids differ for {q}"
     for (dg, sg), (_dw, sw) in zip(got, want):
         assert sg == sw, f"score mismatch for {q} doc {dg}: {sg!r} != {sw!r}"
+
+
+# r5: ComplexPhrase lowerings (SpanMultiTermWrapper clauses) through the
+# REAL index vs the oracle — the wrapper expands against each engine's own
+# term dictionary, which is the same dictionary by construction
+COMPLEX_QS = [
+    '"(table row) val*"~3',
+    '"spark merg?"~2',
+    '"(data column) quer*"~4',
+    '"table valux~1"~3',
+    '"va* (row line)"~2',
+]
+
+
+@pytest.mark.parametrize("qs", COMPLEX_QS)
+def test_complex_phrase_rank_identity(corpus, qs):
+    from lucenenet_spark.query.parser import parse_query
+
+    searcher, oracle = corpus
+    q = parse_query(qs, dialect="complex_phrase")
+    got = [
+        (int(r["docid"]), np.float32(r["score"]))
+        for r in searcher.search(q, k=10).collect()
+    ]
+    want = oracle.search(q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], f"docids differ for {qs}"
+    for (dg, sg), (_dw, sw) in zip(got, want):
+        assert sg == sw, f"score mismatch for {qs} doc {dg}: {sg!r} != {sw!r}"
