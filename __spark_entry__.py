@@ -440,6 +440,90 @@ def q_ft_lang_router(spark, sf_dir):
     return _topk_df(s, q, 10)
 
 
+# PortugueseLight / Snowball-Dutch images of the same fixed vocabulary
+# (r5 packs; verified per-run by the per-route guard, pinned by
+# tests/test_portuguese.py / test_dutch.py)
+_PT_STEM_MAP = {"merge": "merg", "table": "tabl", "value": "valu"}
+_NL_STEM_MAP = {"line": "lin", "merge": "merg", "table": "tabl"}
+
+_LANG2_SEARCHERS: dict[str, Searcher] = {}
+
+#: deterministic pt/nl relabeling of the corpus (it carries no pt/nl
+#: stratum): three sources each, reproducible in SQL
+_LANG2_CASE = (
+    "CASE WHEN source IN ('src0','src1','src2') THEN 'pt' "
+    "WHEN source IN ('src3','src4','src5') THEN 'nl' ELSE lang END"
+)
+
+
+def _lang2_searcher(spark, sf_dir):
+    """A FIFTH index: per-document routing over a DERIVED language column
+    covering the r5 Portuguese/Dutch packs (Pt/PortugueseAnalyzer.cs:119,
+    Nl/DutchAnalyzer.cs:47). The corpus has no pt/nl stratum, so lang2
+    deterministically relabels six sources (SQL-reproducible CASE); docs
+    routed 'pt' run the Portuguese light chain, 'nl' the Snowball Dutch
+    chain, everything else the default — one mixed postings table."""
+    import dataclasses
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    if key in _LANG2_SEARCHERS:
+        return _LANG2_SEARCHERS[key]
+    cfg = dataclasses.replace(
+        _ENTRY_CONFIG, lang_field="lang2",
+        lang_chains=(("pt", "portuguese"), ("nl", "dutch")),
+        text_fields=(),
+    )
+    pages = _entry_pages(spark, sf_dir).withColumn("lang2", F.expr(_LANG2_CASE))
+    idx = os.path.join(_INDEX_ROOT, key + "_langroute2")
+    build_index(spark, pages, idx, cfg)  # resumes
+    s = Searcher(spark, idx, scoring="exact_int")
+    _LANG2_SEARCHERS[key] = s
+    return s
+
+
+def q_ft_lang_router_ptnl(spark, sf_dir):
+    """Language routing over the r5 Portuguese + Dutch packs: pt docs are
+    stemmed by the UniNE/RSLP light rules, nl docs by the published
+    Snowball Dutch algorithm, at INDEX time via per-document chain
+    dispatch; the 2-term disjunction then matches stemmed and unstemmed
+    strata with one postings seek each. The same per-route vocabulary
+    guard as ft_lang_router: every routed surface token must map through
+    the route's REAL chain to exactly the embedded oracle image."""
+    s = _lang2_searcher(spark, sf_dir)
+    route_maps = {"pt": _PT_STEM_MAP, "nl": _NL_STEM_MAP}
+    per_lang = (
+        _docs(spark, sf_dir)
+        .select(
+            F.expr(_LANG2_CASE).alias("lang2"),
+            F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("w"),
+        )
+        .distinct()
+        .collect()  # bounded: |langs| x the fixed 31-word corpus vocabulary
+    )
+    bad: list[str] = []
+    for r in per_lang:
+        lang, w = r["lang2"], r["w"]
+        if w not in _CORPUS_VOCAB:
+            bad.append(f"{lang}:{w} outside the fixed corpus vocabulary")
+            continue
+        if lang not in route_maps:
+            continue
+        an = s.analyzer_for_lang(lang)
+        toks = an.tokenize(w)
+        rew = an.term_filter_unique(np.asarray(toks, dtype=object))
+        got = [str(t) for t in (toks if rew is None else rew)]
+        want = [route_maps[lang].get(w, w)]
+        if got != want:
+            bad.append(f"{lang}:{w} -> {got} but oracle embeds {want}")
+    if bad:
+        raise AssertionError(
+            "pt/nl router oracle mapping diverges from the real chains: "
+            + "; ".join(sorted(bad)[:10])
+        )
+    q = BooleanQuery.build(should=[TermQuery("tabl"), TermQuery("table")])
+    return _topk_df(s, q, 10)
+
+
 # fixed word -> ideograph map (one han codepoint per corpus-vocabulary
 # word, assigned in vocabulary order from U+4E00): a deterministic,
 # SQL-reproducible way to derive REAL CJK text from the synthetic corpus
@@ -1312,6 +1396,44 @@ def q_ft_boosting(spark, sf_dir):
         F.col("docid").alias("doc_id"),
         F.col("score").cast("long").alias("score"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ft_facet_hierarchy(spark, sf_dir):
+    """Taxonomy-TREE facet counts (r5 — Facet/Taxonomy/
+    FastTaxonomyFacetCounts.cs:36, TaxonomyReader.cs): a hierarchical
+    host -> lang dimension (the web-corpus url taxonomy; host synthesized
+    deterministically as source + '.example.com' since the synthetic
+    corpus carries no raw urls) counted over the match set of 'data' at
+    EVERY tree level — each doc contributes to its leaf node and every
+    ancestor up to the root, the reference's taxonomy rollup. One
+    ROLLUP(host, lang) grouping-sets aggregation = one shuffle for all
+    levels (no per-level passes); drill-down from a level-1 node to its
+    children is a filter on these rows. Output: (level, host, lang, cnt)
+    with '' for the aggregated levels."""
+    s = _searcher(spark, sf_dir)
+    matches = s.score_df(TermQuery("data")).select(F.col("docid").alias("doc_id"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        "lang",
+    )
+    j = matches.join(docs, "doc_id")
+    lvl = (
+        F.when(F.col("host").isNull(), F.lit(0))
+        .when(F.col("lang").isNull(), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return (
+        j.rollup("host", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            lvl.cast("long").alias("level"),
+            F.coalesce(F.col("host"), F.lit("")).alias("host"),
+            F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+            "cnt",
+        )
+        .orderBy("level", "host", "lang")
     )
 
 
@@ -2612,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_sloppy": q_ft_phrase_sloppy,
         "ft_lang_router": q_ft_lang_router,
         "ft_cjk_bigram": q_ft_cjk_bigram,
+        "ft_lang_router_ptnl": q_ft_lang_router_ptnl,
         "ft_suggest_analyzed": q_ft_suggest_analyzed,
         "ft_span_field": q_ft_span_field,
         "ft_prefix_scored_field": q_ft_prefix_scored_field,
@@ -2624,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_nested": q_ft_span_nested,
         "ft_span_nested_unord": q_ft_span_nested_unord,
         "ft_complex_phrase": q_ft_complex_phrase,
+        "ft_facet_hierarchy": q_ft_facet_hierarchy,
         "pipe_pack_offset": q_pipe_pack_offset,
         "ft_lucene_rank": q_ft_lucene_rank,
         "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -3090,6 +3214,33 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
         + _TOPK_TAIL.format(k=10)
     )
 
+    # pt/nl routing (r5): same shape as ft_lang_router over the DERIVED
+    # lang2 column and the pt/nl stem images
+    _pt_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _PT_STEM_MAP.items()
+    )
+    _nl_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _NL_STEM_MAP.items()
+    )
+    o["ft_lang_router_ptnl"] = (
+        f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN lang2 = 'pt' THEN CASE t {_pt_case} ELSE t END
+              WHEN lang2 = 'nl' THEN CASE t {_nl_case} ELSE t END
+              ELSE t END AS term
+  FROM (SELECT doc_id, {_LANG2_CASE} AS lang2, unnest({_TOKS_DUCK}) AS t
+        FROM documents)
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
+"""
+        + _term_ctes(["tabl", "table"])
+        + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
     # CJK bigrams (r5): rebuild the zh stratum's ideographic text with the
     # same word->han map, window it into overlapping codepoint bigrams
     # (substring pairs == CJKBigramFilter's run bigrams; a 1-codepoint doc
@@ -3269,6 +3420,24 @@ scored AS (
 """
         + _TOPK_TAIL.format(k=10)
     )
+
+    # taxonomy-tree facet (r5): ROLLUP grouping sets = counts at every
+    # tree level (root / host / host+lang) in one aggregation
+    o["ft_facet_hierarchy"] = f'''
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+j AS (
+  SELECT d.source || '.example.com' AS host, d.lang AS lang
+  FROM documents d JOIN m USING (doc_id)
+)
+SELECT CAST(CASE WHEN host IS NULL THEN 0 WHEN lang IS NULL THEN 1 ELSE 2 END AS BIGINT) AS level,
+       COALESCE(host, '') AS host, COALESCE(lang, '') AS lang,
+       count(*)::BIGINT AS cnt
+FROM j GROUP BY ROLLUP (host, lang)
+ORDER BY level, host, lang
+'''
 
     # ComplexPhraseQueryParser lowering (r5): '"(table row) val*"~3' ->
     # ordered SpanNear over a (table|row) union clause and a dictionary-

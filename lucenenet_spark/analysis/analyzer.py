@@ -241,6 +241,48 @@ class GermanLightAnalyzer(StandardAnalyzer):
         return Analyzed([german_term(t) for t in a.tokens], a.positions)
 
 
+class PortugueseLightAnalyzer(StandardAnalyzer):
+    """PortugueseAnalyzer (Analysis/Pt/PortugueseAnalyzer.cs:119-133
+    chain): StandardTokenizer -> LowerCase -> StopFilter(Portuguese) ->
+    PortugueseLightStemFilter (the UniNE/RSLP light rules — published in
+    Orengo & Huyck SPIRE 2001 + Savoy SAC 2006; see analysis/portuguese.py).
+    Runs per UNIQUE term at dictionary-encode time (Arrow fast path
+    stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .portuguese import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .portuguese import portuguese_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([portuguese_light_stem(t) for t in a.tokens], a.positions)
+
+
+class DutchSnowballAnalyzer(StandardAnalyzer):
+    """DutchAnalyzer (Analysis/Nl/DutchAnalyzer.cs:47 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Dutch) -> Snowball Dutch
+    stemmer (original implementation of the PUBLISHED algorithm,
+    snowballstem.org — see analysis/dutch.py; the reference runs the
+    tartarus DutchStemmer, the same algorithm). Runs per UNIQUE term at
+    dictionary-encode time (Arrow fast path stays hot). The reference's
+    stem-override dictionary (DutchAnalyzer stemdict: fiets/ei exceptions)
+    is omitted — documented divergence."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .dutch import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .dutch import dutch_stem
+
+        a = super().analyze(text)
+        return Analyzed([dutch_stem(t) for t in a.tokens], a.positions)
+
+
 class SpanishLightAnalyzer(StandardAnalyzer):
     """SpanishAnalyzer (Analysis/Es/SpanishAnalyzer.cs:120-140 chain):
     StandardTokenizer -> LowerCase -> StopFilter(Spanish) ->
@@ -446,6 +488,8 @@ _SHIPPED_CHAINS = (
     GermanLightAnalyzer,
     SpanishLightAnalyzer,
     ItalianLightAnalyzer,
+    PortugueseLightAnalyzer,
+    DutchSnowballAnalyzer,
     ASCIIFoldingAnalyzer,
     KeywordAnalyzer,
     WhitespaceAnalyzer,
@@ -516,6 +560,16 @@ def analyzer_for(
 
         sw = ITALIAN_STOP_WORDS if stop_words else frozenset()
         return ItalianLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "portuguese":
+        from .portuguese import PORTUGUESE_STOP_WORDS
+
+        sw = PORTUGUESE_STOP_WORDS if stop_words else frozenset()
+        return PortugueseLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "dutch":
+        from .dutch import DUTCH_STOP_WORDS
+
+        sw = DUTCH_STOP_WORDS if stop_words else frozenset()
+        return DutchSnowballAnalyzer(sw, max_token_length, ascii_only)
     if name == "cjk":
         from .cjk import CJK_STOP_WORDS, CJKAnalyzer
 
