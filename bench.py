@@ -46,14 +46,30 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+    # SPARK_GRAFT_MASTER overrides the master URL (e.g. a localhost
+    # standalone cluster, spark://127.0.0.1:7077) — scripts/scaling_cluster.py
+    # uses this to run the SAME bench job on N separate 1-core executor
+    # JVMs instead of N threads in one JVM. cpus then means spark.cores.max
+    # (the executor count at 1 core each).
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    b = (
+        SparkSession.builder.master(master)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if not master.startswith("local"):
+        b = (
+            b.config("spark.cores.max", str(cpus))
+            .config("spark.executor.cores", "1")
+            .config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXEC_MEM", "2600m"),
+            )
+            .config("spark.executorEnv.PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+        )
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
