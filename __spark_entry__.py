@@ -524,6 +524,200 @@ def q_ft_lang_router_ptnl(spark, sf_dir):
     return _topk_df(s, q, 10)
 
 
+# --------------------------------------------------------------------------- #
+# r5 multi-pack router (ru/sv/ar/id): the corpus carries no native-script
+# strata, so a FIXED word map rewrites part of the 31-word vocabulary into
+# real inflected words of each routed language (the CJK entry's derived-text
+# trick, generalized) — the stemmers then do genuine morphological work and
+# the oracle reproduces surface -> indexed-term with one CASE per route.
+# --------------------------------------------------------------------------- #
+
+#: vocabulary word -> native inflected form, per routed language
+_RU_WORD_MAP = {
+    "table": "столами", "row": "книгами", "value": "красивый",
+    "merge": "новая", "line": "линия", "data": "лошадь",
+    "filter": "длинный", "order": "осенью",
+}
+_SV_WORD_MAP = {
+    "table": "flickorna", "row": "bilarna", "value": "friheterna",
+    "merge": "starkare", "line": "rörelse", "data": "huset",
+    "filter": "läsande", "order": "gårdarna",
+}
+_AR_WORD_MAP = {
+    "table": "الكتاب", "row": "مكتبات", "value": "مسلمون",
+    "merge": "المدرسة", "line": "العربية", "data": "بالقلم",
+    "filter": "للبيت", "order": "مستشفى",
+}
+_ID_WORD_MAP = {
+    "table": "membaca", "row": "bukunya", "value": "mengambil",
+    "merge": "terbaik", "line": "ajaran", "data": "gunakan",
+    "filter": "kebijakan", "order": "berjalan",
+}
+
+#: vocabulary word -> INDEXED term (the chain's image of the native form;
+#: unmapped words pass the word map, so their image is the chain's image of
+#: the ascii surface — identity for the script-guarded ru/ar/id stemmers,
+#: the hand-traced light stem for Swedish). Verified per-run by the
+#: per-route guard; the stemmers themselves are pinned by the golden
+#: suites (tests/test_russian.py etc.).
+_RU_ROUTE_MAP = {
+    "table": "стол", "row": "книг", "value": "красив", "merge": "нов",
+    "line": "лин", "data": "лошад", "filter": "длин", "order": "осен",
+}
+_SV_ROUTE_MAP = {
+    # native-form stems
+    "table": "flick", "row": "bil", "value": "fri", "merge": "stark",
+    "line": "rör", "data": "hus", "filter": "läs", "order": "gård",
+    # the Swedish light stemmer also rewrites these ascii surfaces
+    "column": "colum", "customer": "custom", "fast": "fas", "join": "joi",
+    "part": "par", "scan": "sca", "sort": "sor", "vector": "vect",
+}
+_AR_ROUTE_MAP = {
+    "table": "كتاب", "row": "مكتب", "value": "مسلم", "merge": "مدرس",
+    "line": "عرب", "data": "قلم", "filter": "بيت", "order": "مستشف",
+}
+_ID_ROUTE_MAP = {
+    "table": "baca", "row": "buku", "value": "ambil", "merge": "baik",
+    "line": "ajar", "data": "guna", "filter": "bija", "order": "jalan",
+}
+
+#: deterministic ru/sv/ar/id relabeling (two sources each, disjoint from
+#: the pt/nl relabeling's src0-5), reproducible in SQL
+_LANG3_CASE = (
+    "CASE WHEN source IN ('src12','src13') THEN 'ru' "
+    "WHEN source IN ('src14','src15') THEN 'sv' "
+    "WHEN source IN ('src16','src17') THEN 'ar' "
+    "WHEN source IN ('src18','src19') THEN 'id' ELSE 'en' END"
+)
+
+
+def _word_map_case(var: str, word_map: dict[str, str]) -> str:
+    """Shared CASE expression (Spark SQL == DuckDB dialect) rewriting a
+    vocabulary token to its native form (identity outside the map)."""
+    cases = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in word_map.items())
+    return f"CASE {var} {cases} ELSE {var} END"
+
+
+_LANG3_SEARCHERS: dict[str, Searcher] = {}
+
+
+def _lang3_text_expr() -> str:
+    """Per-doc derived text: routed docs re-spelled word-by-word through
+    the language's word map, unrouted docs verbatim (token count is
+    preserved, so doclens/norms match the oracle's dl over the same
+    stream)."""
+    arms = " ".join(
+        f"WHEN '{lang}' THEN array_join(transform({_TOKS_SPARK}, "
+        f"x -> {_word_map_case('x', wm)}), ' ')"
+        for lang, wm in (
+            ("ru", _RU_WORD_MAP), ("sv", _SV_WORD_MAP),
+            ("ar", _AR_WORD_MAP), ("id", _ID_WORD_MAP),
+        )
+    )
+    return f"CASE lang3 {arms} ELSE text END"
+
+
+def _lang3_searcher(spark, sf_dir):
+    """A SIXTH index: per-document routing over the derived lang3 column
+    covering the r5 Russian/Swedish/Arabic/Indonesian packs
+    (Ru/RussianAnalyzer.cs:48, Sv/SwedishAnalyzer.cs:120,
+    Ar/ArabicAnalyzer.cs:43, Id/IndonesianAnalyzer.cs:43). Routed strata
+    are re-spelled into native inflected words by the fixed word maps, so
+    the four stemmers exercise real Cyrillic/Latin/Arabic morphology
+    inside ONE mixed postings table; the Unicode tokenizer
+    (ascii_tokens=False) handles the three scripts."""
+    import dataclasses
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    if key in _LANG3_SEARCHERS:
+        return _LANG3_SEARCHERS[key]
+    cfg = dataclasses.replace(
+        _ENTRY_CONFIG, lang_field="lang3",
+        lang_chains=(
+            ("ru", "russian"), ("sv", "swedish"),
+            ("ar", "arabic"), ("id", "indonesian"),
+        ),
+        ascii_tokens=False,  # Cyrillic/Arabic/å-ä-ö text
+        keyword_fields=(), docvalue_fields=(), text_fields=(),
+    )
+    pages = (
+        _docs(spark, sf_dir)
+        .withColumn("lang3", F.expr(_LANG3_CASE))
+        .select(
+            F.col("doc_id").alias("docid"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.expr(_lang3_text_expr()).alias("text"),
+            "lang3",
+        )
+    )
+    idx = os.path.join(_INDEX_ROOT, key + "_langroute3")
+    build_index(spark, pages, idx, cfg)  # resumes
+    s = Searcher(spark, idx, scoring="exact_int")
+    _LANG3_SEARCHERS[key] = s
+    return s
+
+
+def q_ft_lang_router_multi(spark, sf_dir):
+    """Language routing across FOUR scripts/morphologies at once: ru docs
+    (UniNE-family light stemmer over the published Snowball case-ending
+    inventories), sv docs (UniNE-family light stemmer), ar docs (the
+    published Larkey light10), id docs (the published Tala algorithm) —
+    all stemmed at INDEX time via per-document chain dispatch into one
+    term-sorted postings table. The query is a 4-term SHOULD disjunction
+    of one stemmed term per language, so each term's postings seek hits
+    exactly its routed stratum. Per-route guard (the r5 convention):
+    every routed surface token must map through the route's REAL chain —
+    word map, then tokenize + term_filter_unique — to exactly the
+    embedded oracle image."""
+    s = _lang3_searcher(spark, sf_dir)
+    word_maps = {
+        "ru": _RU_WORD_MAP, "sv": _SV_WORD_MAP,
+        "ar": _AR_WORD_MAP, "id": _ID_WORD_MAP,
+    }
+    route_maps = {
+        "ru": _RU_ROUTE_MAP, "sv": _SV_ROUTE_MAP,
+        "ar": _AR_ROUTE_MAP, "id": _ID_ROUTE_MAP,
+    }
+    per_lang = (
+        _docs(spark, sf_dir)
+        .select(
+            F.expr(_LANG3_CASE).alias("lang3"),
+            F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("w"),
+        )
+        .distinct()
+        .collect()  # bounded: |langs| x the fixed 31-word corpus vocabulary
+    )
+    bad: list[str] = []
+    for r in per_lang:
+        lang, w = r["lang3"], r["w"]
+        if w not in _CORPUS_VOCAB:
+            bad.append(f"{lang}:{w} outside the fixed corpus vocabulary")
+            continue
+        if lang not in route_maps:
+            continue
+        an = s.analyzer_for_lang(lang)
+        toks = an.tokenize(word_maps[lang].get(w, w))
+        rew = an.term_filter_unique(np.asarray(toks, dtype=object))
+        got = [str(t) for t in (toks if rew is None else rew)]
+        want = [route_maps[lang].get(w, w)]
+        if got != want:
+            bad.append(f"{lang}:{w} -> {got} but oracle embeds {want}")
+    if bad:
+        raise AssertionError(
+            "ru/sv/ar/id router oracle mapping diverges from the real "
+            "chains: " + "; ".join(sorted(bad)[:10])
+        )
+    q = BooleanQuery.build(
+        should=[
+            TermQuery(_RU_ROUTE_MAP["table"]),
+            TermQuery(_SV_ROUTE_MAP["table"]),
+            TermQuery(_AR_ROUTE_MAP["table"]),
+            TermQuery(_ID_ROUTE_MAP["table"]),
+        ]
+    )
+    return _topk_df(s, q, 10)
+
+
 # fixed word -> ideograph map (one han codepoint per corpus-vocabulary
 # word, assigned in vocabulary order from U+4E00): a deterministic,
 # SQL-reproducible way to derive REAL CJK text from the synthetic corpus
@@ -2735,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_lang_router": q_ft_lang_router,
         "ft_cjk_bigram": q_ft_cjk_bigram,
         "ft_lang_router_ptnl": q_ft_lang_router_ptnl,
+        "ft_lang_router_multi": q_ft_lang_router_multi,
         "ft_suggest_analyzed": q_ft_suggest_analyzed,
         "ft_span_field": q_ft_span_field,
         "ft_prefix_scored_field": q_ft_prefix_scored_field,
@@ -3238,6 +3433,36 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
 """
         + _term_ctes(["tabl", "table"])
         + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # ru/sv/ar/id routing (r5): the route maps compose word map + stemmer,
+    # so the tok CTE rewrites each routed surface token straight to its
+    # indexed term (identity outside the maps); the entry's per-route
+    # guard proves each composition against the real chains per run
+    o["ft_lang_router_multi"] = (
+        f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN lang3 = 'ru' THEN {_word_map_case('t', _RU_ROUTE_MAP)}
+              WHEN lang3 = 'sv' THEN {_word_map_case('t', _SV_ROUTE_MAP)}
+              WHEN lang3 = 'ar' THEN {_word_map_case('t', _AR_ROUTE_MAP)}
+              WHEN lang3 = 'id' THEN {_word_map_case('t', _ID_ROUTE_MAP)}
+              ELSE t END AS term
+  FROM (SELECT doc_id, {_LANG3_CASE} AS lang3, unnest({_TOKS_DUCK}) AS t
+        FROM documents)
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
+"""
+        + _term_ctes(
+            [
+                _RU_ROUTE_MAP["table"], _SV_ROUTE_MAP["table"],
+                _AR_ROUTE_MAP["table"], _ID_ROUTE_MAP["table"],
+            ]
+        )
+        + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1, 2, 3])}) "
         + _TOPK_TAIL.format(k=10)
     )
 

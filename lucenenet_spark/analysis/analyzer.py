@@ -326,6 +326,87 @@ class ItalianLightAnalyzer(StandardAnalyzer):
         return Analyzed([italian_light_stem(t) for t in a.tokens], a.positions)
 
 
+class RussianLightAnalyzer(StandardAnalyzer):
+    """RussianAnalyzer (Analysis/Ru/RussianAnalyzer.cs:48 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Russian) ->
+    RussianLightStemFilter (UniNE-family light stemmer over the published
+    Snowball case-ending inventories — see analysis/russian.py). Only
+    Cyrillic terms are rewritten; Latin tokens in a mixed corpus pass
+    through. Runs per UNIQUE term at dictionary-encode time (Arrow fast
+    path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .russian import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .russian import russian_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([russian_light_stem(t) for t in a.tokens], a.positions)
+
+
+class SwedishLightAnalyzer(StandardAnalyzer):
+    """SwedishAnalyzer (Analysis/Sv/SwedishAnalyzer.cs:120 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Swedish) ->
+    SwedishLightStemFilter (UniNE-family light stemmer — see
+    analysis/swedish.py: -ar/-er/-or declensions, definite forms, the
+    -het family, -are/-ast, -ande/-else). Runs per UNIQUE term at
+    dictionary-encode time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .swedish import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .swedish import swedish_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([swedish_light_stem(t) for t in a.tokens], a.positions)
+
+
+class ArabicLightAnalyzer(StandardAnalyzer):
+    """ArabicAnalyzer (Analysis/Ar/ArabicAnalyzer.cs:43 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Arabic) ->
+    ArabicNormalizationFilter -> ArabicStemFilter (the PUBLISHED light10
+    stemmer, Larkey et al. SIGIR 2002 — see analysis/arabic.py). Only
+    Arabic-script terms are rewritten. Runs per UNIQUE term at
+    dictionary-encode time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .arabic import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .arabic import arabic_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([arabic_light_stem(t) for t in a.tokens], a.positions)
+
+
+class IndonesianAnalyzer(StandardAnalyzer):
+    """IndonesianAnalyzer (Analysis/Id/IndonesianAnalyzer.cs:43 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Indonesian) ->
+    IndonesianStemFilter (the PUBLISHED Tala 2003 algorithm, light form —
+    see analysis/indonesian.py; prefix recoding omitted, documented).
+    Runs per UNIQUE term at dictionary-encode time (Arrow fast path
+    stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .indonesian import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .indonesian import indonesian_stem
+
+        a = super().analyze(text)
+        return Analyzed([indonesian_stem(t) for t in a.tokens], a.positions)
+
+
 class ASCIIFoldingAnalyzer(StandardAnalyzer):
     """StandardTokenizer -> LowerCase -> StopFilter -> ASCIIFolding
     (Analysis/Miscellaneous/ASCIIFoldingFilter.cs): accented/decomposable
@@ -570,6 +651,26 @@ def analyzer_for(
 
         sw = DUTCH_STOP_WORDS if stop_words else frozenset()
         return DutchSnowballAnalyzer(sw, max_token_length, ascii_only)
+    if name == "russian":
+        from .russian import RUSSIAN_STOP_WORDS
+
+        sw = RUSSIAN_STOP_WORDS if stop_words else frozenset()
+        return RussianLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "swedish":
+        from .swedish import SWEDISH_STOP_WORDS
+
+        sw = SWEDISH_STOP_WORDS if stop_words else frozenset()
+        return SwedishLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "arabic":
+        from .arabic import ARABIC_STOP_WORDS
+
+        sw = ARABIC_STOP_WORDS if stop_words else frozenset()
+        return ArabicLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "indonesian":
+        from .indonesian import INDONESIAN_STOP_WORDS
+
+        sw = INDONESIAN_STOP_WORDS if stop_words else frozenset()
+        return IndonesianAnalyzer(sw, max_token_length, ascii_only)
     if name == "cjk":
         from .cjk import CJK_STOP_WORDS, CJKAnalyzer
 
