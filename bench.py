@@ -63,6 +63,14 @@ def main() -> None:
         b = (
             b.config("spark.cores.max", str(cpus))
             .config("spark.executor.cores", "1")
+            # one-core executors on one host: waiting (default 3 s) for the
+            # executor that holds a cached block idles whole scheduler waves
+            # on short stages — measured as the main reason a 4N-executor
+            # job under-scaled vs 4 concurrent N-executor jobs. At 100 TB
+            # with multi-minute stages the default is fine; for seconds-long
+            # stages schedule immediately and let the localhost "remote"
+            # fetch pay its (tiny) price.
+            .config("spark.locality.wait", "0")
             .config(
                 "spark.executor.memory",
                 os.environ.get("SPARK_GRAFT_EXEC_MEM", "2600m"),
