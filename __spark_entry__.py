@@ -1353,6 +1353,36 @@ def q_ft_complex_phrase(spark, sf_dir):
     return _topk_df(s, q, 10)
 
 
+def q_ft_surround(spark, sf_dir):
+    """Surround query language (r5 — Surround/Parser/QueryParser.jj,
+    DistanceQuery.cs:30): the string '3w(data, merge) or 2n(query, join)'
+    parses, in the surround dialect, to a SHOULD disjunction of two
+    distance operators — ordered within-3 (SpanNear slop=2 in-order,
+    NearSpansOrdered greedy chain) and unordered within-2 (SpanNear
+    slop=1, NearSpansUnordered nearest-partner window) — each scored
+    through the span kernel with SpanScorer sloppyFreq damping and
+    all-member-stats idf, the disjunction summing the two pseudo-term
+    scores per doc (DisjunctionSumScorer). Physical plan: four positional
+    posting seeks, two vectorized span kernels, one hash-agg sum."""
+    s = _searcher(spark, sf_dir)
+    q = s.parse("3w(data, merge) or 2n(query, join)", dialect="surround")
+    return _topk_df(s, q, 10)
+
+
+def q_ft_simple_qp(spark, sf_dir):
+    """SimpleQueryParser grammar (r5 — Simple/SimpleQueryParser.cs:46):
+    'data + merge | "part filter"' combines LEFT-TO-RIGHT (the simple
+    parser has no operator precedence): '+' promotes both sides to MUST,
+    '|' adds the exact phrase as SHOULD — docs must match data AND merge,
+    the adjacency phrase's BM25 pseudo-term score adds when present
+    (ReqOptSumScorer.cs:26). The dialect's defining property — never
+    throwing on malformed input — is suite-tested
+    (tests/test_simple_parser.py)."""
+    s = _searcher(spark, sf_dir)
+    q = s.parse('data + merge | "part filter"', dialect="simple")
+    return _topk_df(s, q, 10)
+
+
 def q_ft_span_first(spark, sf_dir):
     """SpanFirstQuery.cs:33-49: 'table' spans ending within the first 8
     positions; tf truncated to the prefix window and damped by
@@ -2942,6 +2972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_nested": q_ft_span_nested,
         "ft_span_nested_unord": q_ft_span_nested_unord,
         "ft_complex_phrase": q_ft_complex_phrase,
+        "ft_surround": q_ft_surround,
+        "ft_simple_qp": q_ft_simple_qp,
         "ft_facet_hierarchy": q_ft_facet_hierarchy,
         "pipe_pack_offset": q_pipe_pack_offset,
         "ft_lucene_rank": q_ft_lucene_rank,
@@ -3763,6 +3795,103 @@ scored AS (
   SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
     / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS score
   FROM pf p JOIN dl d USING (doc_id) CROSS JOIN idfs i
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # Surround dialect (r5): '3w(data, merge) or 2n(query, join)' — two
+    # independent span pseudo-terms (ordered window 3 / unordered window
+    # 2), each scored exactly like ft_span_near / ft_span_near_unord, the
+    # SHOULD disjunction summing the integer micro-unit clause scores
+    o["ft_surround"] = (
+        _SQL_PREFIX + _term_ctes(["data", "merge", "query", "join"])
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+pf1 AS (
+  SELECT doc_id, CAST(sum(sf) AS DOUBLE) / 1000000.0 AS pf FROM (
+    SELECT a.doc_id AS doc_id, a.pos AS apos,
+           CAST(floor(1000000.0 / (1.0 + (min(b.pos) - a.pos + 1)) + 0.5) AS BIGINT) AS sf
+    FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id
+      AND b.pos > a.pos AND b.pos <= a.pos + 3
+    WHERE a.term = 'data' AND b.term = 'merge'
+    GROUP BY a.doc_id, a.pos
+  ) GROUP BY doc_id
+),
+pf2 AS (
+  SELECT doc_id, CAST(sum(sf) AS DOUBLE) / 1000000.0 AS pf FROM (
+    SELECT a.doc_id AS doc_id, a.pos AS apos,
+           CAST(floor(1000000.0 / (1.0 + (min(abs(b.pos - a.pos)) + 1)) + 0.5) AS BIGINT) AS sf
+    FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id
+      AND abs(b.pos - a.pos) <= 2
+    WHERE a.term = 'query' AND b.term = 'join'
+    GROUP BY a.doc_id, a.pos
+  ) GROUP BY doc_id
+),
+idf1 AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t0) + 0.5)/((SELECT count(*) FROM t0) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)/((SELECT count(*) FROM t1) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+idf2 AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t2) + 0.5)/((SELECT count(*) FROM t2) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t3) + 0.5)/((SELECT count(*) FROM t3) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+sc1 AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM pf1 p JOIN dl d USING (doc_id) CROSS JOIN idf1 i
+),
+sc2 AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM pf2 p JOIN dl d USING (doc_id) CROSS JOIN idf2 i
+),
+scored AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM (
+    SELECT doc_id, s FROM sc1 UNION ALL SELECT doc_id, s FROM sc2
+  ) GROUP BY doc_id
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # Simple dialect (r5): 'data + merge | "part filter"' — MUST data,
+    # MUST merge (conjunction: both present, scores sum), SHOULD exact
+    # phrase (ReqOptSum: adds when the adjacency pair exists)
+    o["ft_simple_qp"] = (
+        _SQL_PREFIX + _term_ctes(["data", "merge", "part", "filter"])
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+pfq AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS pf
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'part' AND b.term = 'filter'
+  GROUP BY a.doc_id
+),
+idfp AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t2) + 0.5)/((SELECT count(*) FROM t2) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t3) + 0.5)/((SELECT count(*) FROM t3) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+scp AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM pfq p JOIN dl d USING (doc_id) CROSS JOIN idfp i
+),
+scored AS (
+  SELECT a.doc_id, CAST(a.s + b.s + COALESCE(p.s, 0) AS BIGINT) AS score
+  FROM s0 a JOIN s1 b USING (doc_id) LEFT JOIN scp p USING (doc_id)
 )
 """
         + _TOPK_TAIL.format(k=10)

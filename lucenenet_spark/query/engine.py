@@ -355,10 +355,23 @@ class Searcher:
         them parse to per-field phrases). The QueryParser-with-the-right-
         Analyzer convenience the reference constructs manually.
         ``dialect="complex_phrase"`` selects the ComplexPhraseQueryParser
-        grammar (in-phrase wildcards/fuzzies/groups -> span trees)."""
+        grammar (in-phrase wildcards/fuzzies/groups -> span trees);
+        ``dialect="surround"`` the Surround proximity language (nW/nN
+        distance operators -> span trees, Surround/Parser/QueryParser.jj);
+        ``dialect="simple"`` the never-throwing SimpleQueryParser grammar
+        (SimpleQueryParser.cs:46)."""
         from .parser import parse_query
 
         analyzer = self.analyzer_for_lang(lang) if lang else self.analyzer
+        if dialect == "surround":
+            from .surround import parse_surround
+
+            return parse_surround(s, analyzer=analyzer)
+        if dialect == "simple":
+            from .simple import parse_simple
+
+            return parse_simple(s, analyzer=analyzer,
+                                default_operator=default_operator)
         return parse_query(
             s, analyzer=analyzer, default_operator=default_operator,
             text_fields=frozenset(self.text_fields), dialect=dialect,
