@@ -718,6 +718,182 @@ def q_ft_lang_router_multi(spark, sf_dir):
     return _topk_df(s, q, 10)
 
 
+# --------------------------------------------------------------------------- #
+# r5 eight-pack router (fi/hu/no/da/cs/bg/fa/hi): same derived-text trick as
+# the ru/sv/ar/id entry — a fixed word map re-spells part of the vocabulary
+# into real inflected words per routed language; the Latin-script stemmers
+# (fi/hu/no/da/cs) also rewrite UNMAPPED ascii vocabulary, so each route map
+# is the COMPLETE chain image over the 31-word vocabulary (generated from
+# the real chains, re-verified per run by the per-route guard).
+# --------------------------------------------------------------------------- #
+
+_XEU_WORD_MAPS: dict[str, dict[str, str]] = {
+    "fi": {"table": "taloissa", "row": "kirjassa",
+           "value": "autollansa", "merge": "metsässä"},
+    "hu": {"table": "házakat", "row": "könyveket",
+           "value": "autóval", "merge": "városokban"},
+    "no": {"table": "mulighetene", "row": "bilene",
+           "value": "gårdane", "merge": "lesende"},
+    "da": {"table": "mulighederne", "row": "hundene",
+           "value": "bøgerne", "merge": "kattene"},
+    "cs": {"table": "ženami", "row": "studentovi",
+           "value": "městech", "merge": "matčin"},
+    "bg": {"table": "градовете", "row": "книгата",
+           "value": "студентите", "merge": "морето"},
+    "fa": {"table": "كتاب", "row": "مدرسة",
+           "value": "علي", "merge": "موسى"},
+    "hi": {"table": "किताबें", "row": "लड़कियाँ",
+           "value": "करने", "merge": "आदमियों"},
+}
+
+#: COMPLETE vocabulary -> indexed-term maps (chain image of word map ∘
+#: stemmer; identity entries omitted). The Latin-script rows include the
+#: ascii surfaces each stemmer rewrites.
+_XEU_ROUTE_MAPS: dict[str, dict[str, str]] = {
+    "fi": {"column": "colum", "data": "dat", "fast": "fas", "join": "joi",
+           "line": "lin", "merge": "metsä", "part": "par", "row": "kirja",
+           "scan": "sca", "sort": "sor", "table": "talo", "value": "auto"},
+    "hu": {"fast": "fas", "merge": "város", "part": "par", "row": "könyv",
+           "sort": "sor", "spark": "spar", "table": "ház", "value": "autó"},
+    "no": {"column": "colum", "customer": "custom", "data": "dat",
+           "fast": "fas", "filter": "filt", "join": "joi", "line": "lin",
+           "merge": "les", "order": "ord", "part": "par", "row": "bil",
+           "scan": "sca", "sort": "sor", "table": "mulig", "value": "gård"},
+    "da": {"customer": "custom", "filter": "filt", "line": "lin",
+           "merge": "kat", "order": "ord", "row": "hund", "small": "smal",
+           "table": "mulig", "value": "bøg"},
+    "cs": {"data": "dat", "line": "lin", "merge": "matk", "query": "quer",
+           "row": "student", "table": "žen", "value": "měst"},
+    "bg": {"merge": "мор", "row": "книг", "table": "град",
+           "value": "студент"},
+    "fa": {"merge": "موسی", "row": "مدرسه", "table": "کتاب",
+           "value": "علی"},
+    "hi": {"merge": "आदम", "row": "लडक", "table": "किताब", "value": "कर"},
+}
+
+_XEU_LANGS = ("fi", "hu", "no", "da", "cs", "bg", "fa", "hi")
+_XEU_CHAINS = {
+    "fi": "finnish", "hu": "hungarian", "no": "norwegian", "da": "danish",
+    "cs": "czech", "bg": "bulgarian", "fa": "persian", "hi": "hindi",
+}
+
+#: deterministic relabeling: one source stratum per language
+_LANG4_CASE = (
+    "CASE " + " ".join(
+        f"WHEN source = 'src{i}' THEN '{lang}'"
+        for i, lang in enumerate(_XEU_LANGS)
+    ) + " ELSE 'en' END"
+)
+
+
+def _lang4_text_expr() -> str:
+    """Routed docs re-spelled word-by-word through the language's word
+    map, unrouted docs verbatim (token counts preserved)."""
+    arms = " ".join(
+        f"WHEN '{lang}' THEN array_join(transform({_TOKS_SPARK}, "
+        f"x -> {_word_map_case('x', _XEU_WORD_MAPS[lang])}), ' ')"
+        for lang in _XEU_LANGS
+    )
+    return f"CASE lang4 {arms} ELSE text END"
+
+
+_LANG4_SEARCHERS: dict[str, Searcher] = {}
+
+
+def _lang4_searcher(spark, sf_dir):
+    """A SEVENTH index: per-document routing over the derived lang4
+    column covering the r5 Finnish/Hungarian/Norwegian/Danish/Czech/
+    Bulgarian/Persian/Hindi packs (Fi/FinnishAnalyzer.cs:120,
+    Hu/HungarianAnalyzer.cs:120, No/NorwegianAnalyzer.cs:120,
+    Da/DanishAnalyzer.cs:120, Cz/CzechAnalyzer.cs:60,
+    Bg/BulgarianAnalyzer.cs:55, Fa/PersianAnalyzer.cs:48,
+    Hi/HindiAnalyzer.cs:47). Five Latin-script morphologies plus
+    Cyrillic, Arabic-script and Devanagari text flow through ONE mixed
+    postings table; the Unicode tokenizer's combining-mark Extend class
+    (r5) keeps the Devanagari matras inside tokens."""
+    import dataclasses
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    if key in _LANG4_SEARCHERS:
+        return _LANG4_SEARCHERS[key]
+    cfg = dataclasses.replace(
+        _ENTRY_CONFIG, lang_field="lang4",
+        lang_chains=tuple((lang, _XEU_CHAINS[lang]) for lang in _XEU_LANGS),
+        ascii_tokens=False,
+        keyword_fields=(), docvalue_fields=(), text_fields=(),
+    )
+    pages = (
+        _docs(spark, sf_dir)
+        .withColumn("lang4", F.expr(_LANG4_CASE))
+        .select(
+            F.col("doc_id").alias("docid"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.expr(_lang4_text_expr()).alias("text"),
+            "lang4",
+        )
+    )
+    idx = os.path.join(_INDEX_ROOT, key + "_langroute4")
+    build_index(spark, pages, idx, cfg)  # resumes
+    s = Searcher(spark, idx, scoring="exact_int")
+    _LANG4_SEARCHERS[key] = s
+    return s
+
+
+def q_ft_lang_router_xeu(spark, sf_dir):
+    """Language routing across EIGHT packs / four scripts at once: the
+    UniNE-family Finnish/Hungarian/Norwegian/Danish light stemmers, the
+    published Dolamic-Savoy Czech and BulStem-family Bulgarian rules, the
+    reference's stemmerless Persian normalization chain, and the
+    published Ramanathan & Rao Hindi light stemmer — all dispatched
+    per-document at INDEX time into one term-sorted postings table. The
+    query is an 8-term SHOULD disjunction of one stemmed/normalized term
+    per language (each term's postings seek hits exactly its routed
+    stratum). Per-route guard (the r5 convention): every routed surface
+    token must map through the route's REAL chain — word map, then
+    tokenize + term_filter_unique — to exactly the embedded oracle
+    image."""
+    s = _lang4_searcher(spark, sf_dir)
+    per_lang = (
+        _docs(spark, sf_dir)
+        .select(
+            F.expr(_LANG4_CASE).alias("lang4"),
+            F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("w"),
+        )
+        .distinct()
+        .collect()  # bounded: |langs| x the fixed 31-word corpus vocabulary
+    )
+    bad: list[str] = []
+    for r in per_lang:
+        lang, w = r["lang4"], r["w"]
+        if w not in _CORPUS_VOCAB:
+            bad.append(f"{lang}:{w} outside the fixed corpus vocabulary")
+            continue
+        if lang not in _XEU_ROUTE_MAPS:
+            continue
+        an = s.analyzer_for_lang(lang)
+        toks = an.tokenize(_XEU_WORD_MAPS[lang].get(w, w))
+        rew = an.term_filter_unique(np.asarray(toks, dtype=object))
+        got = [str(t) for t in (toks if rew is None else rew)]
+        want = [_XEU_ROUTE_MAPS[lang].get(w, w)]
+        if got != want:
+            bad.append(f"{lang}:{w} -> {got} but oracle embeds {want}")
+    if bad:
+        raise AssertionError(
+            "fi/hu/no/da/cs/bg/fa/hi router oracle mapping diverges from "
+            "the real chains: " + "; ".join(sorted(bad)[:10])
+        )
+    # one distinct term per language (da's 'table' image collides with
+    # no's, so da probes via 'row' -> hund, no via 'row' -> bil)
+    probes = [
+        _XEU_ROUTE_MAPS["fi"]["table"], _XEU_ROUTE_MAPS["hu"]["table"],
+        _XEU_ROUTE_MAPS["no"]["row"], _XEU_ROUTE_MAPS["da"]["row"],
+        _XEU_ROUTE_MAPS["cs"]["table"], _XEU_ROUTE_MAPS["bg"]["table"],
+        _XEU_ROUTE_MAPS["fa"]["table"], _XEU_ROUTE_MAPS["hi"]["table"],
+    ]
+    q = BooleanQuery.build(should=[TermQuery(t) for t in probes])
+    return _topk_df(s, q, 10)
+
+
 # fixed word -> ideograph map (one han codepoint per corpus-vocabulary
 # word, assigned in vocabulary order from U+4E00): a deterministic,
 # SQL-reproducible way to derive REAL CJK text from the synthetic corpus
@@ -2960,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_cjk_bigram": q_ft_cjk_bigram,
         "ft_lang_router_ptnl": q_ft_lang_router_ptnl,
         "ft_lang_router_multi": q_ft_lang_router_multi,
+        "ft_lang_router_xeu": q_ft_lang_router_xeu,
         "ft_suggest_analyzed": q_ft_suggest_analyzed,
         "ft_span_field": q_ft_span_field,
         "ft_prefix_scored_field": q_ft_prefix_scored_field,
@@ -3495,6 +3672,39 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
             ]
         )
         + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1, 2, 3])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # fi/hu/no/da/cs/bg/fa/hi routing (r5): the route maps are the COMPLETE
+    # chain image over the corpus vocabulary (Latin-script stemmers rewrite
+    # unmapped ascii too), so the tok CTE rewrites every routed token
+    # straight to its indexed term; the entry's per-route guard proves each
+    # composition against the real chains per run
+    _xeu_arms = " ".join(
+        f"WHEN lang4 = '{lang}' THEN "
+        f"{_word_map_case('t', _XEU_ROUTE_MAPS[lang])}"
+        for lang in _XEU_LANGS
+    )
+    _xeu_probes = [
+        _XEU_ROUTE_MAPS["fi"]["table"], _XEU_ROUTE_MAPS["hu"]["table"],
+        _XEU_ROUTE_MAPS["no"]["row"], _XEU_ROUTE_MAPS["da"]["row"],
+        _XEU_ROUTE_MAPS["cs"]["table"], _XEU_ROUTE_MAPS["bg"]["table"],
+        _XEU_ROUTE_MAPS["fa"]["table"], _XEU_ROUTE_MAPS["hi"]["table"],
+    ]
+    o["ft_lang_router_xeu"] = (
+        f"""
+WITH tok AS (
+  SELECT doc_id, CASE {_xeu_arms} ELSE t END AS term
+  FROM (SELECT doc_id, {_LANG4_CASE} AS lang4, unnest({_TOKS_DUCK}) AS t
+        FROM documents)
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
+"""
+        + _term_ctes(_xeu_probes)
+        + f", scored AS (SELECT doc_id, score FROM "
+          f"{_sum_scored(list(range(len(_xeu_probes))))}) "
         + _TOPK_TAIL.format(k=10)
     )
 

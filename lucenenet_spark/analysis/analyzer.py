@@ -49,14 +49,41 @@ MAX_TOKEN_LENGTH = 255
 # non-letter/digit) — asserted identical by tests/test_analyzer.py.
 _IDEO_RANGES = "\u3040-\u309f\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"  # Hiragana + Han
 _KATAKANA = "\u30a0-\u30ff"
+
+
+def _mark_ranges_class() -> str:
+    """Regex character-class body covering every BMP combining mark
+    (general category M*). UAX#29 WordBreak treats marks as Extend \u2014
+    they continue the word they follow (StandardTokenizer.cs keeps
+    Devanagari matras, Arabic harakat, Hebrew points inside tokens).
+    Python's ``\\w`` excludes them, so the class is generated from
+    unicodedata once at import and appended to the word-run production;
+    the RE2/Java forms use ``\\p{M}`` natively (identical over the BMP,
+    asserted by tests/test_analyzer.py's Python-vs-Arrow parity)."""
+    import unicodedata
+
+    ranges: list[tuple[int, int]] = []
+    for cp in range(0x10000):
+        if unicodedata.category(chr(cp)).startswith("M"):
+            if ranges and ranges[-1][1] == cp - 1:
+                ranges[-1] = (ranges[-1][0], cp)
+            else:
+                ranges.append((cp, cp))
+    return "".join(
+        chr(a) if a == b else f"{chr(a)}-{chr(b)}" for a, b in ranges
+    )
+
+
+_MARKS = _mark_ranges_class()
 TOKEN_RE_PYTHON = (
-    rf"[{_IDEO_RANGES}]|[{_KATAKANA}]+|(?:(?![{_IDEO_RANGES}{_KATAKANA}])[^\W_])+"
+    rf"[{_IDEO_RANGES}]|[{_KATAKANA}]+"
+    rf"|(?:(?![{_IDEO_RANGES}{_KATAKANA}])(?:[^\W_]|[{_MARKS}]))+"
 )
 # RE2 (pyarrow) pre-pad pattern: isolate each ideograph / katakana run with
 # spaces so the plain letter/digit split then yields the same tokens
 CJK_PAD_RE2 = f"([{_IDEO_RANGES}]|[{_KATAKANA}]+)"
-TOKEN_RE_SQL = r"[\p{L}\p{N}]+"       # Java (Spark) and RE2 (DuckDB) run form
-SPLIT_RE_RE2 = r"[^\p{L}\p{N}]+"      # RE2 split form (pyarrow compute)
+TOKEN_RE_SQL = r"[\p{L}\p{M}\p{N}]+"   # Java (Spark) and RE2 (DuckDB) run form
+SPLIT_RE_RE2 = r"[^\p{L}\p{M}\p{N}]+"  # RE2 split form (pyarrow compute)
 
 # ASCII-restricted variant: maximal [a-z0-9] runs of the LOWERCASED text.
 # Identical in every engine's regex dialect (no Unicode classes involved) —
@@ -407,6 +434,167 @@ class IndonesianAnalyzer(StandardAnalyzer):
         return Analyzed([indonesian_stem(t) for t in a.tokens], a.positions)
 
 
+class FinnishLightAnalyzer(StandardAnalyzer):
+    """FinnishAnalyzer (Analysis/Fi/FinnishAnalyzer.cs:120 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Finnish) ->
+    FinnishLightStemFilter (UniNE-family light stemmer over the frequent
+    case/number endings — see analysis/finnish.py). Runs per UNIQUE term
+    at dictionary-encode time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .finnish import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .finnish import finnish_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([finnish_light_stem(t) for t in a.tokens], a.positions)
+
+
+class HungarianLightAnalyzer(StandardAnalyzer):
+    """HungarianAnalyzer (Analysis/Hu/HungarianAnalyzer.cs:120 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Hungarian) ->
+    HungarianLightStemFilter (UniNE-family light stemmer over the
+    vowel-harmony case endings + plural — see analysis/hungarian.py).
+    Runs per UNIQUE term at dictionary-encode time (Arrow fast path
+    stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .hungarian import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .hungarian import hungarian_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([hungarian_light_stem(t) for t in a.tokens], a.positions)
+
+
+class NorwegianLightAnalyzer(StandardAnalyzer):
+    """NorwegianAnalyzer (Analysis/No/NorwegianAnalyzer.cs:120 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Norwegian) ->
+    NorwegianLightStemFilter (Nordic-light stemmer: declensions, -het
+    family, participles — see analysis/norwegian.py). Runs per UNIQUE
+    term at dictionary-encode time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .norwegian import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .norwegian import norwegian_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([norwegian_light_stem(t) for t in a.tokens], a.positions)
+
+
+class DanishLightAnalyzer(StandardAnalyzer):
+    """DanishAnalyzer (Analysis/Da/DanishAnalyzer.cs:120 chain, Snowball
+    stemmer replaced by the documented light variant): StandardTokenizer
+    -> LowerCase -> StopFilter(Danish) -> DanishLightStemFilter
+    (declensions, -hed family, participles, final-consonant undoubling —
+    see analysis/danish.py). Runs per UNIQUE term at dictionary-encode
+    time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .danish import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .danish import danish_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([danish_light_stem(t) for t in a.tokens], a.positions)
+
+
+class CzechLightAnalyzer(StandardAnalyzer):
+    """CzechAnalyzer (Analysis/Cz/CzechAnalyzer.cs:60 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Czech) -> CzechStemFilter
+    (the PUBLISHED Dolamic & Savoy light stemmer: case endings,
+    possessives, palatalization normalization — see analysis/czech.py).
+    Runs per UNIQUE term at dictionary-encode time (Arrow fast path
+    stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .czech import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .czech import czech_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([czech_light_stem(t) for t in a.tokens], a.positions)
+
+
+class BulgarianLightAnalyzer(StandardAnalyzer):
+    """BulgarianAnalyzer (Analysis/Bg/BulgarianAnalyzer.cs:55 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Bulgarian) ->
+    BulgarianStemFilter (the PUBLISHED BulStem-family light rules:
+    definite article, plural, link vowel — see analysis/bulgarian.py).
+    Only Cyrillic terms are rewritten. Runs per UNIQUE term at
+    dictionary-encode time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .bulgarian import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .bulgarian import bulgarian_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([bulgarian_light_stem(t) for t in a.tokens], a.positions)
+
+
+class PersianAnalyzer(StandardAnalyzer):
+    """PersianAnalyzer (Analysis/Fa/PersianAnalyzer.cs:48 chain):
+    StandardTokenizer -> LowerCase -> Arabic+Persian normalization ->
+    StopFilter(Persian) — NO stemmer, matching the reference (see
+    analysis/persian.py). Only Arabic-script terms are touched. Runs per
+    UNIQUE term at dictionary-encode time (Arrow fast path stays hot).
+
+    Note: the stop list is matched AFTER normalization here (entries are
+    stored normalized), whereas the reference normalizes before its stop
+    filter too — same observable behavior."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .persian import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .persian import persian_normalize
+
+        a = super().analyze(text)
+        return Analyzed([persian_normalize(t) for t in a.tokens], a.positions)
+
+
+class HindiAnalyzer(StandardAnalyzer):
+    """HindiAnalyzer (Analysis/Hi/HindiAnalyzer.cs:47 chain):
+    StandardTokenizer -> LowerCase -> Indic/Hindi normalization ->
+    StopFilter(Hindi) -> HindiStemFilter (the PUBLISHED Ramanathan & Rao
+    light stemmer — see analysis/hindi.py). Only Devanagari terms are
+    rewritten. Runs per UNIQUE term at dictionary-encode time (Arrow
+    fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .hindi import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .hindi import hindi_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([hindi_light_stem(t) for t in a.tokens], a.positions)
+
+
 class ASCIIFoldingAnalyzer(StandardAnalyzer):
     """StandardTokenizer -> LowerCase -> StopFilter -> ASCIIFolding
     (Analysis/Miscellaneous/ASCIIFoldingFilter.cs): accented/decomposable
@@ -671,6 +859,46 @@ def analyzer_for(
 
         sw = INDONESIAN_STOP_WORDS if stop_words else frozenset()
         return IndonesianAnalyzer(sw, max_token_length, ascii_only)
+    if name == "finnish":
+        from .finnish import FINNISH_STOP_WORDS
+
+        sw = FINNISH_STOP_WORDS if stop_words else frozenset()
+        return FinnishLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "hungarian":
+        from .hungarian import HUNGARIAN_STOP_WORDS
+
+        sw = HUNGARIAN_STOP_WORDS if stop_words else frozenset()
+        return HungarianLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "norwegian":
+        from .norwegian import NORWEGIAN_STOP_WORDS
+
+        sw = NORWEGIAN_STOP_WORDS if stop_words else frozenset()
+        return NorwegianLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "danish":
+        from .danish import DANISH_STOP_WORDS
+
+        sw = DANISH_STOP_WORDS if stop_words else frozenset()
+        return DanishLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "czech":
+        from .czech import CZECH_STOP_WORDS
+
+        sw = CZECH_STOP_WORDS if stop_words else frozenset()
+        return CzechLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "bulgarian":
+        from .bulgarian import BULGARIAN_STOP_WORDS
+
+        sw = BULGARIAN_STOP_WORDS if stop_words else frozenset()
+        return BulgarianLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "persian":
+        from .persian import PERSIAN_STOP_WORDS
+
+        sw = PERSIAN_STOP_WORDS if stop_words else frozenset()
+        return PersianAnalyzer(sw, max_token_length, ascii_only)
+    if name == "hindi":
+        from .hindi import HINDI_STOP_WORDS
+
+        sw = HINDI_STOP_WORDS if stop_words else frozenset()
+        return HindiAnalyzer(sw, max_token_length, ascii_only)
     if name == "cjk":
         from .cjk import CJK_STOP_WORDS, CJKAnalyzer
 
