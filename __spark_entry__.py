@@ -2228,6 +2228,78 @@ def q_dd_lsh_verify(spark, sf_dir):
     return _jaccard_verify(tok, cand, tau_x1m=500000)
 
 
+def cc_labels(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected-component labels for an undirected pair graph given as
+    (a, b) edge rows: -> (node, lbl) with lbl = min node id of the
+    component. Iterative min-label propagation — see q_dd_cluster_cc's
+    docstring for the algorithm/scale discussion. Raises on no fixpoint
+    within ``max_rounds``."""
+    e = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = (
+        e.select(F.col("a").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        msgs = e.join(
+            labels.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "lbl")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("node").agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise AssertionError(f"cc_labels: no fixpoint in {max_rounds} rounds")
+
+
+def q_dd_cluster_cc(spark, sf_dir):
+    """Near-duplicate CLUSTERING — the stage a real 100 TB dedup pipeline
+    runs AFTER pair generation: connected components over the verified
+    near-dup pair graph (the dd_lsh_verify edges), so transitive chains
+    a~b~c collapse to one cluster with one representative (min doc_id)
+    even when a and c themselves fall below the pair threshold.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the minimum label among itself and its neighbors (one shuffle
+    per round: edges ⋈ labels, groupBy node min). Rounds needed = graph
+    diameter; near-dup clusters are shallow (dup chains, not paths), and
+    the adversarial-chain fix is the published large-star/small-star
+    reformulation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) which converges in O(log n) rounds with the same
+    per-round join shape — this implementation keeps the plain rounds
+    (cap 20, raises on non-convergence) because the per-round plan is
+    identical and the cap is the documented scale knob. Lineage is
+    truncated per round (localCheckpoint) so the iterative self-join
+    never compounds the plan. The convergence check collects ONE scalar
+    per round (count of changed labels) — driver-bounded.
+
+    Output: (doc_id, cluster, csize) for every node of the pair graph;
+    cluster = min doc_id of the component (the kept representative).
+    Oracle: DuckDB recursive reachability closure + min label."""
+    edges = q_dd_lsh_verify(spark, sf_dir).select("a", "b")
+    labels = cc_labels(edges)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("lbl").cast("long").alias("cluster"),
+            F.col("csize").cast("long").alias("csize"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over embeddings (the ANN baseline): fold-
     ordered dot product in Spark SQL higher-order functions (JVM, no Python
@@ -3157,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_lsh": q_dd_minhash_lsh,
         "dd_embed_cosine": q_dd_embed_cosine,
         "dd_lsh_verify": q_dd_lsh_verify,
+        "dd_cluster_cc": q_dd_cluster_cc,
         "nd_shingle_jaccard": q_nd_shingle_jaccard,
         # --- r3-gated green, unchanged ---
         "ft_field_title": q_ft_field_title,
@@ -4861,6 +4934,40 @@ FROM cand c JOIN ts x ON x.doc_id = c.a JOIN ts y ON y.doc_id = c.b
 WHERE CAST(floor(len(list_intersect(x.ts, y.ts))::DOUBLE * 1000000.0
       / len(list_distinct(list_concat(x.ts, y.ts)))::DOUBLE + 0.5) AS BIGINT) >= 500000
 ORDER BY a, b
+"""
+    )
+
+    # near-dup clustering (r5): reachability closure over the verified
+    # pair graph (both directions), label = min reachable doc_id; sizes
+    # by label. The recursive UNION dedups, so the closure terminates.
+    o["dd_cluster_cc"] = (
+        # the reachability CTE is recursive -> the WHOLE with-list needs
+        # the RECURSIVE keyword (DuckDB applies it per-list, not per-CTE)
+        minhash_ctes.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+        + f""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+ts AS (SELECT doc_id, list_sort(list_distinct({_TOKS_DUCK})) AS ts FROM documents),
+ver AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN ts x ON x.doc_id = c.a JOIN ts y ON y.doc_id = c.b
+  WHERE CAST(floor(len(list_intersect(x.ts, y.ts))::DOUBLE * 1000000.0
+        / len(list_distinct(list_concat(x.ts, y.ts)))::DOUBLE + 0.5) AS BIGINT) >= 500000
+),
+ed AS (SELECT a, b FROM ver UNION ALL SELECT b AS a, a AS b FROM ver),
+nodes AS (SELECT DISTINCT a AS node FROM ed),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT x.node, e.b FROM reach x JOIN ed e ON e.a = x.r
+),
+lbl AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+sz AS (SELECT cluster, count(*)::BIGINT AS csize FROM lbl GROUP BY cluster)
+SELECT CAST(l.node AS BIGINT) AS doc_id, CAST(l.cluster AS BIGINT) AS cluster,
+       s.csize AS csize
+FROM lbl l JOIN sz s USING (cluster) ORDER BY doc_id
 """
     )
 
