@@ -894,6 +894,137 @@ def q_ft_lang_router_xeu(spark, sf_dir):
     return _topk_df(s, q, 10)
 
 
+# --------------------------------------------------------------------------- #
+# r5 four-pack router (el/tr/ro/lv) over src8-11 — same construction as
+# the xeu entry (complete chain-image route maps, per-route guard)
+# --------------------------------------------------------------------------- #
+
+_MISC_WORD_MAPS: dict[str, dict[str, str]] = {
+    "el": {"table": "άνθρωπος", "row": "βιβλια",
+           "value": "θαλασσες", "merge": "ομορφη"},
+    "tr": {"table": "kitaplardan", "row": "okullarda",
+           "value": "arabası", "merge": "gözler"},
+    "ro": {"table": "băiatului", "row": "casele",
+           "value": "timpurile", "merge": "orașul"},
+    "lv": {"table": "grāmatām", "row": "bērniem",
+           "value": "skolās", "merge": "zaļais"},
+}
+
+_MISC_ROUTE_MAPS: dict[str, dict[str, str]] = {
+    "el": {"merge": "ομορφ", "row": "βιβλι", "table": "ανθρωπ",
+           "value": "θαλασσ"},
+    "tr": {"data": "dat", "line": "lin", "merge": "göz", "row": "okul",
+           "table": "kitap", "value": "araba"},
+    "ro": {"data": "dat", "line": "lin", "merge": "oraș", "row": "cas",
+           "table": "băiat", "value": "timp"},
+    "lv": {"data": "dat", "line": "lin", "merge": "zal", "row": "bērn",
+           "table": "grāmat", "value": "skol"},
+}
+
+_MISC_LANGS = ("el", "tr", "ro", "lv")
+_MISC_CHAINS = {
+    "el": "greek", "tr": "turkish", "ro": "romanian", "lv": "latvian",
+}
+
+_LANG5_CASE = (
+    "CASE " + " ".join(
+        f"WHEN source = 'src{8 + i}' THEN '{lang}'"
+        for i, lang in enumerate(_MISC_LANGS)
+    ) + " ELSE 'en' END"
+)
+
+
+def _lang5_text_expr() -> str:
+    arms = " ".join(
+        f"WHEN '{lang}' THEN array_join(transform({_TOKS_SPARK}, "
+        f"x -> {_word_map_case('x', _MISC_WORD_MAPS[lang])}), ' ')"
+        for lang in _MISC_LANGS
+    )
+    return f"CASE lang5 {arms} ELSE text END"
+
+
+_LANG5_SEARCHERS: dict[str, Searcher] = {}
+
+
+def _lang5_searcher(spark, sf_dir):
+    """An EIGHTH index: per-document routing over the derived lang5
+    column covering the r5 Greek/Turkish/Romanian/Latvian packs
+    (El/GreekAnalyzer.cs:40, Tr/TurkishAnalyzer.cs:43,
+    Ro/RomanianAnalyzer.cs:43, Lv/LatvianAnalyzer.cs:47)."""
+    import dataclasses
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    if key in _LANG5_SEARCHERS:
+        return _LANG5_SEARCHERS[key]
+    cfg = dataclasses.replace(
+        _ENTRY_CONFIG, lang_field="lang5",
+        lang_chains=tuple((lang, _MISC_CHAINS[lang]) for lang in _MISC_LANGS),
+        ascii_tokens=False,
+        keyword_fields=(), docvalue_fields=(), text_fields=(),
+    )
+    pages = (
+        _docs(spark, sf_dir)
+        .withColumn("lang5", F.expr(_LANG5_CASE))
+        .select(
+            F.col("doc_id").alias("docid"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.expr(_lang5_text_expr()).alias("text"),
+            "lang5",
+        )
+    )
+    idx = os.path.join(_INDEX_ROOT, key + "_langroute5")
+    build_index(spark, pages, idx, cfg)  # resumes
+    s = Searcher(spark, idx, scoring="exact_int")
+    _LANG5_SEARCHERS[key] = s
+    return s
+
+
+def q_ft_lang_router_misc(spark, sf_dir):
+    """Language routing across the Greek (tonos-normalized light rules),
+    Turkish (dotted/dotless-I repair + vowel-harmony light rules),
+    Romanian (enclitic-article strip) and Latvian (published Kreslins
+    inventory) packs — per-document chain dispatch into one term-sorted
+    postings table, 4-term SHOULD disjunction of one stemmed term per
+    language, per-route guard proving every word-map ∘ chain composition
+    against the embedded oracle image per run."""
+    s = _lang5_searcher(spark, sf_dir)
+    per_lang = (
+        _docs(spark, sf_dir)
+        .select(
+            F.expr(_LANG5_CASE).alias("lang5"),
+            F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("w"),
+        )
+        .distinct()
+        .collect()  # bounded: |langs| x the fixed 31-word corpus vocabulary
+    )
+    bad: list[str] = []
+    for r in per_lang:
+        lang, w = r["lang5"], r["w"]
+        if w not in _CORPUS_VOCAB:
+            bad.append(f"{lang}:{w} outside the fixed corpus vocabulary")
+            continue
+        if lang not in _MISC_ROUTE_MAPS:
+            continue
+        an = s.analyzer_for_lang(lang)
+        toks = an.tokenize(_MISC_WORD_MAPS[lang].get(w, w))
+        rew = an.term_filter_unique(np.asarray(toks, dtype=object))
+        got = [str(t) for t in (toks if rew is None else rew)]
+        want = [_MISC_ROUTE_MAPS[lang].get(w, w)]
+        if got != want:
+            bad.append(f"{lang}:{w} -> {got} but oracle embeds {want}")
+    if bad:
+        raise AssertionError(
+            "el/tr/ro/lv router oracle mapping diverges from the real "
+            "chains: " + "; ".join(sorted(bad)[:10])
+        )
+    q = BooleanQuery.build(
+        should=[
+            TermQuery(_MISC_ROUTE_MAPS[lang]["table"]) for lang in _MISC_LANGS
+        ]
+    )
+    return _topk_df(s, q, 10)
+
+
 # fixed word -> ideograph map (one han codepoint per corpus-vocabulary
 # word, assigned in vocabulary order from U+4E00): a deterministic,
 # SQL-reproducible way to derive REAL CJK text from the synthetic corpus
@@ -3209,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_lang_router_ptnl": q_ft_lang_router_ptnl,
         "ft_lang_router_multi": q_ft_lang_router_multi,
         "ft_lang_router_xeu": q_ft_lang_router_xeu,
+        "ft_lang_router_misc": q_ft_lang_router_misc,
         "ft_suggest_analyzed": q_ft_suggest_analyzed,
         "ft_span_field": q_ft_span_field,
         "ft_prefix_scored_field": q_ft_prefix_scored_field,
@@ -3778,6 +3910,30 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
         + _term_ctes(_xeu_probes)
         + f", scored AS (SELECT doc_id, score FROM "
           f"{_sum_scored(list(range(len(_xeu_probes))))}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # el/tr/ro/lv routing (r5): same construction as ft_lang_router_xeu
+    _misc_arms = " ".join(
+        f"WHEN lang5 = '{lang}' THEN "
+        f"{_word_map_case('t', _MISC_ROUTE_MAPS[lang])}"
+        for lang in _MISC_LANGS
+    )
+    _misc_probes = [_MISC_ROUTE_MAPS[lang]["table"] for lang in _MISC_LANGS]
+    o["ft_lang_router_misc"] = (
+        f"""
+WITH tok AS (
+  SELECT doc_id, CASE {_misc_arms} ELSE t END AS term
+  FROM (SELECT doc_id, {_LANG5_CASE} AS lang5, unnest({_TOKS_DUCK}) AS t
+        FROM documents)
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
+"""
+        + _term_ctes(_misc_probes)
+        + f", scored AS (SELECT doc_id, score FROM "
+          f"{_sum_scored(list(range(len(_misc_probes))))}) "
         + _TOPK_TAIL.format(k=10)
     )
 

@@ -595,6 +595,89 @@ class HindiAnalyzer(StandardAnalyzer):
         return Analyzed([hindi_light_stem(t) for t in a.tokens], a.positions)
 
 
+class GreekLightAnalyzer(StandardAnalyzer):
+    """GreekAnalyzer (Analysis/El/GreekAnalyzer.cs:40 chain):
+    StandardTokenizer -> GreekLowerCase (tonos removal + final sigma) ->
+    StopFilter(Greek) -> light stem (UniNE-family inflectional rules —
+    see analysis/greek.py; the full Ntais automaton is the documented
+    non-goal). Only Greek-script terms are rewritten. Runs per UNIQUE
+    term at dictionary-encode time (Arrow fast path stays hot).
+
+    Stop matching note: entries are stored NORMALIZED and the stop filter
+    runs before term_filter_unique here, so Greek stopwords written WITH
+    tonos in text are normalized by the stem hook instead of dropped —
+    the suite pins the normalized-entry behavior."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .greek import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .greek import greek_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([greek_light_stem(t) for t in a.tokens], a.positions)
+
+
+class TurkishLightAnalyzer(StandardAnalyzer):
+    """TurkishAnalyzer (Analysis/Tr/TurkishAnalyzer.cs:43 chain):
+    StandardTokenizer (apostrophe suffixes split off structurally) ->
+    TurkishLowerCase (dotted/dotless I repair) -> StopFilter(Turkish) ->
+    light stem (UniNE-family case/plural strip — see analysis/turkish.py;
+    the Snowball automaton is the documented non-goal). Runs per UNIQUE
+    term at dictionary-encode time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .turkish import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .turkish import turkish_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([turkish_light_stem(t) for t in a.tokens], a.positions)
+
+
+class RomanianLightAnalyzer(StandardAnalyzer):
+    """RomanianAnalyzer (Analysis/Ro/RomanianAnalyzer.cs:43 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Romanian) -> light stem
+    (UniNE-family enclitic-article + plural strip — see
+    analysis/romanian.py). Runs per UNIQUE term at dictionary-encode
+    time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .romanian import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .romanian import romanian_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([romanian_light_stem(t) for t in a.tokens], a.positions)
+
+
+class LatvianLightAnalyzer(StandardAnalyzer):
+    """LatvianAnalyzer (Analysis/Lv/LatvianAnalyzer.cs:47 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Latvian) ->
+    LatvianStemFilter (the published Kreslins inventory, light form with
+    the 2-syllable guard — see analysis/latvian.py). Runs per UNIQUE
+    term at dictionary-encode time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .latvian import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .latvian import latvian_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([latvian_light_stem(t) for t in a.tokens], a.positions)
+
+
 class ASCIIFoldingAnalyzer(StandardAnalyzer):
     """StandardTokenizer -> LowerCase -> StopFilter -> ASCIIFolding
     (Analysis/Miscellaneous/ASCIIFoldingFilter.cs): accented/decomposable
@@ -899,6 +982,26 @@ def analyzer_for(
 
         sw = HINDI_STOP_WORDS if stop_words else frozenset()
         return HindiAnalyzer(sw, max_token_length, ascii_only)
+    if name == "greek":
+        from .greek import GREEK_STOP_WORDS
+
+        sw = GREEK_STOP_WORDS if stop_words else frozenset()
+        return GreekLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "turkish":
+        from .turkish import TURKISH_STOP_WORDS
+
+        sw = TURKISH_STOP_WORDS if stop_words else frozenset()
+        return TurkishLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "romanian":
+        from .romanian import ROMANIAN_STOP_WORDS
+
+        sw = ROMANIAN_STOP_WORDS if stop_words else frozenset()
+        return RomanianLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "latvian":
+        from .latvian import LATVIAN_STOP_WORDS
+
+        sw = LATVIAN_STOP_WORDS if stop_words else frozenset()
+        return LatvianLightAnalyzer(sw, max_token_length, ascii_only)
     if name == "cjk":
         from .cjk import CJK_STOP_WORDS, CJKAnalyzer
 
