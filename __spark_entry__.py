@@ -1690,6 +1690,31 @@ def q_ft_simple_qp(spark, sf_dir):
     return _topk_df(s, q, 10)
 
 
+def q_ft_xml_qp(spark, sf_dir):
+    """XML query parser (r5 — Xml/CoreParser.cs:38 builder registry): the
+    XML document below lowers to Boolean(MUST TermQuery('data'), SHOULD
+    SpanNear('query','join', slop=1, unordered)) — element names select
+    builders, occurs attributes map to clause modes, span elements nest
+    onto the engine's span algebra. ReqOptSumScorer semantics: docs must
+    match 'data'; the unordered span pseudo-term's sloppyFreq-damped
+    score adds when present."""
+    s = _searcher(spark, sf_dir)
+    q = s.parse(
+        """
+        <BooleanQuery>
+          <Clause occurs="must"><TermQuery>data</TermQuery></Clause>
+          <Clause occurs="should">
+            <SpanNear slop="1" inOrder="false">
+              <SpanTerm>query</SpanTerm><SpanTerm>join</SpanTerm>
+            </SpanNear>
+          </Clause>
+        </BooleanQuery>
+        """,
+        dialect="xml",
+    )
+    return _topk_df(s, q, 10)
+
+
 def q_ft_span_first(spark, sf_dir):
     """SpanFirstQuery.cs:33-49: 'table' spans ending within the first 8
     positions; tf truncated to the prefix window and damped by
@@ -3355,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_complex_phrase": q_ft_complex_phrase,
         "ft_surround": q_ft_surround,
         "ft_simple_qp": q_ft_simple_qp,
+        "ft_xml_qp": q_ft_xml_qp,
         "ft_facet_hierarchy": q_ft_facet_hierarchy,
         "pipe_pack_offset": q_pipe_pack_offset,
         "ft_lucene_rank": q_ft_lucene_rank,
@@ -4331,6 +4357,45 @@ scp AS (
 scored AS (
   SELECT a.doc_id, CAST(a.s + b.s + COALESCE(p.s, 0) AS BIGINT) AS score
   FROM s0 a JOIN s1 b USING (doc_id) LEFT JOIN scp p USING (doc_id)
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # XML dialect (r5): MUST data + SHOULD unordered span(query, join,
+    # slop 1) — ReqOptSum: data's score plus the span pseudo-term's
+    # integer micro-score when present
+    o["ft_xml_qp"] = (
+        _SQL_PREFIX + _term_ctes(["data", "query", "join"])
+        + f""",
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+pfx AS (
+  SELECT doc_id, CAST(sum(sf) AS DOUBLE) / 1000000.0 AS pf FROM (
+    SELECT a.doc_id AS doc_id, a.pos AS apos,
+           CAST(floor(1000000.0 / (1.0 + (min(abs(b.pos - a.pos)) + 1)) + 0.5) AS BIGINT) AS sf
+    FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id
+      AND abs(b.pos - a.pos) <= 2
+    WHERE a.term = 'query' AND b.term = 'join'
+    GROUP BY a.doc_id, a.pos
+  ) GROUP BY doc_id
+),
+idfx AS (
+  SELECT (ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t1) + 0.5)/((SELECT count(*) FROM t1) + 0.5))
+        + ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t2) + 0.5)/((SELECT count(*) FROM t2) + 0.5))) AS idf_sum,
+        st.maxdoc, st.sum_ttf
+  FROM st
+),
+spx AS (
+  SELECT p.doc_id, CAST(floor((i.idf_sum * 2.2 * p.pf)
+    / (p.pf + 1.2*(0.25 + (0.75*d.dl)/(i.sum_ttf/i.maxdoc))) * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM pfx p JOIN dl d USING (doc_id) CROSS JOIN idfx i
+),
+scored AS (
+  SELECT a.doc_id, CAST(a.s + COALESCE(x.s, 0) AS BIGINT) AS score
+  FROM s0 a LEFT JOIN spx x USING (doc_id)
 )
 """
         + _TOPK_TAIL.format(k=10)

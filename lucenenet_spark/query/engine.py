@@ -359,10 +359,18 @@ class Searcher:
         ``dialect="surround"`` the Surround proximity language (nW/nN
         distance operators -> span trees, Surround/Parser/QueryParser.jj);
         ``dialect="simple"`` the never-throwing SimpleQueryParser grammar
-        (SimpleQueryParser.cs:46)."""
+        (SimpleQueryParser.cs:46); ``dialect="xml"`` the XML element
+        registry (Xml/CoreParser.cs:38)."""
         from .parser import parse_query
 
         analyzer = self.analyzer_for_lang(lang) if lang else self.analyzer
+        if dialect == "xml":
+            from .xmlparser import parse_xml_query
+
+            return parse_xml_query(
+                s, analyzer=analyzer,
+                text_fields=frozenset(self.text_fields),
+            )
         if dialect == "surround":
             from .surround import parse_surround
 
