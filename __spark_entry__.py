@@ -2982,6 +2982,111 @@ def q_txt_decontam(spark, sf_dir):
     )
 
 
+#: PII patterns shared by the Spark and DuckDB sides — kept in the
+#: Java-regex ∩ RE2 subset (character classes, bounded quantifiers, \b;
+#: no lookaround/backrefs)
+_PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RX = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+_PII_IP_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: deterministic synthetic-PII injection (the corpus carries none): a
+#: per-doc email, US-style phone and IPv4, derived from doc_id so both
+#: engines rebuild the identical string
+_PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS STRING) || "
+    "'@example.com call 555-' || substr(CAST(1000 + doc_id % 900 AS STRING), 2) || "
+    "'-' || CAST(1000 + doc_id % 9000 AS STRING) || "
+    "' host 10.' || CAST(doc_id % 256 AS STRING) || '.0.' || "
+    "CAST(doc_id % 250 AS STRING)"
+)
+
+
+def q_txt_pii_scrub(spark, sf_dir):
+    """PII scrubbing — the redaction pass every web-scale training
+    pipeline runs before packing: detect + replace emails / US-style
+    phone numbers / IPv4 addresses with typed placeholder tokens, and
+    count each class per document (the audit trail). Map-side only
+    (regexp_count/regexp_replace, JVM codegen, zero shuffle — linear at
+    100 TB). The corpus carries no PII, so a deterministic synthetic
+    email+phone+IP per doc is injected first (SQL-reproducible from
+    doc_id); the scrub regexes live in the Java∩RE2 subset so the DuckDB
+    oracle runs the same patterns. Output pins counts AND the md5 of the
+    scrubbed text (placeholder positions included)."""
+    d = _docs(spark, sf_dir).withColumn("pii", F.expr(_PII_TEXT_SQL))
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii"), _PII_EMAIL_RX, "<EMAIL>"),
+            _PII_PHONE_RX, "<PHONE>",
+        ),
+        _PII_IP_RX, "<IP>",
+    )
+    return (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.regexp_count(F.col("pii"), F.lit(_PII_EMAIL_RX))
+            .cast("long").alias("n_email"),
+            F.regexp_count(F.col("pii"), F.lit(_PII_PHONE_RX))
+            .cast("long").alias("n_phone"),
+            # IPs counted on the email/phone-scrubbed text, mirroring the
+            # replace order (an IP-looking run inside a longer match must
+            # not double-count)
+            F.regexp_count(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("pii"), _PII_EMAIL_RX, "<EMAIL>"),
+                    _PII_PHONE_RX, "<PHONE>",
+                ),
+                F.lit(_PII_IP_RX),
+            ).cast("long").alias("n_ip"),
+            F.md5(scrub.cast("binary")).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_web_url_canon(spark, sf_dir):
+    """URL canonicalization dedup — the web-pipeline classic: the same
+    page crawled under scheme/host case variants, default ports,
+    tracking parameters and fragments must collapse to ONE canonical
+    key. Deterministic messy URLs are synthesized per doc (the corpus
+    has no url column; SQL-reproducible from doc_id/source), then
+    canonicalized componentwise — parse host/path/id with anchored
+    regexes, lowercase the host, drop the default port, keep only the
+    content-bearing ``id`` parameter, drop utm_*/ref/fragment — and
+    rebuilt. Dedup = hash groupBy on the canonical key (map-side
+    extraction, ONE linear shuffle — the dd_exact plan shape). Output:
+    canonical url, duplicate count, kept representative (min doc_id)."""
+    d = _docs(spark, sf_dir).withColumn("url", F.expr(_URL_MESSY_SQL))
+    canon = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(F.col("url"), r"^[A-Za-z]+://([^/:?#]+)", 1)),
+        F.regexp_extract(F.col("url"), r"://[^/?#]+(/[^?#]*)", 1),
+        F.lit("?id="),
+        F.regexp_extract(F.col("url"), r"[?&]id=(\d+)", 1),
+    )
+    return (
+        d.select(canon.alias("canonical"), F.col("doc_id"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+        .orderBy("canonical")
+    )
+
+
+#: messy-URL synthesis shared with the oracle: scheme/host case noise,
+#: the default :443 port, a utm tracking param, a ref param, a fragment —
+#: only source, path bucket and id survive canonicalization
+_URL_MESSY_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END || "
+    "'.Example.COM' || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || "
+    "'/p' || CAST(doc_id % 7 AS STRING) || "
+    "'?utm_source=feed&ref=r' || CAST(doc_id % 3 AS STRING) || "
+    "'&id=' || CAST(doc_id % 20 AS STRING) || '#frag'"
+)
+
+
 def q_txt_repetition(spark, sf_dir):
     """Within-doc repetition ratio (the Gopher/MassiveText duplicate-n-gram
     quality filter): fraction of 3-token shingles that are duplicates,
@@ -3406,6 +3511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_join_scores": q_ft_join_scores,
         "ft_facet_ts_range": q_ft_facet_ts_range,
         "txt_decontam": q_txt_decontam,
+        "txt_pii_scrub": q_txt_pii_scrub,
+        "web_url_canon": q_web_url_canon,
         "txt_repetition": q_txt_repetition,
         "pipe_stratified_sample": q_pipe_stratified_sample,
         "web_extract_text": q_web_extract_text,
@@ -5501,6 +5608,39 @@ hits AS (
   WHERE s.doc_id % 31 <> 0
 )
 SELECT doc_id, count(*)::BIGINT AS n_shared FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # PII scrub (r5): same injection + Java∩RE2 patterns; counts via
+    # regexp_extract_all, global-flag replaces in the same order
+    o["txt_pii_scrub"] = f"""
+WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS pii FROM documents),
+s1 AS (SELECT doc_id, pii,
+              regexp_replace(pii, '{_PII_EMAIL_RX}', '<EMAIL>', 'g') AS e
+       FROM p),
+s2 AS (SELECT doc_id, pii, e,
+              regexp_replace(e, '{_PII_PHONE_RX}', '<PHONE>', 'g') AS ep
+       FROM s1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(pii, '{_PII_EMAIL_RX}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(pii, '{_PII_PHONE_RX}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(ep, '{_PII_IP_RX}')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(ep, '{_PII_IP_RX}', '<IP>', 'g')) AS scrubbed_md5
+FROM s2 ORDER BY doc_id
+"""
+
+    # URL canonicalization dedup (r5): same messy-URL synthesis, same
+    # componentwise parse-and-rebuild, hash groupBy on the canonical key
+    o["web_url_canon"] = f"""
+WITH u AS (SELECT doc_id, {_URL_MESSY_SQL} AS url FROM documents),
+c AS (
+  SELECT doc_id,
+         'https://' || lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1))
+         || regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1)
+         || '?id=' || regexp_extract(url, '[?&]id=(\\d+)', 1) AS canonical
+  FROM u
+)
+SELECT canonical, count(*)::BIGINT AS cnt, CAST(min(doc_id) AS BIGINT) AS keep_doc
+FROM c GROUP BY canonical ORDER BY canonical
 """
 
     o["txt_repetition"] = f"""
