@@ -37,15 +37,17 @@ import numpy as np
 # High-frequency core of the Persian stop list shipped with the
 # reference (Analysis/Fa/PersianAnalyzer.cs DEFAULT_STOPWORD_FILE; tail
 # omitted — the documented divergence shared by the other packs).
-# Entries are stored NORMALIZED (the chain stops after normalization).
+# Entries are stored NORMALIZED and TOKENIZED: the reference file's
+# ZWNJ compounds are stored as their split parts, because the
+# tokenizer breaks at ZWNJ — a compound entry could never match.
 PERSIAN_STOP_WORDS: frozenset[str] = frozenset(
     """
     و در به از که این را با های برای آن یک خود تا کرد بر هم نیز گفت
-    می‌شود وی شد دارد ما اما یا شده باید هر آنها بود او دیگر دو مورد
-    می‌کند شود کند بین پیش شده‌است اگر همه نه هستند بی من دهد هزار نیست
-    استفاده داد داشته راه داشت چه همچنین کردند داده بوده دارند همین
-    میلیون سوی شوند بیشتر بسیار روی گرفته هایی تواند اول نام هیچ چند
-    جدید بیش شدن کردن کنند نخستین
+    می شود وی شد دارد ما اما یا شده باید هر آنها بود او دیگر دو مورد
+    کند بین پیش است اگر همه نه هستند بی من دهد هزار نیست استفاده داد
+    داشته راه داشت چه همچنین کردند داده بوده دارند همین میلیون سوی
+    شوند بیشتر بسیار روی گرفته هایی تواند اول نام هیچ چند جدید بیش
+    شدن کردن کنند نخستین
     """.split()
 )
 
