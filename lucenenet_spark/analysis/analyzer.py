@@ -678,6 +678,27 @@ class LatvianLightAnalyzer(StandardAnalyzer):
         return Analyzed([latvian_light_stem(t) for t in a.tokens], a.positions)
 
 
+class SoraniAnalyzer(StandardAnalyzer):
+    """SoraniAnalyzer (Analysis/Ckb/SoraniAnalyzer.cs chain):
+    StandardTokenizer -> SoraniNormalization (yeh/kaf unification, final
+    ae-vowel respelling, tatweel/harakat/ZWNJ removal) -> LowerCase ->
+    StopFilter(Sorani) -> SoraniStemFilter (the PUBLISHED Esmaili et al.
+    2013 suffix inventory — see analysis/sorani.py). Only Arabic-script
+    terms are rewritten. Runs per UNIQUE term at dictionary-encode time
+    (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .sorani import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .sorani import sorani_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([sorani_light_stem(t) for t in a.tokens], a.positions)
+
+
 class ASCIIFoldingAnalyzer(StandardAnalyzer):
     """StandardTokenizer -> LowerCase -> StopFilter -> ASCIIFolding
     (Analysis/Miscellaneous/ASCIIFoldingFilter.cs): accented/decomposable
@@ -1002,6 +1023,11 @@ def analyzer_for(
 
         sw = LATVIAN_STOP_WORDS if stop_words else frozenset()
         return LatvianLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "sorani":
+        from .sorani import SORANI_STOP_WORDS
+
+        sw = SORANI_STOP_WORDS if stop_words else frozenset()
+        return SoraniAnalyzer(sw, max_token_length, ascii_only)
     if name == "cjk":
         from .cjk import CJK_STOP_WORDS, CJKAnalyzer
 
