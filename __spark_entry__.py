@@ -1096,6 +1096,252 @@ def q_ft_cjk_bigram(spark, sf_dir):
     return _topk_df(s, q, 10)
 
 
+# --------------------------------------------------------------------------- #
+# r5 six-pack router (ca/eu/hy/ga/gl/br) over src12-17 — closes the
+# reference's analysis-common LANGUAGE coverage (every Analysis/<Lang>
+# directory now has a routed pack). Same construction as the xeu/misc
+# entries: complete chain-image route maps, per-route guard.
+# --------------------------------------------------------------------------- #
+
+_WEST_WORD_MAPS: dict[str, dict[str, str]] = {
+    "ca": {"table": "formacions", "row": "llibres",
+           "value": "cançons", "merge": "això"},
+    "eu": {"table": "etxeak", "row": "liburuak",
+           "value": "gizonarekin", "merge": "mendietan"},
+    "hy": {"table": "գրքերը", "row": "լեզուներում",
+           "value": "տունը", "merge": "մարդիկ"},
+    "ga": {"table": "gcairde", "row": "ceisteanna",
+           "value": "bhfuinneog", "merge": "dteach"},
+    "gl": {"table": "cancións", "row": "animais",
+           "value": "papeis", "merge": "flores"},
+    "br": {"table": "corações", "row": "livrinhos",
+           "value": "rapidamente", "merge": "bons"},
+}
+
+# complete chain-image maps: every corpus-vocabulary word whose routed
+# chain image differs from identity (including the word-mapped natives)
+_WEST_ROUTE_MAPS: dict[str, dict[str, str]] = {
+    "ca": {"table": "forma", "row": "llibr", "value": "canc",
+           "merge": "aix", "data": "dat", "line": "lin",
+           "vector": "vect"},
+    "eu": {"table": "etxe", "row": "liburu", "value": "gizon",
+           "merge": "mendi"},
+    "hy": {"table": "գրք", "row": "լեզու", "value": "տուն",
+           "merge": "մարդիկ"},
+    "ga": {"table": "caird", "row": "ceist", "value": "fuinneog",
+           "merge": "teach"},
+    "gl": {"table": "canción", "row": "animal", "value": "papel",
+           "merge": "flor"},
+    "br": {"table": "coraca", "row": "livr", "value": "rapid",
+           "merge": "bom", "data": "dat", "line": "lin"},
+}
+
+_WEST_LANGS = ("ca", "eu", "hy", "ga", "gl", "br")
+_WEST_CHAINS = {
+    "ca": "catalan", "eu": "basque", "hy": "armenian",
+    "ga": "irish", "gl": "galician", "br": "brazilian",
+}
+
+_LANG6_CASE = (
+    "CASE " + " ".join(
+        f"WHEN source = 'src{12 + i}' THEN '{lang}'"
+        for i, lang in enumerate(_WEST_LANGS)
+    ) + " ELSE 'en' END"
+)
+
+
+def _lang6_text_expr() -> str:
+    arms = " ".join(
+        f"WHEN '{lang}' THEN array_join(transform({_TOKS_SPARK}, "
+        f"x -> {_word_map_case('x', _WEST_WORD_MAPS[lang])}), ' ')"
+        for lang in _WEST_LANGS
+    )
+    return f"CASE lang6 {arms} ELSE text END"
+
+
+_LANG6_SEARCHERS: dict[str, Searcher] = {}
+
+
+def _lang6_searcher(spark, sf_dir):
+    """A NINTH index: per-document routing over the derived lang6 column
+    covering the r5 Catalan/Basque/Armenian/Irish/Galician/Brazilian
+    packs (Ca/CatalanAnalyzer.cs:121, Eu/BasqueAnalyzer.cs:40,
+    Hy/ArmenianAnalyzer.cs:40, Ga/IrishAnalyzer.cs:48,
+    Gl/GalicianMinimalStemmer.cs:25, Br/BrazilianAnalyzer.cs:43)."""
+    import dataclasses
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    if key in _LANG6_SEARCHERS:
+        return _LANG6_SEARCHERS[key]
+    cfg = dataclasses.replace(
+        _ENTRY_CONFIG, lang_field="lang6",
+        lang_chains=tuple((lang, _WEST_CHAINS[lang]) for lang in _WEST_LANGS),
+        ascii_tokens=False,
+        keyword_fields=(), docvalue_fields=(), text_fields=(),
+    )
+    pages = (
+        _docs(spark, sf_dir)
+        .withColumn("lang6", F.expr(_LANG6_CASE))
+        .select(
+            F.col("doc_id").alias("docid"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.expr(_lang6_text_expr()).alias("text"),
+            "lang6",
+        )
+    )
+    idx = os.path.join(_INDEX_ROOT, key + "_langroute6")
+    build_index(spark, pages, idx, cfg)  # resumes
+    s = Searcher(spark, idx, scoring="exact_int")
+    _LANG6_SEARCHERS[key] = s
+    return s
+
+
+def q_ft_lang_router_six(spark, sf_dir):
+    """Language routing across the LAST six analysis-common packs —
+    Catalan (light ending strip + fold), Basque (light de-agglutination),
+    Armenian (light article/plural strip, Armenian-script-guarded), Irish
+    (eclipsis/lenition demutation + plural strip), Galician (minimal
+    plural-only RSLP rules) and Brazilian Portuguese (RSLP light steps,
+    distinct from the UniNE ``portuguese`` pack) — dispatched
+    per-document at INDEX time into one term-sorted postings table; with
+    this entry every language directory under the reference's
+    Analysis/ tree is covered by a routed pack. 6-term SHOULD
+    disjunction of one stemmed term per language; per-route guard (the
+    r5 convention): every routed surface token must map through the
+    route's REAL chain — word map, then tokenize + term_filter_unique —
+    to exactly the embedded oracle image."""
+    s = _lang6_searcher(spark, sf_dir)
+    per_lang = (
+        _docs(spark, sf_dir)
+        .select(
+            F.expr(_LANG6_CASE).alias("lang6"),
+            F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("w"),
+        )
+        .distinct()
+        .collect()  # bounded: |langs| x the fixed 31-word corpus vocabulary
+    )
+    bad: list[str] = []
+    for r in per_lang:
+        lang, w = r["lang6"], r["w"]
+        if w not in _CORPUS_VOCAB:
+            bad.append(f"{lang}:{w} outside the fixed corpus vocabulary")
+            continue
+        if lang not in _WEST_ROUTE_MAPS:
+            continue
+        an = s.analyzer_for_lang(lang)
+        toks = an.tokenize(_WEST_WORD_MAPS[lang].get(w, w))
+        rew = an.term_filter_unique(np.asarray(toks, dtype=object))
+        got = [str(t) for t in (toks if rew is None else rew)]
+        want = [_WEST_ROUTE_MAPS[lang].get(w, w)]
+        if got != want:
+            bad.append(f"{lang}:{w} -> {got} but oracle embeds {want}")
+    if bad:
+        raise AssertionError(
+            "ca/eu/hy/ga/gl/br router oracle mapping diverges from the "
+            "real chains: " + "; ".join(sorted(bad)[:10])
+        )
+    q = BooleanQuery.build(
+        should=[
+            TermQuery(_WEST_ROUTE_MAPS[lang]["table"]) for lang in _WEST_LANGS
+        ]
+    )
+    return _topk_df(s, q, 10)
+
+
+# --------------------------------------------------------------------------- #
+# Thai TCC bigrams (r5): the src18 stratum re-expressed as Thai text via
+# a fixed word map; the chain segments each Thai word into its Character
+# Clusters and emits cluster bigrams (analysis/thai.py — the published
+# dictionary-free realization of Th/ThaiTokenizer.cs, whose platform
+# dictionary BreakIterator does not exist in this stack). The oracle
+# embeds each word's hand-traced cluster-bigram expansion as a literal;
+# the per-word guard proves the embedded expansions against the REAL
+# chain every run.
+# --------------------------------------------------------------------------- #
+
+_THAI_WORD_MAP: dict[str, str] = {
+    "table": "ตาราง", "row": "แถว", "data": "ข้อมูล",
+    "value": "ค่า", "fast": "เร็ว", "slow": "ช้า",
+}
+
+# hand-traced TCC cluster-bigram expansions (space-joined terms)
+_THAI_EXPANSIONS: dict[str, str] = {
+    "table": "ตารา ราง",        # ตา|รา|ง -> 2 bigrams
+    "row": "แถว",               # แถ|ว -> 1 bigram
+    "data": "ข้อ อมู มูล",      # ข้|อ|มู|ล -> 3 bigrams
+    "value": "ค่า",             # one cluster -> unigram
+    "fast": "เร็ว",             # เร็|ว -> 1 bigram
+    "slow": "ช้า",              # one cluster -> unigram
+}
+
+_THAI_SEARCHERS: dict[str, Searcher] = {}
+
+
+def _thai_searcher(spark, sf_dir):
+    import dataclasses
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    if key in _THAI_SEARCHERS:
+        return _THAI_SEARCHERS[key]
+    cfg = dataclasses.replace(
+        _ENTRY_CONFIG,
+        analyzer="thai",
+        ascii_tokens=False,  # the input IS Thai script
+        max_token_length=255,
+        keyword_fields=(), docvalue_fields=(), text_fields=(),
+    )
+    pages = (
+        _docs(spark, sf_dir)
+        .filter(F.col("source") == "src18")
+        .select(
+            F.col("doc_id").alias("docid"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.expr(
+                f"array_join(transform({_TOKS_SPARK}, "
+                f"x -> {_word_map_case('x', _THAI_WORD_MAP)}), ' ')"
+            ).alias("text"),
+        )
+    )
+    idx = os.path.join(_INDEX_ROOT, key + "_thai")
+    build_index(spark, pages, idx, cfg)  # resumes
+    s = Searcher(spark, idx, scoring="exact_int")
+    _THAI_SEARCHERS[key] = s
+    return s
+
+
+def q_ft_thai_tcc(spark, sf_dir):
+    """Thai search end-to-end without a dictionary: the src18 documents
+    as mixed Thai/Latin text, indexed through the ThaiAnalyzer chain
+    (standard tokenize -> TCC segmentation -> cluster bigrams -> BM25
+    postings), then a 2-term SHOULD of cluster-bigram terms. The DuckDB
+    oracle reproduces the token stream from embedded per-word expansions
+    (unnest of the space-joined bigram literals), so segmentation,
+    bigramming, doclen/norms, df and ranking are all cross-checked; the
+    guard below proves each embedded expansion against the real chain."""
+    s = _thai_searcher(spark, sf_dir)
+    from lucenenet_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for(
+        "thai", stop_words=frozenset(),
+        max_token_length=255, ascii_only=False,
+    )
+    bad: list[str] = []
+    for w in _CORPUS_VOCAB:
+        got = an.tokenize(_THAI_WORD_MAP.get(w, w))
+        want = _THAI_EXPANSIONS.get(w, w).split(" ")
+        if got != want:
+            bad.append(f"{w} -> {got} but oracle embeds {want}")
+    if bad:
+        raise AssertionError(
+            "Thai TCC oracle expansions diverge from the real chain: "
+            + "; ".join(bad[:10])
+        )
+    q = BooleanQuery.build(
+        should=[TermQuery("ตารา"), TermQuery("แถว")]
+    )
+    return _topk_df(s, q, 10)
+
+
 def q_ft_prefix(spark, sf_dir):
     """PrefixQuery via term-dictionary scan + CONSTANT_SCORE_AUTO rewrite
     (PrefixQuery.cs:37, MultiTermQuery.cs:95)."""
@@ -3491,6 +3737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_lang_router_multi": q_ft_lang_router_multi,
         "ft_lang_router_xeu": q_ft_lang_router_xeu,
         "ft_lang_router_misc": q_ft_lang_router_misc,
+        "ft_lang_router_six": q_ft_lang_router_six,
+        "ft_thai_tcc": q_ft_thai_tcc,
         "ft_span_nested_unord": q_ft_span_nested_unord,
         "ft_complex_phrase": q_ft_complex_phrase,
         "ft_surround": q_ft_surround,
@@ -4084,6 +4332,56 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
         + _term_ctes(_misc_probes)
         + f", scored AS (SELECT doc_id, score FROM "
           f"{_sum_scored(list(range(len(_misc_probes))))}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # ca/eu/hy/ga/gl/br routing (r5): same construction — completes the
+    # reference's analysis-common language coverage
+    _west_arms = " ".join(
+        f"WHEN lang6 = '{lang}' THEN "
+        f"{_word_map_case('t', _WEST_ROUTE_MAPS[lang])}"
+        for lang in _WEST_LANGS
+    )
+    _west_probes = [_WEST_ROUTE_MAPS[lang]["table"] for lang in _WEST_LANGS]
+    o["ft_lang_router_six"] = (
+        f"""
+WITH tok AS (
+  SELECT doc_id, CASE {_west_arms} ELSE t END AS term
+  FROM (SELECT doc_id, {_LANG6_CASE} AS lang6, unnest({_TOKS_DUCK}) AS t
+        FROM documents)
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
+"""
+        + _term_ctes(_west_probes)
+        + f", scored AS (SELECT doc_id, score FROM "
+          f"{_sum_scored(list(range(len(_west_probes))))}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # Thai TCC bigrams (r5): token stream rebuilt from the embedded
+    # per-word cluster-bigram expansions (space-joined literals, proved
+    # against the real chain by q_ft_thai_tcc's guard), scored with the
+    # shared exact-int formula over the src18 stratum
+    _thai_arms = " ".join(
+        f"WHEN '{w}' THEN '{_THAI_EXPANSIONS[w]}'" for w in _THAI_WORD_MAP
+    )
+    o["ft_thai_tcc"] = (
+        f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(CASE t {_thai_arms} ELSE t END, ' ')) AS term
+  FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS t
+        FROM documents WHERE source = 'src18')
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents
+               WHERE source = 'src18')::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
+"""
+        + _term_ctes(["ตารา", "แถว"])
+        + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
         + _TOPK_TAIL.format(k=10)
     )
 

@@ -699,6 +699,131 @@ class SoraniAnalyzer(StandardAnalyzer):
         return Analyzed([sorani_light_stem(t) for t in a.tokens], a.positions)
 
 
+class CatalanLightAnalyzer(StandardAnalyzer):
+    """CatalanAnalyzer (Analysis/Ca/CatalanAnalyzer.cs:121 chain):
+    StandardTokenizer -> Elision (split article tokens stopped — the
+    French divergence note) -> LowerCase -> StopFilter(Catalan) -> light
+    stem (UniNE-family ending strip + diacritic fold — see
+    analysis/catalan.py; the Snowball automaton is the documented
+    non-goal). Runs per UNIQUE term at dictionary-encode time (Arrow
+    fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .catalan import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .catalan import catalan_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([catalan_light_stem(t) for t in a.tokens], a.positions)
+
+
+class BasqueLightAnalyzer(StandardAnalyzer):
+    """BasqueAnalyzer (Analysis/Eu/BasqueAnalyzer.cs:40 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Basque) -> light
+    de-agglutination (determiner + case endings from the published
+    Snowball inventory — see analysis/basque.py). Runs per UNIQUE term
+    at dictionary-encode time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .basque import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .basque import basque_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([basque_light_stem(t) for t in a.tokens], a.positions)
+
+
+class ArmenianLightAnalyzer(StandardAnalyzer):
+    """ArmenianAnalyzer (Analysis/Hy/ArmenianAnalyzer.cs:40 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Armenian) -> light stem
+    (article/plural/case endings from the published Snowball inventory —
+    see analysis/armenian.py). Only Armenian-script terms are rewritten.
+    Runs per UNIQUE term at dictionary-encode time (Arrow fast path
+    stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .armenian import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .armenian import armenian_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([armenian_light_stem(t) for t in a.tokens], a.positions)
+
+
+class IrishLightAnalyzer(StandardAnalyzer):
+    """IrishAnalyzer (Analysis/Ga/IrishAnalyzer.cs:48 chain):
+    StandardTokenizer -> hyphenation/elision particles stopped ->
+    IrishLowerCase -> StopFilter(Irish) -> demutation + light stem
+    (eclipsis/lenition prefix removal + plural ending strip — see
+    analysis/irish.py; the Snowball automaton is the documented
+    non-goal). Runs per UNIQUE term at dictionary-encode time (Arrow
+    fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .irish import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .irish import irish_light_stem
+
+        a = super().analyze(text)
+        return Analyzed([irish_light_stem(t) for t in a.tokens], a.positions)
+
+
+class GalicianMinimalAnalyzer(StandardAnalyzer):
+    """GalicianAnalyzer, minimal variant (Analysis/Gl/GalicianAnalyzer.cs:40
+    chain with Gl/GalicianMinimalStemmer.cs:25): StandardTokenizer ->
+    LowerCase -> StopFilter(Galician) -> plural-only reduction (published
+    RSLP-for-Galician rules — see analysis/galician.py). Runs per UNIQUE
+    term at dictionary-encode time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .galician import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .galician import galician_minimal_stem
+
+        a = super().analyze(text)
+        return Analyzed(
+            [galician_minimal_stem(t) for t in a.tokens], a.positions
+        )
+
+
+class BrazilianLightAnalyzer(StandardAnalyzer):
+    """BrazilianAnalyzer (Analysis/Br/BrazilianAnalyzer.cs:43 chain):
+    StandardTokenizer -> LowerCase -> StopFilter(Brazilian) -> RSLP light
+    steps (plural -> adverb -> diminutive -> final vowel -> fold, from
+    the published Orengo & Huyck 2001 paper — see analysis/brazilian.py;
+    the derivational rule tables are the documented non-goal). Distinct
+    from the UniNE ``portuguese`` pack, as in the reference. Runs per
+    UNIQUE term at dictionary-encode time (Arrow fast path stays hot)."""
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        from .brazilian import stem_unique
+
+        return stem_unique(uniques)
+
+    def analyze(self, text: str) -> Analyzed:
+        from .brazilian import brazilian_light_stem
+
+        a = super().analyze(text)
+        return Analyzed(
+            [brazilian_light_stem(t) for t in a.tokens], a.positions
+        )
+
+
 class ASCIIFoldingAnalyzer(StandardAnalyzer):
     """StandardTokenizer -> LowerCase -> StopFilter -> ASCIIFolding
     (Analysis/Miscellaneous/ASCIIFoldingFilter.cs): accented/decomposable
@@ -1033,6 +1158,41 @@ def analyzer_for(
 
         sw = CJK_STOP_WORDS if stop_words else frozenset()
         return CJKAnalyzer(sw, max_token_length, ascii_only)
+    if name == "catalan":
+        from .catalan import CATALAN_STOP_WORDS
+
+        sw = CATALAN_STOP_WORDS if stop_words else frozenset()
+        return CatalanLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "basque":
+        from .basque import BASQUE_STOP_WORDS
+
+        sw = BASQUE_STOP_WORDS if stop_words else frozenset()
+        return BasqueLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "armenian":
+        from .armenian import ARMENIAN_STOP_WORDS
+
+        sw = ARMENIAN_STOP_WORDS if stop_words else frozenset()
+        return ArmenianLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "irish":
+        from .irish import IRISH_STOP_WORDS
+
+        sw = IRISH_STOP_WORDS if stop_words else frozenset()
+        return IrishLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "galician":
+        from .galician import GALICIAN_STOP_WORDS
+
+        sw = GALICIAN_STOP_WORDS if stop_words else frozenset()
+        return GalicianMinimalAnalyzer(sw, max_token_length, ascii_only)
+    if name == "brazilian":
+        from .brazilian import BRAZILIAN_STOP_WORDS
+
+        sw = BRAZILIAN_STOP_WORDS if stop_words else frozenset()
+        return BrazilianLightAnalyzer(sw, max_token_length, ascii_only)
+    if name == "thai":
+        from .thai import THAI_STOP_WORDS, ThaiAnalyzer
+
+        sw = THAI_STOP_WORDS if stop_words else frozenset()
+        return ThaiAnalyzer(sw, max_token_length, ascii_only)
     if name == "ascii_folding":
         return ASCIIFoldingAnalyzer(stop_words, max_token_length, ascii_only)
     if name == "simple":
