@@ -1342,6 +1342,120 @@ def q_ft_thai_tcc(spark, sf_dir):
     return _topk_df(s, q, 10)
 
 
+# --------------------------------------------------------------------------- #
+# r5 non-language analysis modules (analysis/modules.py): Shingle,
+# CommonGrams, Reverse (leading wildcard), Pattern, PathHierarchy — one
+# small dedicated index each, shared exact-int scoring, DuckDB oracles
+# that rebuild the module's token stream with pure SQL.
+# --------------------------------------------------------------------------- #
+
+_MODULE_SEARCHERS: dict[tuple[str, str], Searcher] = {}
+
+
+def _module_searcher(spark, sf_dir, tag: str, analyzer: str, text_expr: str):
+    """Build/open a single-text-field index whose text column is
+    ``text_expr`` analyzed by ``analyzer`` (one per module entry)."""
+    import dataclasses
+
+    key = (os.path.basename(os.path.normpath(sf_dir)) or "default", tag)
+    if key in _MODULE_SEARCHERS:
+        return _MODULE_SEARCHERS[key]
+    cfg = dataclasses.replace(
+        _ENTRY_CONFIG,
+        analyzer=analyzer,
+        keyword_fields=(), docvalue_fields=(), text_fields=(),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"),
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.expr(text_expr).alias("text"),
+    )
+    idx = os.path.join(_INDEX_ROOT, key[0] + "_" + tag)
+    build_index(spark, pages, idx, cfg)  # resumes
+    s = Searcher(spark, idx, scoring="exact_int")
+    _MODULE_SEARCHERS[key] = s
+    return s
+
+
+def q_ft_shingle(spark, sf_dir):
+    """Word shingles (Analysis/Shingle/ShingleFilter.cs:58, default
+    maxShingleSize=2 + unigrams): the corpus indexed through the shingle
+    chain — every adjacent word pair becomes a searchable ' '-joined
+    term alongside the unigrams — then a 2-shingle SHOULD top-k. The
+    DuckDB oracle rebuilds the exact stream (unigrams UNION windowed
+    pairs) and scores with the shared exact-int formula, so the shingle
+    emission, doclen (2n-1), df and ranking are all cross-checked."""
+    s = _module_searcher(spark, sf_dir, "shingle", "shingle", "text")
+    q = BooleanQuery.build(
+        should=[TermQuery("hash join"), TermQuery("the row")]
+    )
+    return _topk_df(s, q, 10)
+
+
+def q_ft_common_grams(spark, sf_dir):
+    """CommonGrams (Analysis/CommonGrams/CommonGramsFilter.cs:44): '_'
+    bigrams emitted only where either member is an English common word —
+    the stopword-phrase indexing trick — plus the unigram stream. The
+    probes are two common-word bigrams; the oracle rebuilds the stream
+    with the same 33-word common set embedded as a SQL literal."""
+    s = _module_searcher(
+        spark, sf_dir, "commongrams", "common_grams", "text"
+    )
+    q = BooleanQuery.build(
+        should=[TermQuery("the_table"), TermQuery("a_query")]
+    )
+    return _topk_df(s, q, 10)
+
+
+def q_ft_leading_wildcard(spark, sf_dir):
+    """Leading-wildcard search via the reversed-term index
+    (Analysis/Reverse/ReverseStringFilter.cs:32 — its documented
+    purpose): ``*er`` rewrites to PrefixQuery(reverse('er')) = 're'
+    against an index whose every term is stored reversed, turning the
+    worst-case full-dictionary wildcard scan into one prefix seek. The
+    oracle filters the FORWARD token stream with LIKE '%er' — the two
+    formulations must agree exactly."""
+    s = _module_searcher(spark, sf_dir, "reverse", "reverse", "text")
+    d = s.score_df(PrefixQuery("er"[::-1]))
+    return d.select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+    ).orderBy("doc_id")
+
+
+def q_ft_pattern_analyzer(spark, sf_dir):
+    """PatternAnalyzer (Analysis/Miscellaneous/PatternAnalyzer.cs:45):
+    a configurable split regex carried in the chain name
+    ('pattern:[^a-z]+' — letters only, digits become separators, unlike
+    the [^a-z0-9]+ default). The text gets a deterministic ' id<d>'
+    suffix so the two tokenizers observably differ ('id3' vs 'id'+'3'
+    boundary); the oracle splits with the same regex via
+    string_split_regex."""
+    s = _module_searcher(
+        spark, sf_dir, "pattern", "pattern:[^a-z]+",
+        "concat(text, ' id', cast(doc_id % 10 as string))",
+    )
+    q = BooleanQuery.build(should=[TermQuery("id"), TermQuery("table")])
+    return _topk_df(s, q, 10)
+
+
+def q_ft_path_hierarchy(spark, sf_dir):
+    """PathHierarchyTokenizer (Analysis/Path/PathHierarchyTokenizer.cs:38):
+    each document's synthesized source/lang path emits every ancestor
+    prefix as a term ('src5/en' -> 'src5', 'src5/en'), so "everything
+    under src5" is ONE term seek — the index-side realization of the
+    taxonomy facet's url tree. Probes mix a leaf and a level-1 node; the
+    oracle unions the two prefix columns per doc."""
+    s = _module_searcher(
+        spark, sf_dir, "pathhier", "path_hierarchy",
+        "concat(source, '/', lang)",
+    )
+    q = BooleanQuery.build(
+        should=[TermQuery("src5/en"), TermQuery("src3")]
+    )
+    return _topk_df(s, q, 10)
+
+
 def q_ft_prefix(spark, sf_dir):
     """PrefixQuery via term-dictionary scan + CONSTANT_SCORE_AUTO rewrite
     (PrefixQuery.cs:37, MultiTermQuery.cs:95)."""
@@ -3739,6 +3853,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_lang_router_misc": q_ft_lang_router_misc,
         "ft_lang_router_six": q_ft_lang_router_six,
         "ft_thai_tcc": q_ft_thai_tcc,
+        "ft_shingle": q_ft_shingle,
+        "ft_common_grams": q_ft_common_grams,
+        "ft_leading_wildcard": q_ft_leading_wildcard,
+        "ft_pattern_analyzer": q_ft_pattern_analyzer,
+        "ft_path_hierarchy": q_ft_path_hierarchy,
         "ft_span_nested_unord": q_ft_span_nested_unord,
         "ft_complex_phrase": q_ft_complex_phrase,
         "ft_surround": q_ft_surround,
@@ -4381,6 +4500,101 @@ st AS (SELECT (SELECT count(*) FROM documents
               (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
 """
         + _term_ctes(["ตารา", "แถว"])
+        + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # Shingles (r5): unigrams UNION windowed ' '-joined pairs rebuild the
+    # ShingleFilter stream; dl = 2n-1 falls out of the union
+    _shingle_base = (
+        f"b AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),\n"
+        "tok AS (\n"
+        "  SELECT doc_id, t[i] AS term FROM\n"
+        "    (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM b)\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id, t[i] || ' ' || t[i+1] AS term FROM\n"
+        "    (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM b)\n"
+        "),\n"
+        "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),\n"
+        "st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,\n"
+        "              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)"
+    )
+    o["ft_shingle"] = (
+        "WITH " + _shingle_base
+        + _term_ctes(["hash join", "the row"])
+        + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # CommonGrams (r5): '_' bigrams only at common-word boundaries; the
+    # common set is the same 33-word English stop list the chain uses
+    from lucenenet_spark.analysis.analyzer import ENGLISH_STOP_WORDS
+
+    _cg_set = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    _cg_base = (
+        f"b AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),\n"
+        "tok AS (\n"
+        "  SELECT doc_id, t[i] AS term FROM\n"
+        "    (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM b)\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id, t[i] || '_' || t[i+1] AS term FROM\n"
+        "    (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM b)\n"
+        f"  WHERE t[i] IN ({_cg_set}) OR t[i+1] IN ({_cg_set})\n"
+        "),\n"
+        "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),\n"
+        "st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,\n"
+        "              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)"
+    )
+    o["ft_common_grams"] = (
+        "WITH " + _cg_base
+        + _term_ctes(["the_table", "a_query"])
+        + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # Leading wildcard via the reversed index (r5): the oracle states the
+    # SPEC directly — forward tokens ending in 'er' — which the engine
+    # answers as a prefix seek over reversed terms
+    o["ft_leading_wildcard"] = (
+        _SQL_PREFIX
+        + "SELECT DISTINCT doc_id, CAST(1000000 AS BIGINT) AS score FROM tok "
+        "WHERE term LIKE '%er' ORDER BY doc_id"
+    )
+
+    # PatternAnalyzer (r5): same split regex via string_split_regex over
+    # the same derived text
+    _pat_text = "lower(text || ' id' || CAST(doc_id % 10 AS VARCHAR))"
+    _pat_toks = (
+        f"list_filter(string_split_regex({_pat_text}, '[^a-z]+'), "
+        "x -> x <> '')"
+    )
+    o["ft_pattern_analyzer"] = (
+        f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_pat_toks}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
+"""
+        + _term_ctes(["id", "table"])
+        + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # PathHierarchy (r5): each doc emits its two ancestor prefixes
+    o["ft_path_hierarchy"] = (
+        """
+WITH tok AS (
+  SELECT doc_id, source AS term FROM documents
+  UNION ALL
+  SELECT doc_id, source || '/' || lang AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
+"""
+        + _term_ctes(["src5/en", "src3"])
         + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
         + _TOPK_TAIL.format(k=10)
     )

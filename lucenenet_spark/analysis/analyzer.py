@@ -1193,6 +1193,28 @@ def analyzer_for(
 
         sw = THAI_STOP_WORDS if stop_words else frozenset()
         return ThaiAnalyzer(sw, max_token_length, ascii_only)
+    if name == "shingle":
+        from .modules import ShingleAnalyzer
+
+        return ShingleAnalyzer(stop_words, max_token_length, ascii_only)
+    if name == "common_grams":
+        from .modules import CommonGramsAnalyzer
+
+        return CommonGramsAnalyzer(stop_words, max_token_length, ascii_only)
+    if name == "reverse":
+        from .modules import ReverseAnalyzer
+
+        return ReverseAnalyzer(stop_words, max_token_length, ascii_only)
+    if name == "path_hierarchy":
+        from .modules import PathHierarchyAnalyzer
+
+        return PathHierarchyAnalyzer(stop_words, max_token_length, ascii_only)
+    if name.startswith("pattern:"):
+        from .modules import PatternAnalyzer
+
+        return PatternAnalyzer(
+            name[len("pattern:"):], stop_words, max_token_length, ascii_only
+        )
     if name == "ascii_folding":
         return ASCIIFoldingAnalyzer(stop_words, max_token_length, ascii_only)
     if name == "simple":
