@@ -1456,6 +1456,24 @@ def q_ft_path_hierarchy(spark, sf_dir):
     return _topk_df(s, q, 10)
 
 
+def q_ft_synonym_collapse(spark, sf_dir):
+    """Index-time synonym collapse (Analysis/Synonym/SynonymFilter.cs:33,
+    SynonymMap.cs — the equivalence-class dual of the reference's 1:many
+    injection, see modules.SynonymAnalyzer): 'line' collapses into 'row'
+    and 'scan' into 'query' at encode time, so ONE postings list serves
+    each group and the canonical TermQuery matches every variant — tf,
+    df, doclen all reflect the merged group, which the oracle reproduces
+    by applying the same alias>canonical map to its token stream. The
+    map rides the chain name, so the stats commit fingerprints it and
+    the query side rebuilds the identical chain."""
+    s = _module_searcher(
+        spark, sf_dir, "synonyms",
+        "synonyms:line>row,scan>query", "text",
+    )
+    q = BooleanQuery.build(should=[TermQuery("row"), TermQuery("query")])
+    return _topk_df(s, q, 10)
+
+
 def q_ft_prefix(spark, sf_dir):
     """PrefixQuery via term-dictionary scan + CONSTANT_SCORE_AUTO rewrite
     (PrefixQuery.cs:37, MultiTermQuery.cs:95)."""
@@ -2520,6 +2538,98 @@ def q_dd_exact(spark, sf_dir):
         d.groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"), F.min("doc_id").cast("long").alias("keep_doc"))
         .orderBy("text_hash")
+    )
+
+
+def q_dd_exact_substring(spark, sf_dir):
+    """Exact repeated-SPAN detection — the distributed form of the
+    exact-substring method in Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" (there: a single-machine suffix
+    array over the whole corpus; here: every 16-token window, stride 1,
+    fingerprinted to a 32-hex md5 and hash-grouped — one shuffle on the
+    fingerprint, linear in corpus tokens). A fingerprint seen in >= 2
+    distinct documents is a cross-document repeated span (the class the
+    paper removes). Returns the top-20 by (docs, occurrences) with a
+    total-order tiebreak so the cut is deterministic.
+
+    100 TB story: the 16x row inflation ships only (hash, doc_id) pairs
+    — 40 bytes/row, not text — and partial aggregation combines
+    map-side; the known refinement for petabyte corpora (stride-s
+    sampling + local verify-extend, s <= span_target - window + 1) trades
+    shuffle volume for a verify pass and is documented here rather than
+    implemented: at bench scale stride 1 IS the exact method."""
+    w = 16
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("toks")
+    )
+    spans = d.filter(F.size("toks") >= w).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {w - 1}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {w}))))"
+            )
+        ).alias("span_hash"),
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occ"), F.asc("span_hash")
+        )
+        .limit(20)
+    )
+
+
+def q_txt_line_dedup(spark, sf_dir):
+    """Cross-document boilerplate removal — the frequent-line filter of
+    C4 / CCNet / RefinedWeb (drop any line that repeats across >= k
+    documents: navbars, cookie banners, license footers). The synthetic
+    corpus carries no newlines, so a "line" is realized as each
+    non-overlapping 8-token segment (the operator is delimiter-generic;
+    only the segmentation expression changes for real text). Two stages:
+    (1) segment -> groupBy(segment text) -> the frequent set (>= 3
+    distinct docs); (2) anti-join docs' segments against it, count
+    survivors per doc. Scale: stage 1 is one hash shuffle with map-side
+    combine; the frequent set is tiny by construction (boilerplate), so
+    stage 2's anti-join broadcasts — no second corpus shuffle."""
+    seg_expr = (
+        "transform(sequence(0, CAST(floor(size(toks)/8) AS INT) - 1),"
+        " i -> concat_ws(' ', slice(toks, i*8 + 1, 8)))"
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+        .filter(F.size("toks") >= 8)
+        .select("doc_id", F.explode(F.expr(seg_expr)).alias("seg"))
+    )
+    frequent = (
+        d.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("seg")
+    )
+    kept = d.join(F.broadcast(frequent), "seg", "left_anti")
+    return (
+        d.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seg"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_seg",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -3858,6 +3968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_leading_wildcard": q_ft_leading_wildcard,
         "ft_pattern_analyzer": q_ft_pattern_analyzer,
         "ft_path_hierarchy": q_ft_path_hierarchy,
+        "ft_synonym_collapse": q_ft_synonym_collapse,
+        "dd_exact_substring": q_dd_exact_substring,
+        "txt_line_dedup": q_txt_line_dedup,
         "ft_span_nested_unord": q_ft_span_nested_unord,
         "ft_complex_phrase": q_ft_complex_phrase,
         "ft_surround": q_ft_surround,
@@ -4581,6 +4694,60 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
         + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
         + _TOPK_TAIL.format(k=10)
     )
+
+    # Synonym collapse (r5): the same alias>canonical map over the
+    # oracle's token stream
+    o["ft_synonym_collapse"] = (
+        f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE t WHEN 'line' THEN 'row' WHEN 'scan' THEN 'query' ELSE t END
+           AS term
+  FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS t FROM documents)
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
+              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
+"""
+        + _term_ctes(["row", "query"])
+        + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # Exact repeated spans (r5): same 16-token windows + md5 fingerprints
+    o["dd_exact_substring"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 14),
+                i -> md5(array_to_string(toks[i:i+15], ' ')))) AS span_hash
+  FROM d WHERE len(toks) >= 16
+)
+SELECT span_hash,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occ
+FROM w GROUP BY span_hash
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, span_hash ASC LIMIT 20
+"""
+
+    # Frequent-line removal (r5): same 8-token segments + >=3-doc set
+    o["txt_line_dedup"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(floor(len(toks)/8) AS INT)),
+                i -> array_to_string(toks[i*8+1:i*8+8], ' '))) AS seg
+  FROM d WHERE len(toks) >= 8
+),
+f AS (SELECT seg FROM s GROUP BY seg HAVING count(DISTINCT doc_id) >= 3),
+a AS (SELECT doc_id, count(*)::BIGINT AS n_seg FROM s GROUP BY doc_id),
+b AS (SELECT doc_id, count(*)::BIGINT AS n_kept FROM s
+      WHERE seg NOT IN (SELECT seg FROM f) GROUP BY doc_id)
+SELECT a.doc_id, a.n_seg,
+       CAST(coalesce(b.n_kept, 0) AS BIGINT) AS n_kept
+FROM a LEFT JOIN b ON a.doc_id = b.doc_id ORDER BY a.doc_id
+"""
 
     # PathHierarchy (r5): each doc emits its two ancestor prefixes
     o["ft_path_hierarchy"] = (

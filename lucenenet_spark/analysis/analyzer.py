@@ -1215,6 +1215,12 @@ def analyzer_for(
         return PatternAnalyzer(
             name[len("pattern:"):], stop_words, max_token_length, ascii_only
         )
+    if name.startswith("synonyms:"):
+        from .modules import SynonymAnalyzer
+
+        return SynonymAnalyzer(
+            name[len("synonyms:"):], stop_words, max_token_length, ascii_only
+        )
     if name == "ascii_folding":
         return ASCIIFoldingAnalyzer(stop_words, max_token_length, ascii_only)
     if name == "simple":

@@ -142,6 +142,65 @@ class PatternAnalyzer(StandardAnalyzer):
         ]
 
 
+def parse_synonym_spec(spec: str) -> dict[str, str]:
+    """Parse a ``alias>canonical`` comma list (the chain-name payload of
+    ``"synonyms:<spec>"``) into an alias -> canonical map. Whitespace is
+    not allowed (the name is a config fingerprint); raises on malformed
+    pairs or transitive chains (an alias whose canonical is itself an
+    alias), which the reference resolves at SynonymMap build time."""
+    m: dict[str, str] = {}
+    for pair in spec.split(","):
+        if not pair:
+            continue
+        alias, sep, canon = pair.partition(">")
+        if not sep or not alias or not canon:
+            raise ValueError(f"malformed synonym pair {pair!r}")
+        m[alias] = canon
+    for alias, canon in m.items():
+        if canon in m:
+            raise ValueError(
+                f"transitive synonym chain {alias!r} -> {canon!r} -> "
+                f"{m[canon]!r}: resolve to the final canonical first"
+            )
+    return m
+
+
+class SynonymAnalyzer(StandardAnalyzer):
+    """SynonymFilter analogue (Analysis/Synonym/SynonymFilter.cs:33,
+    SynonymMap.cs), index-time COLLAPSE form: every alias term rewrites
+    to its canonical, so one postings list serves the whole synonym
+    group and a TermQuery on the canonical matches every variant. The
+    reference's default is 1:many injection (alias AND canonical both
+    emitted at posIncr 0); the collapse form is its equivalence-class
+    dual — group recall identical, index smaller — and the 1:many
+    direction is already served query-side by SpanOrQuery synonym
+    clauses and MultiPhraseQuery. Documented divergence.
+
+    The map rides the chain NAME (``"synonyms:line>row,rows>row"``), so
+    the index stats commit fingerprints it and the Searcher rebuilds the
+    identical query-side chain — the PerFieldAnalyzerWrapper contract.
+    1:1 per unique term -> Arrow fast path kept."""
+
+    def __init__(self, spec: str, *args, **kw):
+        super().__init__(*args, **kw)
+        self.spec = spec
+        self.synonyms = parse_synonym_spec(spec)
+
+    def term_filter_unique(self, uniques: np.ndarray) -> np.ndarray:
+        syn = self.synonyms
+        out = np.empty(len(uniques), dtype=object)
+        for i, t in enumerate(uniques):
+            out[i] = t if ":" in t else syn.get(t, t)
+        return out
+
+    def analyze(self, text: str):
+        from .analyzer import Analyzed
+
+        a = super().analyze(text)
+        syn = self.synonyms
+        return Analyzed([syn.get(t, t) for t in a.tokens], a.positions)
+
+
 class PathHierarchyAnalyzer(StandardAnalyzer):
     """The whole (lowercased, trimmed) input is one '/'-delimited path;
     emit every ancestor prefix (PathHierarchyTokenizer.cs:38)."""

@@ -101,6 +101,39 @@ def test_generic_row_path_declared():
         assert not arrow_fast_path_for(a), type(a).__name__
 
 
+def test_synonym_parse():
+    from lucenenet_spark.analysis.modules import parse_synonym_spec
+
+    assert parse_synonym_spec("line>row,scan>query") == {
+        "line": "row", "scan": "query",
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_synonym_spec("line>")          # malformed
+    with pytest.raises(ValueError):
+        parse_synonym_spec("a>b,b>c")        # transitive chain
+
+
+def test_synonym_collapse_chain():
+    from lucenenet_spark.analysis.modules import SynonymAnalyzer
+
+    a = SynonymAnalyzer("line>row,scan>query", frozenset())
+    assert a.analyze("line scan row data").tokens == [
+        "row", "query", "row", "data",
+    ]
+    arr = np.array(["line", "lang:line", "other"], dtype=object)
+    assert list(a.term_filter_unique(arr)) == ["row", "lang:line", "other"]
+    # 1:1 per-unique-term rewrite keeps the Arrow fast path
+    assert arrow_fast_path_for(a)
+    # name-encoded map roundtrips through analyzer_for
+    b = analyzer_for(
+        "synonyms:line>row", stop_words=frozenset(),
+        max_token_length=255, ascii_only=False,
+    )
+    assert b.synonyms == {"line": "row"}
+
+
 def test_analyzer_for_names_roundtrip():
     for name in ["shingle", "common_grams", "reverse", "path_hierarchy"]:
         a = analyzer_for(
