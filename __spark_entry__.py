@@ -1456,6 +1456,38 @@ def q_ft_path_hierarchy(spark, sf_dir):
     return _topk_df(s, q, 10)
 
 
+def q_ft_percolate(spark, sf_dir):
+    """Percolation / reverse search (Lucene.Net.Memory/MemoryIndex.cs:81
+    — the stored-searches-over-streaming-docs pattern): six registered
+    queries (term, AND, minimum-should-match, NOT, exact phrase, prefix)
+    broadcast with the task closure and evaluate per document inside
+    mapInPandas — zero shuffle, embarrassingly parallel over doc
+    partitions, the MemoryIndex per-doc evaluation re-expressed at
+    corpus scale. Output: every (doc_id, query_id) match pair. The
+    DuckDB oracle restates each registered query as an independent SQL
+    predicate over the same token stream."""
+    from lucenenet_spark.analysis.analyzer import StandardAnalyzer
+    from lucenenet_spark.query.percolate import percolate
+
+    an = StandardAnalyzer(frozenset(), 1_000_000, ascii_only=True)
+    regs = [
+        ("q_term", TermQuery("vector")),
+        ("q_and", BooleanQuery.build(
+            must=[TermQuery("table"), TermQuery("group")])),
+        ("q_msm", BooleanQuery.build(
+            should=[TermQuery("spark"), TermQuery("merge"),
+                    TermQuery("stream")],
+            minimum_should_match=2)),
+        ("q_not", BooleanQuery.build(
+            must=[TermQuery("query")], must_not=[TermQuery("slow")])),
+        ("q_phrase", PhraseQuery(("the", "row"))),
+        ("q_prefix", PrefixQuery("wi")),
+    ]
+    return percolate(_docs(spark, sf_dir), regs, an).orderBy(
+        "doc_id", "query_id"
+    )
+
+
 def q_ft_synonym_collapse(spark, sf_dir):
     """Index-time synonym collapse (Analysis/Synonym/SynonymFilter.cs:33,
     SynonymMap.cs — the equivalence-class dual of the reference's 1:many
@@ -3969,6 +4001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_pattern_analyzer": q_ft_pattern_analyzer,
         "ft_path_hierarchy": q_ft_path_hierarchy,
         "ft_synonym_collapse": q_ft_synonym_collapse,
+        "ft_percolate": q_ft_percolate,
         "dd_exact_substring": q_dd_exact_substring,
         "txt_line_dedup": q_txt_line_dedup,
         "ft_span_nested_unord": q_ft_span_nested_unord,
@@ -4713,6 +4746,34 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
         + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
         + _TOPK_TAIL.format(k=10)
     )
+
+    # Percolation (r5): each registered query restated as an independent
+    # SQL predicate over the same token stream
+    o["ft_percolate"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+SELECT doc_id, query_id FROM (
+  SELECT doc_id, 'q_term' AS query_id FROM d
+    WHERE list_contains(toks, 'vector')
+  UNION ALL
+  SELECT doc_id, 'q_and' FROM d
+    WHERE list_contains(toks, 'table') AND list_contains(toks, 'group')
+  UNION ALL
+  SELECT doc_id, 'q_msm' FROM d
+    WHERE CAST(list_contains(toks, 'spark') AS INT)
+        + CAST(list_contains(toks, 'merge') AS INT)
+        + CAST(list_contains(toks, 'stream') AS INT) >= 2
+  UNION ALL
+  SELECT doc_id, 'q_not' FROM d
+    WHERE list_contains(toks, 'query') AND NOT list_contains(toks, 'slow')
+  UNION ALL
+  SELECT doc_id, 'q_phrase' FROM d
+    WHERE len(list_filter(range(1, len(toks)),
+              i -> toks[i] = 'the' AND toks[i+1] = 'row')) > 0
+  UNION ALL
+  SELECT doc_id, 'q_prefix' FROM d
+    WHERE len(list_filter(toks, x -> x LIKE 'wi%')) > 0
+) ORDER BY doc_id, query_id
+"""
 
     # Exact repeated spans (r5): same 16-token windows + md5 fingerprints
     o["dd_exact_substring"] = f"""
