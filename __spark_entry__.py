@@ -1456,6 +1456,43 @@ def q_ft_path_hierarchy(spark, sf_dir):
     return _topk_df(s, q, 10)
 
 
+def q_ft_classic_tfidf(spark, sf_dir):
+    """Classic TF-IDF / DefaultSimilarity ranking
+    (Similarities/TFIDFSimilarity.cs:33, DefaultSimilarity.cs:30) over
+    the SAME postings the BM25 path reads — the Similarity extension
+    point: per matched term sqrt(tf) * idf^2 / sqrt(dl) with
+    idf = 1 + ln(N/(df+1)), coord = matched/|q| (queryNorm omitted:
+    constant per query, rank-neutral — the documented divergence).
+    Integer-exact: per-term micro floor before summation, coord as a
+    rational floor; the oracle reproduces every step in SQL."""
+    s = _searcher(spark, sf_dir)
+    from lucenenet_spark.query.engine import _topk_with_rank
+
+    d = s.similarity_score_df(["table", "group", "vector"], "classic")
+    return _topk_with_rank(d, 10).select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ft_lm_dirichlet(spark, sf_dir):
+    """LM Dirichlet ranking (Similarities/LMDirichletSimilarity.cs:48,
+    mu=2000): per matched term ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)) with
+    the collection model p = ttf/sum_ttf — the second non-BM25
+    similarity on the shared-postings extension point. Integer-exact
+    per-term micro floor; SQL oracle mirrors the op order."""
+    s = _searcher(spark, sf_dir)
+    from lucenenet_spark.query.engine import _topk_with_rank
+
+    d = s.similarity_score_df(["query", "stream"], "lm_dirichlet")
+    return _topk_with_rank(d, 10).select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_ft_percolate(spark, sf_dir):
     """Percolation / reverse search (Lucene.Net.Memory/MemoryIndex.cs:81
     — the stored-searches-over-streaming-docs pattern): six registered
@@ -3742,6 +3779,78 @@ def q_pipe_stratified_sample(spark, sf_dir):
     )
 
 
+def q_pipe_source_weights(spark, sf_dir):
+    """Dataset-mixture materialization with UPSAMPLING — the
+    epochs-per-source step of an LLM train run (e.g. wiki x2.5, books
+    x1, CC x0.25): per-source weight w emits floor(w) full copies of
+    every doc plus one more for the md5(doc_id)-bucketed fraction, so
+    the mixture is bit-reproducible across runs/engines/partitionings
+    (the same content-free bucket as pipe_stratified_sample, which only
+    DOWN-samples). No shuffle: weight lookup + sequence-explode per row,
+    map-side only; output rows carry copy_idx so downstream packing
+    sees distinct repeats."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    w = F.expr(
+        "CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 100 "
+        "WHEN 'src2' THEN 25 ELSE 0 END"
+    )
+    bucket = (
+        F.expr("conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)")
+        .cast("long") % 100
+    )
+    copies = (w / 100).cast("long") + F.when(
+        bucket < w % 100, F.lit(1)
+    ).otherwise(F.lit(0))
+    d = d.withColumn("copies", copies).filter(F.col("copies") > 0)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1, copies)")).alias("ci"),
+        )
+        .select(
+            "doc_id", "source", F.col("ci").cast("long").alias("copy_idx")
+        )
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+def q_txt_unigram_surprisal(spark, sf_dir):
+    """Corpus-unigram-LM surprisal — the exact-arithmetic proxy for the
+    CCNet/RefinedWeb LM-perplexity quality filter: token surprisal
+    -ln p(t) under the corpus's own unigram model, integer-micro per
+    TOKEN (floor(ln(total/count)*1e6 + 0.5), the engine's exact-int
+    convention) so the per-doc SUM is order-free integer arithmetic —
+    bit-reproducible across engines, no float association hazard.
+    Plan: one token-count shuffle, then tokens join counts on term and
+    integer-sum per doc; at web scale the unigram table is too big to
+    broadcast, and this join-on-term formulation is the shape that
+    survives (the optimizer may still broadcast a small table — at
+    sf0.1 the vocabulary IS small)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("t")
+    )
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    # total from the (vocabulary-sized) counts table — no extra corpus
+    # pass, the r4-verdict lesson from the dedup entries
+    total = counts.agg(F.sum("cnt")).collect()[0][0]
+    per_tok = toks.join(counts, "t").select(
+        "doc_id",
+        F.floor(
+            F.log(F.lit(float(total)) / F.col("cnt").cast("double"))
+            * 1000000.0 + 0.5
+        ).cast("long").alias("sur"),
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("sur").cast("long").alias("surprisal_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_mm_meta(spark, sf_dir):
     """Multimodal column plumbing: opaque binary payload + typed metadata
     (byte length, sha256) — the schema/partitioning layer under any
@@ -4002,8 +4111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_path_hierarchy": q_ft_path_hierarchy,
         "ft_synonym_collapse": q_ft_synonym_collapse,
         "ft_percolate": q_ft_percolate,
+        "ft_classic_tfidf": q_ft_classic_tfidf,
+        "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "dd_exact_substring": q_dd_exact_substring,
         "txt_line_dedup": q_txt_line_dedup,
+        "pipe_source_weights": q_pipe_source_weights,
+        "txt_unigram_surprisal": q_txt_unigram_surprisal,
         "ft_span_nested_unord": q_ft_span_nested_unord,
         "ft_complex_phrase": q_ft_complex_phrase,
         "ft_surround": q_ft_surround,
@@ -4747,6 +4860,62 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
         + _TOPK_TAIL.format(k=10)
     )
 
+    # Classic TF-IDF (r5): sqrt(tf)*idf^2/sqrt(dl) per-term micro floor,
+    # coord as a rational floor — each step restated in SQL
+    _classic_terms = ["table", "group", "vector"]
+    _classic_tfs = ",\n".join(
+        f"t{i} AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok "
+        f"WHERE term = '{t}' GROUP BY doc_id)"
+        for i, t in enumerate(_classic_terms)
+    )
+    _classic_scores = " UNION ALL ".join(
+        f"SELECT doc_id, CAST(floor(sqrt(t{i}.tf) * "
+        f"((1.0 + ln(st.maxdoc / ((SELECT count(*) FROM t{i}) + 1.0))) * "
+        f"(1.0 + ln(st.maxdoc / ((SELECT count(*) FROM t{i}) + 1.0)))) "
+        f"/ sqrt(d.dl) * 1000000.0 + 0.5) AS BIGINT) AS s "
+        f"FROM t{i} JOIN dl d USING (doc_id) CROSS JOIN st"
+        for i in range(len(_classic_terms))
+    )
+    o["ft_classic_tfidf"] = (
+        _SQL_PREFIX
+        + ", " + _classic_tfs
+        + f""",
+scored AS (
+  SELECT doc_id,
+         CAST(floor(sum(s) * count(*) / {len(_classic_terms)}.0) AS BIGINT)
+           AS score
+  FROM ({_classic_scores}) GROUP BY doc_id
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # LM Dirichlet (r5): ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)), mu=2000
+    _lm_terms = ["query", "stream"]
+    _lm_tfs = ",\n".join(
+        f"t{i} AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok "
+        f"WHERE term = '{t}' GROUP BY doc_id)"
+        for i, t in enumerate(_lm_terms)
+    )
+    _lm_scores = " UNION ALL ".join(
+        f"SELECT doc_id, CAST(floor((ln(1.0 + t{i}.tf / (2000.0 * "
+        f"((SELECT sum(tf) FROM t{i}) / st.sum_ttf))) + "
+        f"ln(2000.0 / (d.dl + 2000.0))) * 1000000.0 + 0.5) AS BIGINT) AS s "
+        f"FROM t{i} JOIN dl d USING (doc_id) CROSS JOIN st"
+        for i in range(len(_lm_terms))
+    )
+    o["ft_lm_dirichlet"] = (
+        _SQL_PREFIX
+        + ", " + _lm_tfs
+        + f""",
+scored AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+  FROM ({_lm_scores}) GROUP BY doc_id
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
     # Percolation (r5): each registered query restated as an independent
     # SQL predicate over the same token stream
     o["ft_percolate"] = f"""
@@ -4790,6 +4959,35 @@ SELECT span_hash,
 FROM w GROUP BY span_hash
 HAVING count(DISTINCT doc_id) >= 2
 ORDER BY n_docs DESC, n_occ DESC, span_hash ASC LIMIT 20
+"""
+
+    # Source-weight mixture (r5): same weights, bucket, and repeat count
+    o["pipe_source_weights"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 100
+              WHEN 'src2' THEN 25 ELSE 0 END AS w,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS b
+  FROM documents
+),
+c AS (SELECT doc_id, source,
+             w // 100 + CASE WHEN b < w % 100 THEN 1 ELSE 0 END AS copies
+      FROM d)
+SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_idx
+FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx
+"""
+
+    # Unigram surprisal (r5): same counts, same per-token integer micro
+    o["txt_unigram_surprisal"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS t FROM documents),
+cnt AS (SELECT t, count(*)::DOUBLE AS c FROM tok GROUP BY t),
+tot AS (SELECT sum(c) AS total FROM cnt)
+SELECT doc_id, count(*)::BIGINT AS n_toks,
+       CAST(sum(CAST(floor(ln(tot.total / cnt.c) * 1000000.0 + 0.5)
+                AS BIGINT)) AS BIGINT) AS surprisal_micro
+FROM tok JOIN cnt USING (t) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
 """
 
     # Frequent-line removal (r5): same 8-token segments + >=3-doc set

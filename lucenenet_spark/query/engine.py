@@ -1922,6 +1922,121 @@ class Searcher:
             return scored.select("docid", F.col("score").cast("long").alias("score"))
         return scored.select("docid", F.col("score").cast("float").alias("score"))
 
+    def similarity_score_df(
+        self, terms: list[str], similarity: str = "classic",
+        mu: float = 2000.0,
+    ) -> DataFrame:
+        """Pluggable-similarity disjunction scorer over the SAME postings
+        the BM25 path reads — the Similarity extension point
+        (Search/Similarities/Similarity.cs:55) exercised with two
+        published formulas beyond BM25:
+
+        - ``"classic"`` — TF-IDF / DefaultSimilarity
+          (Similarities/TFIDFSimilarity.cs:33, DefaultSimilarity.cs:30):
+          per matched term ``sqrt(tf) * idf^2 / sqrt(dl)`` with
+          ``idf = 1 + ln(maxdoc / (df + 1))``; coord(q,d) =
+          matched/|q| multiplies the sum (BooleanWeight.Coord). queryNorm
+          is omitted — it is constant per query, so ranks are unchanged
+          (the reference itself calls it "not relevant to ranking",
+          TFIDFSimilarity.cs queryNorm doc) — the documented divergence.
+        - ``"lm_dirichlet"`` — LMDirichletSimilarity.cs:48: per matched
+          term ``ln(1 + tf/(mu*p)) + ln(mu/(dl+mu))`` with collection
+          model ``p = ttf/sum_ttf`` (mu default 2000, as the reference).
+
+        Integer-exact contract (the exact_int convention): each per-term
+        per-doc contribution floors to micro units BEFORE summation, so
+        cross-engine comparison is integer arithmetic; classic's coord is
+        applied as ``(sum * matched) DIV |q|`` — a rational floor both
+        engines compute identically."""
+        import math
+
+        if similarity not in ("classic", "lm_dirichlet"):
+            raise ValueError(f"unknown similarity {similarity!r}")
+        stats = self.term_stats(terms)
+        n_q = len(terms)
+        parts = []
+        for t in terms:
+            st = stats.get(t)
+            if st is None:
+                continue
+            blocks = self.postings.filter(F.col("term") == t)
+            if similarity == "classic":
+                idf_c = 1.0 + math.log(self.maxdoc / (st.df + 1.0))
+                w = idf_c * idf_c
+
+                def decode(batches, w=w):
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        docids = np.concatenate([
+                            fd + np.cumsum(np.asarray(d, dtype=np.int64))
+                            for fd, d in zip(
+                                pdf["first_docid"], pdf["docid_deltas"]
+                            )
+                        ])
+                        tf = np.concatenate([
+                            np.asarray(x, dtype=np.int64) for x in pdf["freqs"]
+                        ]).astype(np.float64)
+                        dl = np.concatenate([
+                            np.asarray(x, dtype=np.int64) for x in pdf["doclens"]
+                        ]).astype(np.float64)
+                        s = np.sqrt(tf) * w / np.sqrt(dl)
+                        yield pd.DataFrame({
+                            "docid": docids,
+                            "s": np.floor(s * 1e6 + 0.5).astype(np.int64),
+                        })
+            else:
+                p = st.ttf / float(self.sum_ttf)
+                mup = mu * p
+
+                def decode(batches, mup=mup, mu=mu):
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        docids = np.concatenate([
+                            fd + np.cumsum(np.asarray(d, dtype=np.int64))
+                            for fd, d in zip(
+                                pdf["first_docid"], pdf["docid_deltas"]
+                            )
+                        ])
+                        tf = np.concatenate([
+                            np.asarray(x, dtype=np.int64) for x in pdf["freqs"]
+                        ]).astype(np.float64)
+                        dl = np.concatenate([
+                            np.asarray(x, dtype=np.int64) for x in pdf["doclens"]
+                        ]).astype(np.float64)
+                        s = np.log(1.0 + tf / mup) + np.log(mu / (dl + mu))
+                        yield pd.DataFrame({
+                            "docid": docids,
+                            "s": np.floor(s * 1e6 + 0.5).astype(np.int64),
+                        })
+
+            parts.append(
+                blocks.select(
+                    "first_docid", "docid_deltas", "freqs", "doclens"
+                ).mapInPandas(decode, schema="docid long, s long")
+            )
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "docid long, score long"
+            )
+        u = reduce(lambda a, b: a.unionAll(b), parts)
+        agg = u.groupBy("docid").agg(
+            F.sum("s").alias("ssum"), F.count(F.lit(1)).alias("matched")
+        )
+        if similarity == "classic":
+            score = F.floor(
+                F.col("ssum") * F.col("matched") / F.lit(n_q)
+            ).cast("long")
+        else:
+            score = F.col("ssum").cast("long")
+        scored = agg.select("docid", score.alias("score"))
+        if self.tombstones is not None:
+            scored = scored.join(
+                F.broadcast(self.tombstones), "docid", "left_anti"
+            )
+        return scored
+
     def search(self, q: Query, k: int = 10, wand: bool = False) -> DataFrame:
         """Top-k: (docid, score, rank). Tie-break score desc then docid asc
         (HitQueue.cs:77-87) via distributed TakeOrderedAndProject.

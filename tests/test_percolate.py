@@ -83,6 +83,32 @@ def test_spark_integration(spark):
     assert got == [(0, "q1"), (1, "q3"), (2, "q2")]
 
 
+def test_streaming_percolation(spark, tmp_path):
+    # the alerting deployment shape: readStream -> percolate -> sink
+    # (mapInPandas is stateless, so it composes with Structured Streaming
+    # micro-batches unchanged)
+    src = str(tmp_path / "in")
+    docs = spark.createDataFrame(
+        [(0, "the quick fox"), (1, "a slow dog")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = percolate(stream, [("q1", TermQuery("fox"))], AN)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("perc_hits")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = [
+        (r["doc_id"], r["query_id"])
+        for r in spark.sql("SELECT * FROM perc_hits ORDER BY doc_id").collect()
+    ]
+    assert got == [(0, "q1")]
+
+
 def test_zero_shuffle_plan(spark):
     # map-side only: no Exchange in the physical plan
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
