@@ -3830,16 +3830,21 @@ def q_txt_unigram_surprisal(spark, sf_dir):
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("t")
     )
-    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt")).persist()
-    # total from the (vocabulary-sized) counts table — no extra corpus
-    # pass, the r4-verdict lesson from the dedup entries
-    total = counts.agg(F.sum("cnt")).collect()[0][0]
-    per_tok = toks.join(counts, "t").select(
-        "doc_id",
-        F.floor(
-            F.log(F.lit(float(total)) / F.col("cnt").cast("double"))
-            * 1000000.0 + 0.5
-        ).cast("long").alias("sur"),
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    # total folded into the SAME lazy plan via a broadcast 1-row cross
+    # join — no driver collect, no persist to leak, no extra corpus
+    # pass (AQE reuses the counts exchange for the scalar aggregate)
+    total_df = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    per_tok = (
+        toks.join(counts, "t")
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(F.col("total") / F.col("cnt").cast("double"))
+                * 1000000.0 + 0.5
+            ).cast("long").alias("sur"),
+        )
     )
     return (
         per_tok.groupBy("doc_id")

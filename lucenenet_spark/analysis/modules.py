@@ -132,6 +132,14 @@ class PatternAnalyzer(StandardAnalyzer):
         super().__init__(*args, **kw)
         self.pattern = pattern
         self._split_re = re.compile(pattern)
+        # a capturing group would make re.split LEAK the separators into
+        # the token stream (PatternAnalyzer.cs splits non-capturing
+        # always) — reject with the clear-error convention
+        if self._split_re.groups:
+            raise ValueError(
+                f"pattern {pattern!r} has a capturing group, which would "
+                "emit separators as tokens — use (?:...) instead"
+            )
 
     def tokenize(self, text: str) -> list[str]:
         if not text:
@@ -155,6 +163,13 @@ def parse_synonym_spec(spec: str) -> dict[str, str]:
         alias, sep, canon = pair.partition(">")
         if not sep or not alias or not canon:
             raise ValueError(f"malformed synonym pair {pair!r}")
+        if any(ch.isspace() for ch in pair):
+            raise ValueError(f"whitespace in synonym pair {pair!r}")
+        if pair != pair.lower():
+            raise ValueError(
+                f"uppercase in synonym pair {pair!r}: the chain matches "
+                "LOWERCASED tokens, so an uppercase entry can never fire"
+            )
         m[alias] = canon
     for alias, canon in m.items():
         if canon in m:

@@ -65,6 +65,10 @@ _TCC_RE = re.compile(
 )
 
 _HAS_THAI_RE = re.compile(f"[{_THAI_LO}-{_THAI_HI}]")
+# mixed-script token splitter: maximal Thai runs vs maximal non-Thai runs
+_RUN_RE = re.compile(
+    f"[{_THAI_LO}-{_THAI_HI}]+|[^{_THAI_LO}-{_THAI_HI}]+"
+)
 
 
 def thai_tcc_segment(run: str) -> list[str]:
@@ -94,7 +98,13 @@ class ThaiAnalyzer(StandardAnalyzer):
         out: list[str] = []
         for t in super().tokenize(text):
             if _HAS_THAI_RE.search(t):
-                out.extend(thai_cluster_bigrams(t))
+                # mixed-script tokens (ตาราง2024) split into runs: Thai
+                # runs bigram, the rest pass through — nothing is dropped
+                for run in _RUN_RE.findall(t):
+                    if _HAS_THAI_RE.match(run):
+                        out.extend(thai_cluster_bigrams(run))
+                    else:
+                        out.append(run)
             else:
                 out.append(t)
         return out

@@ -159,6 +159,22 @@ def _df_bounded(q: Query) -> bool:
     return False
 
 
+def _decode_tf_dl(pdf: pd.DataFrame):
+    """Posting-block batch -> flat (docids, tf float64, dl float64) — the
+    shared delta-decode for scorers that need (tf, doclen) pairs."""
+    docids = np.concatenate([
+        fd + np.cumsum(np.asarray(d, dtype=np.int64))
+        for fd, d in zip(pdf["first_docid"], pdf["docid_deltas"])
+    ])
+    tf = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in pdf["freqs"]]
+    ).astype(np.float64)
+    dl = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in pdf["doclens"]]
+    ).astype(np.float64)
+    return docids, tf, dl
+
+
 def _topk_with_rank(scored: DataFrame, k: int) -> DataFrame:
     """Distributed top-k with the HitQueue tie-break (score desc, docid asc
     — HitQueue.cs:77-87) plus a rank column: TakeOrderedAndProject for the
@@ -1964,52 +1980,24 @@ class Searcher:
                 idf_c = 1.0 + math.log(self.maxdoc / (st.df + 1.0))
                 w = idf_c * idf_c
 
-                def decode(batches, w=w):
-                    for pdf in batches:
-                        if len(pdf) == 0:
-                            continue
-                        docids = np.concatenate([
-                            fd + np.cumsum(np.asarray(d, dtype=np.int64))
-                            for fd, d in zip(
-                                pdf["first_docid"], pdf["docid_deltas"]
-                            )
-                        ])
-                        tf = np.concatenate([
-                            np.asarray(x, dtype=np.int64) for x in pdf["freqs"]
-                        ]).astype(np.float64)
-                        dl = np.concatenate([
-                            np.asarray(x, dtype=np.int64) for x in pdf["doclens"]
-                        ]).astype(np.float64)
-                        s = np.sqrt(tf) * w / np.sqrt(dl)
-                        yield pd.DataFrame({
-                            "docid": docids,
-                            "s": np.floor(s * 1e6 + 0.5).astype(np.int64),
-                        })
+                def score_fn(tf, dl, w=w):
+                    return np.sqrt(tf) * w / np.sqrt(dl)
             else:
-                p = st.ttf / float(self.sum_ttf)
-                mup = mu * p
+                mup = mu * (st.ttf / float(self.sum_ttf))
 
-                def decode(batches, mup=mup, mu=mu):
-                    for pdf in batches:
-                        if len(pdf) == 0:
-                            continue
-                        docids = np.concatenate([
-                            fd + np.cumsum(np.asarray(d, dtype=np.int64))
-                            for fd, d in zip(
-                                pdf["first_docid"], pdf["docid_deltas"]
-                            )
-                        ])
-                        tf = np.concatenate([
-                            np.asarray(x, dtype=np.int64) for x in pdf["freqs"]
-                        ]).astype(np.float64)
-                        dl = np.concatenate([
-                            np.asarray(x, dtype=np.int64) for x in pdf["doclens"]
-                        ]).astype(np.float64)
-                        s = np.log(1.0 + tf / mup) + np.log(mu / (dl + mu))
-                        yield pd.DataFrame({
-                            "docid": docids,
-                            "s": np.floor(s * 1e6 + 0.5).astype(np.int64),
-                        })
+                def score_fn(tf, dl, mup=mup, mu=mu):
+                    return np.log(1.0 + tf / mup) + np.log(mu / (dl + mu))
+
+            def decode(batches, score_fn=score_fn):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    docids, tf, dl = _decode_tf_dl(pdf)
+                    s = score_fn(tf, dl)
+                    yield pd.DataFrame({
+                        "docid": docids,
+                        "s": np.floor(s * 1e6 + 0.5).astype(np.int64),
+                    })
 
             parts.append(
                 blocks.select(

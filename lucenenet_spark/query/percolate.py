@@ -28,7 +28,7 @@ from typing import Iterable, Iterator
 import pandas as pd
 
 from ..analysis.analyzer import StandardAnalyzer
-from .ast import BooleanQuery, Occur, PhraseQuery, PrefixQuery, Query, TermQuery
+from .ast import BooleanQuery, PhraseQuery, PrefixQuery, Query, TermQuery
 
 
 def _check_supported(q: Query) -> None:

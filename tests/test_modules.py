@@ -83,6 +83,17 @@ def test_pattern_analyzer():
     assert a.tokenize("") == []
 
 
+def test_pattern_capturing_group_rejected():
+    # Python re.split leaks captured groups as tokens; reject clearly
+    import pytest
+
+    with pytest.raises(ValueError):
+        PatternAnalyzer("([^a-z]+)", frozenset())
+    # the non-capturing form works
+    a = PatternAnalyzer("(?:[^a-z]+)", frozenset())
+    assert a.tokenize("Ab3 Cd") == ["ab", "cd"]
+
+
 def test_path_hierarchy():
     a = PathHierarchyAnalyzer(frozenset())
     assert a.tokenize("src3/DE/extra") == ["src3", "src3/de", "src3/de/extra"]
@@ -113,6 +124,10 @@ def test_synonym_parse():
         parse_synonym_spec("line>")          # malformed
     with pytest.raises(ValueError):
         parse_synonym_spec("a>b,b>c")        # transitive chain
+    with pytest.raises(ValueError):
+        parse_synonym_spec("a> b")           # whitespace -> dead mapping
+    with pytest.raises(ValueError):
+        parse_synonym_spec("Line>row")       # uppercase never fires
 
 
 def test_synonym_collapse_chain():

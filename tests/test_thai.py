@@ -54,6 +54,13 @@ def test_chain_mixed_text_and_positions():
     assert an.positions == [1, 2, 3, 4]
 
 
+def test_mixed_script_token_keeps_both_runs():
+    # real Thai glues digits/Latin to Thai with no space: nothing drops
+    a = ThaiAnalyzer(frozenset())
+    assert a.tokenize("ตาราง2024") == ["ตารา", "ราง", "2024"]
+    assert a.tokenize("รุ่นxl") == ["รุ่น", "xl"]
+
+
 def test_analyzer_for_thai():
     a = analyzer_for(
         "thai", stop_words=frozenset({"x"}),
