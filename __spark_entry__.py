@@ -1493,6 +1493,24 @@ def q_ft_lm_dirichlet(spark, sf_dir):
     )
 
 
+def q_ft_lm_jm(spark, sf_dir):
+    """LM Jelinek-Mercer ranking (Similarities/
+    LMJelinekMercerSimilarity.cs:40, lambda=0.7): per matched term
+    ln(1 + ((1-lambda)*tf/dl) / (lambda*p)) — the third non-BM25
+    similarity on the shared-postings extension point. The oracle
+    spells (1.0 - 0.7) rather than 0.3 so both engines compute the
+    identical IEEE double."""
+    s = _searcher(spark, sf_dir)
+    from lucenenet_spark.query.engine import _topk_with_rank
+
+    d = s.similarity_score_df(["merge", "window"], "lm_jelinek_mercer")
+    return _topk_with_rank(d, 10).select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_ft_percolate(spark, sf_dir):
     """Percolation / reverse search (Lucene.Net.Memory/MemoryIndex.cs:81
     — the stored-searches-over-streaming-docs pattern): six registered
@@ -4118,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percolate": q_ft_percolate,
         "ft_classic_tfidf": q_ft_classic_tfidf,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
+        "ft_lm_jm": q_ft_lm_jm,
         "dd_exact_substring": q_dd_exact_substring,
         "txt_line_dedup": q_txt_line_dedup,
         "pipe_source_weights": q_pipe_source_weights,
@@ -4916,6 +4935,33 @@ scored AS (
 scored AS (
   SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
   FROM ({_lm_scores}) GROUP BY doc_id
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # LM Jelinek-Mercer (r5): (1.0 - 0.7) spelled out so both engines
+    # compute the identical IEEE double
+    _jm_terms = ["merge", "window"]
+    _jm_tfs = ",\n".join(
+        f"t{i} AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok "
+        f"WHERE term = '{t}' GROUP BY doc_id)"
+        for i, t in enumerate(_jm_terms)
+    )
+    _jm_scores = " UNION ALL ".join(
+        f"SELECT doc_id, CAST(floor(ln(1.0 + ((1.0 - 0.7) * t{i}.tf / d.dl)"
+        f" / (0.7 * ((SELECT sum(tf) FROM t{i}) / st.sum_ttf)))"
+        f" * 1000000.0 + 0.5) AS BIGINT) AS s "
+        f"FROM t{i} JOIN dl d USING (doc_id) CROSS JOIN st"
+        for i in range(len(_jm_terms))
+    )
+    o["ft_lm_jm"] = (
+        _SQL_PREFIX
+        + ", " + _jm_tfs
+        + f""",
+scored AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+  FROM ({_jm_scores}) GROUP BY doc_id
 )
 """
         + _TOPK_TAIL.format(k=10)

@@ -1940,7 +1940,7 @@ class Searcher:
 
     def similarity_score_df(
         self, terms: list[str], similarity: str = "classic",
-        mu: float = 2000.0,
+        mu: float = 2000.0, jm_lambda: float = 0.7,
     ) -> DataFrame:
         """Pluggable-similarity disjunction scorer over the SAME postings
         the BM25 path reads — the Similarity extension point
@@ -1958,6 +1958,10 @@ class Searcher:
         - ``"lm_dirichlet"`` — LMDirichletSimilarity.cs:48: per matched
           term ``ln(1 + tf/(mu*p)) + ln(mu/(dl+mu))`` with collection
           model ``p = ttf/sum_ttf`` (mu default 2000, as the reference).
+        - ``"lm_jelinek_mercer"`` — LMJelinekMercerSimilarity.cs:40: per
+          matched term ``ln(1 + ((1-lambda)*tf/dl) / (lambda*p))``,
+          lambda = ``jm_lambda`` (default 0.7, the reference's
+          long-query recommendation).
 
         Integer-exact contract (the exact_int convention): each per-term
         per-doc contribution floors to micro units BEFORE summation, so
@@ -1966,7 +1970,7 @@ class Searcher:
         engines compute identically."""
         import math
 
-        if similarity not in ("classic", "lm_dirichlet"):
+        if similarity not in ("classic", "lm_dirichlet", "lm_jelinek_mercer"):
             raise ValueError(f"unknown similarity {similarity!r}")
         stats = self.term_stats(terms)
         n_q = len(terms)
@@ -1982,11 +1986,16 @@ class Searcher:
 
                 def score_fn(tf, dl, w=w):
                     return np.sqrt(tf) * w / np.sqrt(dl)
-            else:
+            elif similarity == "lm_dirichlet":
                 mup = mu * (st.ttf / float(self.sum_ttf))
 
                 def score_fn(tf, dl, mup=mup, mu=mu):
                     return np.log(1.0 + tf / mup) + np.log(mu / (dl + mu))
+            else:
+                lp = jm_lambda * (st.ttf / float(self.sum_ttf))
+
+                def score_fn(tf, dl, lp=lp, lam=jm_lambda):
+                    return np.log(1.0 + ((1.0 - lam) * tf / dl) / lp)
 
             def decode(batches, score_fn=score_fn):
                 for pdf in batches:

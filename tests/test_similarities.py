@@ -106,6 +106,36 @@ def test_lm_dirichlet_matches_numpy(searcher):
     assert got == _lm_expected(terms)
 
 
+def _jm_expected(terms, lam=0.7):
+    toks, n, total = _corpus()
+    out = {}
+    for d, tt in enumerate(toks):
+        dl = len(tt)
+        ssum = 0
+        for t in terms:
+            tf = tt.count(t)
+            if tf == 0:
+                continue
+            ttf = sum(x.count(t) for x in toks)
+            lp = lam * (ttf / float(total))
+            s = math.log(1.0 + ((1.0 - lam) * tf / dl) / lp)
+            ssum += int(math.floor(s * 1e6 + 0.5))
+        if ssum:
+            out[d] = ssum
+    return out
+
+
+def test_lm_jm_matches_numpy(searcher):
+    terms = ["query", "stream"]
+    got = {
+        int(r["docid"]): int(r["score"])
+        for r in searcher.similarity_score_df(
+            terms, "lm_jelinek_mercer"
+        ).collect()
+    }
+    assert got == _jm_expected(terms)
+
+
 def test_unknown_similarity_raises(searcher):
     with pytest.raises(ValueError):
         searcher.similarity_score_df(["table"], "dfr")
