@@ -1511,6 +1511,25 @@ def q_ft_lm_jm(spark, sf_dir):
     )
 
 
+def q_ft_dfr_ineb2(spark, sf_dir):
+    """DFR I(ne)B2 ranking (Similarities/DFRSimilarity.cs:121 composed
+    of BasicModelIne.cs + AfterEffectB.cs + NormalizationH2.cs, c=1):
+    tfn = tf*log2(1 + avgdl/dl), ne = N*(1-((N-1)/N)^F), score = tfn *
+    log2((N+1)/(ne+0.5)) * (F+2)/((df+1)*(tfn+1)) — the fourth
+    similarity on the shared-postings extension point (intermediate
+    float32 casts dropped for the integer-exact contract, documented).
+    The oracle restates every factor, including ne's pow, in SQL."""
+    s = _searcher(spark, sf_dir)
+    from lucenenet_spark.query.engine import _topk_with_rank
+
+    d = s.similarity_score_df(["filter", "batch"], "dfr_ine_b2")
+    return _topk_with_rank(d, 10).select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_ft_percolate(spark, sf_dir):
     """Percolation / reverse search (Lucene.Net.Memory/MemoryIndex.cs:81
     — the stored-searches-over-streaming-docs pattern): six registered
@@ -4137,6 +4156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_classic_tfidf": q_ft_classic_tfidf,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_lm_jm": q_ft_lm_jm,
+        "ft_dfr_ineb2": q_ft_dfr_ineb2,
         "dd_exact_substring": q_dd_exact_substring,
         "txt_line_dedup": q_txt_line_dedup,
         "pipe_source_weights": q_pipe_source_weights,
@@ -4962,6 +4982,38 @@ scored AS (
 scored AS (
   SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
   FROM ({_jm_scores}) GROUP BY doc_id
+)
+"""
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # DFR I(ne)B2 (r5): tfn computed once per row in a subquery; ne's
+    # pow and both log2 factors restated in SQL in the engine's op order
+    _dfr_terms = ["filter", "batch"]
+    _dfr_tfs = ",\n".join(
+        f"t{i} AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok "
+        f"WHERE term = '{t}' GROUP BY doc_id)"
+        for i, t in enumerate(_dfr_terms)
+    )
+    _dfr_scores = " UNION ALL ".join(
+        f"SELECT doc_id, CAST(floor((tfn * "
+        f"log2((maxdoc + 1.0) / (maxdoc * (1.0 - pow((maxdoc - 1.0) / maxdoc,"
+        f" (SELECT sum(tf) FROM t{i}))) + 0.5)))"
+        f" * (((SELECT sum(tf) FROM t{i}) + 2.0)"
+        f" / (((SELECT count(*) FROM t{i}) + 1.0) * (tfn + 1.0)))"
+        f" * 1000000.0 + 0.5) AS BIGINT) AS s "
+        f"FROM (SELECT t.doc_id, st.maxdoc AS maxdoc,"
+        f" t.tf * log2(1.0 + (st.sum_ttf / st.maxdoc) / d.dl) AS tfn"
+        f" FROM t{i} t JOIN dl d USING (doc_id) CROSS JOIN st)"
+        for i in range(len(_dfr_terms))
+    )
+    o["ft_dfr_ineb2"] = (
+        _SQL_PREFIX
+        + ", " + _dfr_tfs
+        + f""",
+scored AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+  FROM ({_dfr_scores}) GROUP BY doc_id
 )
 """
         + _TOPK_TAIL.format(k=10)

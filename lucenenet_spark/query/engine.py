@@ -1962,6 +1962,12 @@ class Searcher:
           matched term ``ln(1 + ((1-lambda)*tf/dl) / (lambda*p))``,
           lambda = ``jm_lambda`` (default 0.7, the reference's
           long-query recommendation).
+        - ``"dfr_ine_b2"`` — DFRSimilarity.cs:121 with BasicModelIne.cs
+          + AfterEffectB.cs + NormalizationH2.cs (c=1): tfn =
+          tf*log2(1 + avgdl/dl); ne = N*(1-((N-1)/N)^F); score =
+          tfn * log2((N+1)/(ne+0.5)) * (F+2)/((df+1)*(tfn+1)). The
+          reference's intermediate float32 casts are dropped — this
+          runs on the integer-exact double contract like the others.
 
         Integer-exact contract (the exact_int convention): each per-term
         per-doc contribution floors to micro units BEFORE summation, so
@@ -1970,7 +1976,9 @@ class Searcher:
         engines compute identically."""
         import math
 
-        if similarity not in ("classic", "lm_dirichlet", "lm_jelinek_mercer"):
+        if similarity not in (
+            "classic", "lm_dirichlet", "lm_jelinek_mercer", "dfr_ine_b2",
+        ):
             raise ValueError(f"unknown similarity {similarity!r}")
         stats = self.term_stats(terms)
         n_q = len(terms)
@@ -1991,11 +1999,23 @@ class Searcher:
 
                 def score_fn(tf, dl, mup=mup, mu=mu):
                     return np.log(1.0 + tf / mup) + np.log(mu / (dl + mu))
-            else:
+            elif similarity == "lm_jelinek_mercer":
                 lp = jm_lambda * (st.ttf / float(self.sum_ttf))
 
                 def score_fn(tf, dl, lp=lp, lam=jm_lambda):
                     return np.log(1.0 + ((1.0 - lam) * tf / dl) / lp)
+            else:
+                N = float(self.maxdoc)
+                Fq = float(st.ttf)
+                ne = N * (1.0 - math.pow((N - 1.0) / N, Fq))
+                bw = math.log2((N + 1.0) / (ne + 0.5))
+                gnum = Fq + 2.0         # AfterEffectB: (F+1), F = ttf+1
+                gdf = float(st.df + 1)
+                avgdl = self.avgdl_exact
+
+                def score_fn(tf, dl, bw=bw, gnum=gnum, gdf=gdf, avgdl=avgdl):
+                    tfn = tf * np.log2(1.0 + avgdl / dl)
+                    return (tfn * bw) * (gnum / (gdf * (tfn + 1.0)))
 
             def decode(batches, score_fn=score_fn):
                 for pdf in batches:

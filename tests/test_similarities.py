@@ -136,9 +136,42 @@ def test_lm_jm_matches_numpy(searcher):
     assert got == _jm_expected(terms)
 
 
+def _dfr_expected(terms):
+    toks, n, total = _corpus()
+    avgdl = total / float(n)
+    out = {}
+    for d, tt in enumerate(toks):
+        dl = float(len(tt))
+        ssum = 0
+        for t in terms:
+            tf = tt.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for x in toks if t in x)
+            ttf = float(sum(x.count(t) for x in toks))
+            N = float(n)
+            ne = N * (1.0 - math.pow((N - 1.0) / N, ttf))
+            bw = math.log2((N + 1.0) / (ne + 0.5))
+            tfn = tf * math.log2(1.0 + avgdl / dl)
+            s = (tfn * bw) * ((ttf + 2.0) / ((df + 1.0) * (tfn + 1.0)))
+            ssum += int(math.floor(s * 1e6 + 0.5))
+        if ssum:
+            out[d] = ssum
+    return out
+
+
+def test_dfr_ineb2_matches_numpy(searcher):
+    terms = ["table", "stream"]
+    got = {
+        int(r["docid"]): int(r["score"])
+        for r in searcher.similarity_score_df(terms, "dfr_ine_b2").collect()
+    }
+    assert got == _dfr_expected(terms)
+
+
 def test_unknown_similarity_raises(searcher):
     with pytest.raises(ValueError):
-        searcher.similarity_score_df(["table"], "dfr")
+        searcher.similarity_score_df(["table"], "dfr_gl1")
 
 
 def test_unknown_terms_empty(searcher):
