@@ -1562,6 +1562,27 @@ def q_ft_percolate(spark, sf_dir):
     )
 
 
+def q_ft_edge_ngram(spark, sf_dir):
+    """Edge n-gram index (Analysis/NGram/EdgeNGramTokenFilter.cs:40,
+    FRONT side, grams 2..5) — the autocomplete shape: every prefix of
+    every token is a term, so "search-as-you-type" is one TermQuery per
+    keystroke. Probes mix a 4-gram and a 3-gram; the oracle rebuilds
+    the gram stream with substr over an unnested length range."""
+    s = _module_searcher(spark, sf_dir, "edgengram", "edge_ngram", "text")
+    q = BooleanQuery.build(should=[TermQuery("quer"), TermQuery("tab")])
+    return _topk_df(s, q, 10)
+
+
+def q_ft_char_ngram(spark, sf_dir):
+    """Character trigram index (Analysis/NGram/NGramTokenFilter.cs:38,
+    n=3) — the substring-match / fuzzy-recall shape: every length-3
+    substring of every token is a term. The oracle windows each token
+    with substr(i, 3)."""
+    s = _module_searcher(spark, sf_dir, "chargram", "ngram", "text")
+    q = BooleanQuery.build(should=[TermQuery("uer"), TermQuery("abl")])
+    return _topk_df(s, q, 10)
+
+
 def q_ft_synonym_collapse(spark, sf_dir):
     """Index-time synonym collapse (Analysis/Synonym/SynonymFilter.cs:33,
     SynonymMap.cs — the equivalence-class dual of the reference's 1:many
@@ -4151,6 +4172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_leading_wildcard": q_ft_leading_wildcard,
         "ft_pattern_analyzer": q_ft_pattern_analyzer,
         "ft_path_hierarchy": q_ft_path_hierarchy,
+        "ft_edge_ngram": q_ft_edge_ngram,
+        "ft_char_ngram": q_ft_char_ngram,
         "ft_synonym_collapse": q_ft_synonym_collapse,
         "ft_percolate": q_ft_percolate,
         "ft_classic_tfidf": q_ft_classic_tfidf,
@@ -4881,6 +4904,43 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
               (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)
 """
         + _term_ctes(["id", "table"])
+        + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # Edge n-grams (r5): prefixes 2..5 of every token
+    _edge_base = (
+        "tok AS (\n"
+        "  SELECT doc_id, substr(t, 1, k) AS term FROM\n"
+        "    (SELECT doc_id, t, unnest(range(2, least(5, length(t)) + 1)) AS k\n"
+        f"     FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS t FROM documents))\n"
+        "),\n"
+        "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),\n"
+        "st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,\n"
+        "              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)"
+    )
+    o["ft_edge_ngram"] = (
+        "WITH " + _edge_base
+        + _term_ctes(["quer", "tab"])
+        + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # Character trigrams (r5): all length-3 windows of every token
+    _gram_base = (
+        "tok AS (\n"
+        "  SELECT doc_id, substr(t, i, 3) AS term FROM\n"
+        "    (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i\n"
+        f"     FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS t FROM documents)\n"
+        "     WHERE length(t) >= 3)\n"
+        "),\n"
+        "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),\n"
+        "st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,\n"
+        "              (SELECT count(*) FROM tok)::DOUBLE AS sum_ttf)"
+    )
+    o["ft_char_ngram"] = (
+        "WITH " + _gram_base
+        + _term_ctes(["uer", "abl"])
         + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
         + _TOPK_TAIL.format(k=10)
     )

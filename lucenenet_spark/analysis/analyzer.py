@@ -1209,6 +1209,14 @@ def analyzer_for(
         from .modules import PathHierarchyAnalyzer
 
         return PathHierarchyAnalyzer(stop_words, max_token_length, ascii_only)
+    if name == "edge_ngram":
+        from .modules import EdgeNGramAnalyzer
+
+        return EdgeNGramAnalyzer(stop_words, max_token_length, ascii_only)
+    if name == "ngram":
+        from .modules import NGramAnalyzer
+
+        return NGramAnalyzer(stop_words, max_token_length, ascii_only)
     if name.startswith("pattern:"):
         from .modules import PatternAnalyzer
 

@@ -216,6 +216,42 @@ class SynonymAnalyzer(StandardAnalyzer):
         return Analyzed([syn.get(t, t) for t in a.tokens], a.positions)
 
 
+class EdgeNGramAnalyzer(StandardAnalyzer):
+    """EdgeNGramTokenFilter analogue (Analysis/NGram/
+    EdgeNGramTokenFilter.cs:40, Side.FRONT): each token emits its
+    prefixes of length minGram..maxGram (fixed 2..5 here — the
+    autocomplete-index shape); tokens shorter than minGram emit
+    nothing, exactly the reference's gram-window semantics. 1:many per
+    token -> generic row path."""
+
+    arrow_fast_path = False
+    min_gram, max_gram = 2, 5
+
+    def tokenize(self, text: str) -> list[str]:
+        out: list[str] = []
+        lo, hi = self.min_gram, self.max_gram
+        for t in super().tokenize(text):
+            out.extend(t[:k] for k in range(lo, min(hi, len(t)) + 1))
+        return out
+
+
+class NGramAnalyzer(StandardAnalyzer):
+    """NGramTokenFilter analogue (Analysis/NGram/NGramTokenFilter.cs:38):
+    each token emits ALL its substrings of length n (fixed trigrams
+    here — the substring-match / fuzzy-recall index shape); tokens
+    shorter than n emit nothing. 1:many per token -> generic row path."""
+
+    arrow_fast_path = False
+    n = 3
+
+    def tokenize(self, text: str) -> list[str]:
+        out: list[str] = []
+        n = self.n
+        for t in super().tokenize(text):
+            out.extend(t[i:i + n] for i in range(len(t) - n + 1))
+        return out
+
+
 class PathHierarchyAnalyzer(StandardAnalyzer):
     """The whole (lowercased, trimmed) input is one '/'-delimited path;
     emit every ancestor prefix (PathHierarchyTokenizer.cs:38)."""

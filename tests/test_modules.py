@@ -112,6 +112,25 @@ def test_generic_row_path_declared():
         assert not arrow_fast_path_for(a), type(a).__name__
 
 
+def test_edge_ngram_and_char_ngram():
+    from lucenenet_spark.analysis.modules import EdgeNGramAnalyzer, NGramAnalyzer
+
+    e = EdgeNGramAnalyzer(frozenset())
+    # prefixes 2..5; 'ab' -> only its 2-gram; 'a' -> nothing
+    assert e.tokenize("query ab a") == ["qu", "que", "quer", "query", "ab"]
+    g = NGramAnalyzer(frozenset())
+    assert g.tokenize("table ab") == ["tab", "abl", "ble"]
+    assert not arrow_fast_path_for(e) and not arrow_fast_path_for(g)
+    assert analyzer_for(
+        "edge_ngram", stop_words=frozenset(),
+        max_token_length=255, ascii_only=True,
+    ).tokenize("cd") == ["cd"]
+    assert analyzer_for(
+        "ngram", stop_words=frozenset(),
+        max_token_length=255, ascii_only=True,
+    ).tokenize("cd") == []
+
+
 def test_synonym_parse():
     from lucenenet_spark.analysis.modules import parse_synonym_spec
 
