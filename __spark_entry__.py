@@ -1562,6 +1562,24 @@ def q_ft_percolate(spark, sf_dir):
     )
 
 
+def q_ft_auto_stop(spark, sf_dir):
+    """QueryAutoStopWordAnalyzer (Analysis/Query/
+    QueryAutoStopWordAnalyzer.cs:48): stopwords derived from the INDEX
+    — any term with df > 0.77*maxdoc is dropped from the query before
+    scoring (here 'small' crosses the threshold at both test scales,
+    'the' and 'dup' stay). The oracle reproduces the df gate per term
+    in SQL (each term's score CTE is guarded by its own df <=
+    0.77*maxdoc predicate), so the drop decision itself is
+    cross-checked, not just the surviving scores."""
+    s = _searcher(spark, sf_dir)
+    stops = s.auto_stop_terms(0.77)
+    terms = [t for t in ("small", "the", "dup") if t not in stops]
+    if not terms:
+        raise AssertionError("auto-stop dropped every probe term")
+    q = BooleanQuery.build(should=[TermQuery(t) for t in terms])
+    return _topk_df(s, q, 10)
+
+
 def q_ft_edge_ngram(spark, sf_dir):
     """Edge n-gram index (Analysis/NGram/EdgeNGramTokenFilter.cs:40,
     FRONT side, grams 2..5) — the autocomplete shape: every prefix of
@@ -4174,6 +4192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_path_hierarchy": q_ft_path_hierarchy,
         "ft_edge_ngram": q_ft_edge_ngram,
         "ft_char_ngram": q_ft_char_ngram,
+        "ft_auto_stop": q_ft_auto_stop,
         "ft_synonym_collapse": q_ft_synonym_collapse,
         "ft_percolate": q_ft_percolate,
         "ft_classic_tfidf": q_ft_classic_tfidf,
@@ -4905,6 +4924,35 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
 """
         + _term_ctes(["id", "table"])
         + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # Auto stopwords (r5): per-term df gate mirrored in SQL
+    _as_terms = ["small", "the", "dup"]
+    _as_tfs = ",\n".join(
+        f"t{i} AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok "
+        f"WHERE term = '{t}' GROUP BY doc_id)"
+        for i, t in enumerate(_as_terms)
+    )
+    _as_scores = " UNION ALL ".join(
+        f"SELECT t.doc_id, CAST(floor("
+        f"(ln(1.0 + (st.maxdoc - (SELECT count(*) FROM t{i}) + 0.5)"
+        f"/((SELECT count(*) FROM t{i}) + 0.5)) * 2.2 * t.tf)"
+        f" / (t.tf + 1.2*(0.25 + (0.75*d.dl)/(st.sum_ttf/st.maxdoc)))"
+        f" * 1000000.0 + 0.5) AS BIGINT) AS s "
+        f"FROM t{i} t JOIN dl d USING (doc_id) CROSS JOIN st "
+        f"WHERE (SELECT count(*) FROM t{i}) <= 0.77 * st.maxdoc"
+        for i in range(len(_as_terms))
+    )
+    o["ft_auto_stop"] = (
+        _SQL_PREFIX
+        + ", " + _as_tfs
+        + f""",
+scored AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+  FROM ({_as_scores}) GROUP BY doc_id
+)
+"""
         + _TOPK_TAIL.format(k=10)
     )
 

@@ -2054,6 +2054,24 @@ class Searcher:
             )
         return scored
 
+    def auto_stop_terms(self, max_doc_freq_frac: float = 0.4) -> set[str]:
+        """QueryAutoStopWordAnalyzer analogue (Analysis/Query/
+        QueryAutoStopWordAnalyzer.cs:48): terms whose document frequency
+        exceeds ``max_doc_freq_frac * maxdoc`` become QUERY-TIME
+        stopwords, derived from the index's own term statistics — one
+        vocabulary-bounded termstats scan, which is exactly what the
+        reference does at analyzer construction. Namespaced keyword /
+        extra-field postings are excluded (only text-field terms stop).
+        Callers drop these terms from parsed queries before scoring."""
+        thr = float(max_doc_freq_frac) * float(self.maxdoc)
+        rows = (
+            self.termstats.filter(F.col("df") > thr)
+            .filter(~F.col("term").contains(":"))
+            .select("term")
+            .collect()
+        )
+        return {r["term"] for r in rows}
+
     def search(self, q: Query, k: int = 10, wand: bool = False) -> DataFrame:
         """Top-k: (docid, score, rank). Tie-break score desc then docid asc
         (HitQueue.cs:77-87) via distributed TakeOrderedAndProject.

@@ -174,5 +174,15 @@ def test_unknown_similarity_raises(searcher):
         searcher.similarity_score_df(["table"], "dfr_gl1")
 
 
+def test_auto_stop_terms(searcher):
+    # QueryAutoStopWordAnalyzer analogue: df-derived query stopwords.
+    # TEXTS dfs: table=4/6, vector=4/6, query=3/6, spark=2/6.
+    stops = searcher.auto_stop_terms(0.5)   # thr = 3.0 docs
+    assert "table" in stops and "vector" in stops
+    assert "query" not in stops and "spark" not in stops
+    # threshold above every df -> nothing stops
+    assert searcher.auto_stop_terms(0.9) == set()
+
+
 def test_unknown_terms_empty(searcher):
     assert searcher.similarity_score_df(["zzz"], "classic").count() == 0
