@@ -1562,6 +1562,26 @@ def q_ft_percolate(spark, sf_dir):
     )
 
 
+def q_ft_ib_ll(spark, sf_dir):
+    """Information-Based IB LL-D-H2 ranking (Similarities/
+    IBSimilarity.cs:113 composed of DistributionLL.cs + LambdaDF.cs +
+    NormalizationH2.cs, c=1): lambda = (df+1)/(N+1), tfn =
+    tf*log2(1 + avgdl/dl), score = -ln(lambda/(tfn+lambda)) — the
+    fifth similarity on the shared-postings extension point, closing
+    the reference's similarity families (BM25/TF-IDF/LM/DFR/IB each
+    represented). Integer-exact per-term micro; SQL oracle mirrors
+    every factor."""
+    s = _searcher(spark, sf_dir)
+    from lucenenet_spark.query.engine import _topk_with_rank
+
+    d = s.similarity_score_df(["order", "part"], "ib_ll_d2")
+    return _topk_with_rank(d, 10).select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_ft_auto_stop(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (Analysis/Query/
     QueryAutoStopWordAnalyzer.cs:48): stopwords derived from the INDEX
@@ -4193,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_edge_ngram": q_ft_edge_ngram,
         "ft_char_ngram": q_ft_char_ngram,
         "ft_auto_stop": q_ft_auto_stop,
+        "ft_ib_ll": q_ft_ib_ll,
         "ft_synonym_collapse": q_ft_synonym_collapse,
         "ft_percolate": q_ft_percolate,
         "ft_classic_tfidf": q_ft_classic_tfidf,
@@ -4924,6 +4945,34 @@ st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS maxdoc,
 """
         + _term_ctes(["id", "table"])
         + f", scored AS (SELECT doc_id, score FROM {_sum_scored([0, 1])}) "
+        + _TOPK_TAIL.format(k=10)
+    )
+
+    # IB LL-D-H2 (r5): lambda and tfn computed per row in a subquery
+    _ib_terms = ["order", "part"]
+    _ib_tfs = ",\n".join(
+        f"t{i} AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok "
+        f"WHERE term = '{t}' GROUP BY doc_id)"
+        for i, t in enumerate(_ib_terms)
+    )
+    _ib_scores = " UNION ALL ".join(
+        f"SELECT doc_id, CAST(floor(-ln(lam / (tfn + lam))"
+        f" * 1000000.0 + 0.5) AS BIGINT) AS s "
+        f"FROM (SELECT t.doc_id,"
+        f" t.tf * log2(1.0 + (st.sum_ttf / st.maxdoc) / d.dl) AS tfn,"
+        f" ((SELECT count(*) FROM t{i}) + 1.0) / (st.maxdoc + 1.0) AS lam"
+        f" FROM t{i} t JOIN dl d USING (doc_id) CROSS JOIN st)"
+        for i in range(len(_ib_terms))
+    )
+    o["ft_ib_ll"] = (
+        _SQL_PREFIX
+        + ", " + _ib_tfs
+        + f""",
+scored AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+  FROM ({_ib_scores}) GROUP BY doc_id
+)
+"""
         + _TOPK_TAIL.format(k=10)
     )
 

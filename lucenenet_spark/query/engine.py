@@ -1962,6 +1962,9 @@ class Searcher:
           matched term ``ln(1 + ((1-lambda)*tf/dl) / (lambda*p))``,
           lambda = ``jm_lambda`` (default 0.7, the reference's
           long-query recommendation).
+        - ``"ib_ll_d2"`` — IBSimilarity.cs:113 with DistributionLL.cs +
+          LambdaDF.cs + NormalizationH2.cs (c=1): lambda = (df+1)/(N+1),
+          tfn = tf*log2(1 + avgdl/dl), score = -ln(lambda/(tfn+lambda)).
         - ``"dfr_ine_b2"`` — DFRSimilarity.cs:121 with BasicModelIne.cs
           + AfterEffectB.cs + NormalizationH2.cs (c=1): tfn =
           tf*log2(1 + avgdl/dl); ne = N*(1-((N-1)/N)^F); score =
@@ -1978,6 +1981,7 @@ class Searcher:
 
         if similarity not in (
             "classic", "lm_dirichlet", "lm_jelinek_mercer", "dfr_ine_b2",
+            "ib_ll_d2",
         ):
             raise ValueError(f"unknown similarity {similarity!r}")
         stats = self.term_stats(terms)
@@ -2004,6 +2008,13 @@ class Searcher:
 
                 def score_fn(tf, dl, lp=lp, lam=jm_lambda):
                     return np.log(1.0 + ((1.0 - lam) * tf / dl) / lp)
+            elif similarity == "ib_ll_d2":
+                lam = (st.df + 1.0) / (float(self.maxdoc) + 1.0)
+                avgdl = self.avgdl_exact
+
+                def score_fn(tf, dl, lam=lam, avgdl=avgdl):
+                    tfn = tf * np.log2(1.0 + avgdl / dl)
+                    return -np.log(lam / (tfn + lam))
             else:
                 N = float(self.maxdoc)
                 Fq = float(st.ttf)

@@ -174,6 +174,36 @@ def test_unknown_similarity_raises(searcher):
         searcher.similarity_score_df(["table"], "dfr_gl1")
 
 
+def _ib_expected(terms):
+    toks, n, total = _corpus()
+    avgdl = total / float(n)
+    out = {}
+    for d, tt in enumerate(toks):
+        dl = float(len(tt))
+        ssum = 0
+        for t in terms:
+            tf = tt.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for x in toks if t in x)
+            lam = (df + 1.0) / (float(n) + 1.0)
+            tfn = tf * math.log2(1.0 + avgdl / dl)
+            s = -math.log(lam / (tfn + lam))
+            ssum += int(math.floor(s * 1e6 + 0.5))
+        if ssum:
+            out[d] = ssum
+    return out
+
+
+def test_ib_ll_matches_numpy(searcher):
+    terms = ["vector", "spark"]
+    got = {
+        int(r["docid"]): int(r["score"])
+        for r in searcher.similarity_score_df(terms, "ib_ll_d2").collect()
+    }
+    assert got == _ib_expected(terms)
+
+
 def test_auto_stop_terms(searcher):
     # QueryAutoStopWordAnalyzer analogue: df-derived query stopwords.
     # TEXTS dfs: table=4/6, vector=4/6, query=3/6, spark=2/6.
